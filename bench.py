@@ -1,0 +1,72 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. The driver records this per-round
+as BENCH_r{N}.json against BASELINE.md.
+
+Each query is fully materialized via a count-style action (collect on
+aggregates is small; we use df.write to a null-ish action — here
+``df.foreach(lambda r: None)`` would serialize to Python, so we use
+``df.count()`` after an agg or the cheaper _materialize below).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+from tugas_2_big_data_spark.session import get_spark  # noqa: E402
+from tugas_2_big_data_spark import queries as q  # noqa: E402
+
+# Headline set: spine + reference-parity signature queries. Extend as
+# operators land; keep total runtime < ~5 min at sf0.1.
+HEADLINE = [
+    "tpch_q1",
+    "yf_agg_day",
+    "yf_agg_month",
+    "yf_agg_year",
+    "yf_multi_grain",
+]
+
+
+def _materialize(df) -> int:
+    """Force full computation without collecting rows to the driver."""
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench")
+    registry = q.queries()
+    timings: dict[str, float] = {}
+    names = [n for n in HEADLINE if n in registry]
+    # JVM/codegen warmup on the flagship so steady-state numbers dominate
+    _materialize(registry[names[0]](spark, sf_dir))
+    for name in names:
+        t0 = time.perf_counter()
+        _materialize(registry[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

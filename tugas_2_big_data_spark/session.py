@@ -1,0 +1,65 @@
+"""SparkSession factory and session tuning.
+
+The reference builds ad-hoc sessions (one per Mongo collection at
+``yfinance_transform.py:104-107``, a 2g/2g local[*] session at
+``idx_transform.py:76-93``). Our engine uses ONE session with AQE and
+Arrow enabled, UTC timezone (oracle comparability), and shuffle
+parallelism sized to the machine rather than the Spark default of 200.
+
+At cluster scale the same factory applies: AQE handles runtime
+coalescing/skew; shuffle partitions should be ~2-3× total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tugas_2_big_data_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable tuning to an externally-provided session.
+
+    The verification driver supplies its own SparkSession; these confs are
+    runtime-mutable so we can still pin the semantics our plans rely on
+    (UTC timestamps for date_format grains, AQE, Arrow).
+    """
+    conf = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }
+    for k, v in conf.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime conf on this build — keep going
+    return spark
