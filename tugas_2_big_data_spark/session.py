@@ -33,6 +33,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
@@ -52,6 +53,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """
     conf = {
         "spark.sql.session.timeZone": "UTC",
+        # reference semantics are Spark-3 non-ANSI (cast → NULL, no
+        # arithmetic exceptions); Spark 4 defaults ANSI on
+        "spark.sql.ansi.enabled": "false",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
