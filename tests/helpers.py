@@ -39,7 +39,9 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        # round to 9 significant digits so last-bit fp differences don't
+        # reorder rows between engines in the sort below
+        return float(f"{v:.9g}")
     if isinstance(v, int):
         return float(v) if abs(v) < 2**52 else v
     return v

@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (extension surface;
+BASELINE.json north-star).
+
+- brute-force cosine top-k: exact baseline. The query set is SMALL by
+  construction (top-k against a handful of probes) and is broadcast, so
+  the "cross join" is a broadcast nested loop over one pass of the big
+  side — no shuffle of the corpus. At 100 TB the corpus side stays
+  partition-parallel; cost is O(corpus × queries).
+- LSH-bucketed near-dup pairs: random-hyperplane signs (deterministic
+  seeded planes materialized as literals) bucket the corpus; exact
+  cosine only within buckets — the scale path that avoids all-pairs.
+
+All arithmetic in DOUBLE: the oracle (DuckDB list_cosine_similarity)
+computes float32 when fed FLOAT[], so both sides cast to double first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns (NULL on zero norm)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / F.nullif(na * nb, F.lit(0.0))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (excluding self)."""
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).cast("array<double>").alias("nbr_vec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("query_vec"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("query_vec"), F.col("nbr_vec")))
+        .select("query_id", "nbr_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        # rounded AFTER ranking: stable hash-compare across engines whose
+        # fold order differs in the last float bit
+        .withColumn("cosine", F.round("cosine", 9))
+    )
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes (literal constants — identical
+    values are embedded in the oracle SQL)."""
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in rng.standard_normal(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket key: one char per hyperplane ('1' if v·p > 0)."""
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(x) for x in p])
+        dot = F.aggregate(
+            F.zip_with(vec_col, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate vector pairs via hyperplane-LSH bucketing + exact
+    cosine within buckets (id_a < id_b)."""
+    planes = hyperplanes(n_planes, dim, seed)
+    v = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("bucket", lsh_bucket(F.col("vec"), planes))
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("cosine", cosine(F.col("a.vec"), F.col("b.vec")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round("cosine", 9).alias("cosine"),
+        )
+    )

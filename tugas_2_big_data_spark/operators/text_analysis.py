@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines (extension
+surface; the reference's only text processing is the IQPLUS
+summarization, SURVEY.md §2.10 — these are the corpus-hygiene ops a
+100 TB pipeline needs).
+
+All pure built-in expressions (regexp/split/aggregate) — JVM codegen,
+no UDFs, map-only except lang-id's small broadcast join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from tugas_2_big_data_spark.functions import hashing
+
+# tiny per-language stopword lists for the voting heuristic; order and
+# contents are part of the spec (the oracle embeds the same lists)
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "en": ["the", "a", "of", "and", "is", "in", "to", "it"],
+    "es": ["el", "la", "de", "y", "es", "en", "un", "que"],
+    "fr": ["le", "la", "de", "et", "est", "en", "un", "que"],
+    "id": ["yang", "dan", "di", "ini", "itu", "dengan", "untuk", "tidak"],
+}
+
+# word-ish tokens OR single punctuation — a BPE-ish segmentation whose
+# count approximates subword token counts without a model
+BPE_ISH_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens, BPE-ish tokens, chars, avg token length."""
+    t = F.trim(F.col(text_col))
+    ws_tokens = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+    bpe_tokens = F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), 0))
+    no_space = F.regexp_replace(t, r"\s+", "")
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        ws_tokens.cast("long").alias("n_tokens_ws"),
+        bpe_tokens.cast("long").alias("n_tokens_bpe"),
+        (F.length(no_space) / F.nullif(ws_tokens, F.lit(0))).alias("avg_token_len"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality signals: punctuation / digit / uppercase /
+    stopword ratios and a composite score in [0, 1]."""
+    t = F.trim(F.col(text_col))
+    n = F.nullif(F.length(t).cast("double"), F.lit(0.0))
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    digits = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    uppers = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    words_arr = F.split(F.lower(t), r"\s+")
+    en_stop = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_words = F.nullif(F.size(words_arr).cast("double"), F.lit(0.0))
+    stop_hits = F.size(F.filter(words_arr, lambda w: F.array_contains(en_stop, w)))
+    punct_ratio = punct / n
+    digit_ratio = digits / n
+    upper_ratio = uppers / n
+    stop_ratio = stop_hits / n_words
+    score = (
+        F.lit(1.0)
+        - F.least(F.lit(1.0), punct_ratio * 4)
+        - F.least(F.lit(0.5), digit_ratio * 2)
+    ) * (F.lit(0.5) + F.least(F.lit(0.5), stop_ratio))
+    return df.select(
+        F.col(id_col),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        upper_ratio.alias("upper_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID: most stopword hits wins; ties break on
+    language code ascending; zero hits everywhere → 'und' (undetermined).
+
+    The stopword table is a broadcast dimension — at scale this is a
+    map-side join against the exploded word stream.
+    """
+    vote_rows = [
+        (lang, w) for lang, ws in sorted(STOPWORDS.items()) for w in ws
+    ]
+    spark = df.sparkSession
+    votes_dim = spark.createDataFrame(vote_rows, ["cand_lang", "word"])
+    doc_words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word"),
+    )
+    hits = (
+        doc_words.join(F.broadcast(votes_dim), "word")
+        .groupBy(id_col, "cand_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("hits"), F.asc("cand_lang"))
+    best = (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col(id_col),
+            F.col("cand_lang").alias("lang_pred"),
+            F.col("hits").alias("lang_hits"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .na.fill({"lang_pred": "und", "lang_hits": 0})
+    )
+
+
+def canonical_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted set of
+    distinct lowercase words (bag-of-words identity)."""
+    words_arr = F.array_sort(
+        F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(F.array_join(words_arr, " ")).alias("canonical_fp"),
+    )

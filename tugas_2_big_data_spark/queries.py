@@ -729,3 +729,8 @@ def evt_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# register the training-data pipeline extension queries (dedup,
+# similarity, text analysis, multimodal) into the same registry
+from tugas_2_big_data_spark import queries_training  # noqa: E402,F401

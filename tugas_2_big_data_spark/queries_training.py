@@ -1,0 +1,410 @@
+"""Training-data pipeline queries: dedup, text analysis, similarity
+search, multimodal metadata — each with a DuckDB oracle.
+
+The documents table has no natural duplicates, so dedup queries build a
+deterministic corpus-with-dups on BOTH sides: documents ∪ exact copies
+(doc_id%7==0 → +10000) ∪ near-dups (doc_id%10==0 → +100000, two words
+appended). This makes every dedup operator demonstrate non-trivial
+behavior under the hash-match gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tugas_2_big_data_spark.queries import register
+from tugas_2_big_data_spark.sources.catalog import load_table
+from tugas_2_big_data_spark.operators import dedup, similarity, text_analysis
+
+# ---------------------------------------------------------------------------
+# shared corpus-with-duplicates
+# ---------------------------------------------------------------------------
+
+CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' zzz qqq' AS text
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    exact = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+        )
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+# DuckDB shingle relation over the corpus (3-word shingles, set semantics)
+SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+      unnest(CASE WHEN len(w) >= 3
+        THEN list_transform(generate_series(1, len(w) - 2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        ELSE [] END) AS shingle
+    FROM (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM ({CORPUS_SQL})
+    )
+  )
+"""
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+_EXACT_SQL = f"""
+SELECT min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM ({CORPUS_SQL})
+GROUP BY text
+"""
+
+
+@register("dedup_exact", _EXACT_SQL)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(corpus(spark, sf_dir))
+
+
+_FP_SQL = f"""
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM ({CORPUS_SQL})
+GROUP BY fp
+"""
+
+
+@register("dedup_fingerprint", _FP_SQL)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.fingerprint_groups(corpus(spark, sf_dir))
+
+
+def _minhash_select(k: int) -> str:
+    hs = ",\n  ".join(
+        f"min(md5('{s}:' || shingle)) AS h{s}" for s in range(k)
+    )
+    return f"SELECT doc_id,\n  {hs}\nFROM ({SHINGLES_SQL})\nGROUP BY doc_id"
+
+
+_MINHASH_SQL = _minhash_select(8)
+
+
+@register("dedup_minhash_signature", _MINHASH_SQL)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup.doc_shingles(corpus(spark, sf_dir))
+    return dedup.minhash_signatures(sh, k=8)
+
+
+_LSH_PAIRS_SQL = f"""
+WITH sig AS ({_minhash_select(8)}),
+banded AS (
+  SELECT doc_id, band_id, key FROM (
+    SELECT doc_id, unnest([
+      struct_pack(band_id := 0, key := h0 || '|' || h1),
+      struct_pack(band_id := 1, key := h2 || '|' || h3),
+      struct_pack(band_id := 2, key := h4 || '|' || h5),
+      struct_pack(band_id := 3, key := h6 || '|' || h7)
+    ], recursive := true)
+    FROM sig
+  )
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sh AS ({SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, c.n_common,
+       c.n_common / (sa.sz + sb.sz - c.n_common) AS jaccard
+FROM common c
+JOIN cand USING (id_a, id_b)
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE c.n_common / (sa.sz + sb.sz - c.n_common) >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh_pairs", _LSH_PAIRS_SQL)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup.doc_shingles(corpus(spark, sf_dir))
+    sig = dedup.minhash_signatures(sh, k=8)
+    cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
+    return dedup.jaccard_pairs(sh, threshold=0.5, candidates=cand)
+
+
+_JACCARD_SQL = f"""
+WITH sh AS ({SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, c.n_common,
+       c.n_common / (sa.sz + sb.sz - c.n_common) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE c.n_common / (sa.sz + sb.sz - c.n_common) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard_pairs", _JACCARD_SQL)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup.doc_shingles(corpus(spark, sf_dir))
+    return dedup.jaccard_pairs(sh, threshold=0.5)
+
+
+def _simhash_sql() -> str:
+    votes = []
+    for i in range(16):
+        nib = i // 4
+        bit = 2 ** (i % 4)
+        votes.append(
+            f"sum((((strpos('0123456789abcdef', substr(md5(word), {nib + 1}, 1)) - 1)"
+            f" // {bit}) % 2) * 2 - 1) AS s{i}"
+        )
+    votes_sql = ",\n    ".join(votes)
+    assemble = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM (
+  SELECT doc_id,
+    {votes_sql}
+  FROM (
+    SELECT DISTINCT doc_id,
+      unnest(string_split_regex(trim(text), '\\s+')) AS word
+    FROM ({CORPUS_SQL})
+  )
+  WHERE word != ''
+  GROUP BY doc_id
+)
+"""
+
+
+@register("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash16(corpus(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_TOKEN_SQL = """
+SELECT doc_id,
+  CAST(length(trim(text)) AS BIGINT) AS n_chars,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+    AS n_tokens_ws,
+  CAST(len(regexp_extract_all(trim(text), '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))
+    AS BIGINT) AS n_tokens_bpe,
+  length(regexp_replace(trim(text), '\\s+', '', 'g'))
+    / nullif(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END, 0)
+    AS avg_token_len
+FROM documents
+"""
+
+
+@register("txt_token_stats", _TOKEN_SQL)
+def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.token_stats(load_table(spark, "documents", sf_dir))
+
+
+_QUALITY_SQL = """
+SELECT doc_id,
+  punct / n  AS punct_ratio,
+  digits / n AS digit_ratio,
+  uppers / n AS upper_ratio,
+  stop_hits / nw AS stopword_ratio,
+  (1.0 - least(1.0, punct / n * 4) - least(0.5, digits / n * 2))
+    * (0.5 + least(0.5, stop_hits / nw)) AS quality_score
+FROM (
+  SELECT doc_id,
+    nullif(CAST(length(t) AS DOUBLE), 0.0) AS n,
+    CAST(length(t) - length(regexp_replace(t, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+      AS punct,
+    CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS DOUBLE)
+      AS digits,
+    CAST(length(t) - length(regexp_replace(t, '[A-Z]', '', 'g')) AS DOUBLE)
+      AS uppers,
+    nullif(CAST(len(string_split_regex(lower(t), '\\s+')) AS DOUBLE), 0.0) AS nw,
+    CAST(len(list_filter(string_split_regex(lower(t), '\\s+'),
+      w -> list_contains(['the','a','of','and','is','in','to','it'], w)))
+      AS DOUBLE) AS stop_hits
+  FROM (SELECT doc_id, trim(text) AS t FROM documents)
+)
+"""
+
+
+@register("txt_quality", _QUALITY_SQL)
+def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.quality_scores(load_table(spark, "documents", sf_dir))
+
+
+def _langid_sql() -> str:
+    vals = ",\n    ".join(
+        f"('{lang}', '{w}')"
+        for lang, ws in sorted(text_analysis.STOPWORDS.items())
+        for w in ws
+    )
+    return f"""
+WITH votes(cand_lang, word) AS (VALUES
+    {vals}
+),
+dw AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, cand_lang, CAST(count(*) AS BIGINT) AS hits
+  FROM dw JOIN votes USING (word)
+  GROUP BY doc_id, cand_lang
+),
+best AS (
+  SELECT doc_id, cand_lang, hits,
+    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rk
+  FROM hits
+)
+SELECT d.doc_id,
+  COALESCE(b.cand_lang, 'und') AS lang_pred,
+  CAST(COALESCE(b.hits, 0) AS BIGINT) AS lang_hits
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+"""
+
+
+@register("txt_langid", _langid_sql())
+def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.lang_id(load_table(spark, "documents", sf_dir))
+
+
+_CANON_FP_SQL = """
+SELECT doc_id,
+  md5(array_to_string(
+    list_sort(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))),
+    ' ')) AS canonical_fp
+FROM documents
+"""
+
+
+@register("txt_canonical_fingerprint", _CANON_FP_SQL)
+def txt_canonical_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.canonical_fingerprint(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+_ANN_TOPK_SQL = """
+SELECT query_id, nbr_id, cosine, rk FROM (
+  SELECT q.query_id, c.nbr_id,
+    round(list_cosine_similarity(q.qv, c.nv), 9) AS cosine,
+    CAST(row_number() OVER (
+      PARTITION BY q.query_id
+      ORDER BY list_cosine_similarity(q.qv, c.nv) DESC, c.nbr_id
+    ) AS BIGINT) AS rk
+  FROM (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 5) q,
+       (SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS nv FROM embeddings) c
+  WHERE c.nbr_id != q.query_id
+)
+WHERE rk <= 5
+"""
+
+
+@register("ann_cosine_topk", _ANN_TOPK_SQL)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def _ann_lsh_sql() -> str:
+    planes = similarity.hyperplanes(8, 64, seed=7)
+    plane_sql = [
+        "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]" for p in planes
+    ]
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(vec, {p}) > 0 THEN '1' ELSE '0' END)"
+        for p in plane_sql
+    )
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, list_transform(embedding::DOUBLE[], x -> x * 2.0)
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+bucketed AS (
+  SELECT vec_id, vec, {bits} AS bucket FROM corpus
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.vec, b.vec), 9) AS cosine
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.vec, b.vec) >= 0.999
+"""
+
+
+@register("ann_lsh_near_dup", _ann_lsh_sql())
+def ann_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 2.0
+        ).alias("embedding"),
+    )
+    c = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(dups)
+    return similarity.lsh_near_dup_pairs(c, n_planes=8, dim=64, threshold=0.999)
+
+
+# ---------------------------------------------------------------------------
+# multimodal: opaque binary column + typed metadata (decode itself is a
+# stubbed Pandas-UDF pipeline — see tugas_2_big_data_spark/multimodal)
+# ---------------------------------------------------------------------------
+
+_MM_META_SQL = """
+SELECT doc_id,
+  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+  md5(text) AS content_md5,
+  substr(lower(hex(CAST(text AS BLOB))), 1, 16) AS magic_prefix
+FROM documents
+"""
+
+
+@register("mm_binary_meta", _MM_META_SQL)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+        F.substring(F.lower(F.hex(payload)), 1, 16).alias("magic_prefix"),
+    )
