@@ -1,0 +1,107 @@
+"""Unit tests for the text pipeline: chunking quirks, split-merge control
+flow, error absorption, and the summarize_news contract (SURVEY.md §2.10,
+FIXTURES.md §4 edge rows)."""
+
+from __future__ import annotations
+
+from tugas_2_big_data_spark.text.chunking import (
+    naive_sentences,
+    pack_chunks,
+    whitespace_token_count,
+)
+from tugas_2_big_data_spark.text.summarize import summarize_long_text
+
+
+def test_naive_sentences_no_period():
+    # text with no '.' at all → one sentence, '.' appended (IQ*:30)
+    assert naive_sentences("hello world") == ["hello world."]
+
+
+def test_naive_sentences_strips_and_reappends():
+    assert naive_sentences(" a b . c d .. ") == ["a b.", "c d."]
+
+
+def test_naive_sentences_empty():
+    assert naive_sentences("") == []
+    assert naive_sentences("...") == []
+
+
+def test_pack_chunks_boundary_exact():
+    # boundary check is strictly `>`: a sentence landing exactly on
+    # max_tokens stays in the current chunk (IQ*:36-43)
+    text = "a b c. d e f."  # two sentences, 3+'.'≈ tokens each
+    # each sentence = 3 words → counts 3; max=6 → both fit in one chunk
+    chunks = pack_chunks(text, whitespace_token_count, max_tokens=6)
+    assert chunks == ["a b c. d e f."]
+    # max=5 → second sentence overflows → two chunks
+    chunks = pack_chunks(text, whitespace_token_count, max_tokens=5)
+    assert chunks == ["a b c.", "d e f."]
+
+
+def test_pack_chunks_leading_oversized_sentence_quirk():
+    # a FIRST sentence bigger than max_tokens flushes an empty chunk —
+    # reference behavior preserved deliberately (current_chunk is empty
+    # when the overflow check first fires, IQ*:36-38)
+    text = "w1 w2 w3 w4 w5. short one."
+    chunks = pack_chunks(text, whitespace_token_count, max_tokens=3)
+    assert chunks == ["", "w1 w2 w3 w4 w5.", "short one."]
+
+
+def test_summarize_short_path_single_call():
+    calls = []
+
+    def backend(text, max_length, min_length):
+        calls.append((text, max_length, min_length))
+        return "SUM"
+
+    out = summarize_long_text("one two three", backend, whitespace_token_count)
+    assert out == "SUM"
+    assert calls == [("one two three", 250, 50)]
+
+
+def test_summarize_split_merge_path():
+    calls = []
+
+    def backend(text, max_length, min_length):
+        calls.append((max_length, min_length))
+        return f"S{len(calls)}"
+
+    # 30 sentences x 100 words = 3000 tokens > 1024 → split-merge
+    text = ". ".join(" ".join(f"w{i}" for i in range(100)) for _ in range(30)) + "."
+    out = summarize_long_text(text, backend, whitespace_token_count)
+    # chunks summarized at (512, 30); final merge at (250, 50) — IQ*:70-86
+    assert calls[:-1] == [(512, 30)] * (len(calls) - 1)
+    assert calls[-1] == (250, 50)
+    assert len(calls) >= 3  # at least 2 chunks + final
+    assert out == f"S{len(calls)}"
+
+
+def test_summarize_error_absorbed_to_empty():
+    def backend(text, max_length, min_length):
+        raise RuntimeError("model exploded")
+
+    assert summarize_long_text("some text", backend, whitespace_token_count) == ""
+
+
+def test_summarize_news_contract(spark):
+    from tugas_2_big_data_spark.pipelines.iqplus import summarize_news
+
+    rows = [
+        ("b-title", "satu dua tiga. empat lima.", "10:00", "01/02/2025"),
+        ("a-title", "", "11:00", "02/02/2025"),          # empty → ""
+        ("c-title", "   ", "12:00", "03/02/2025"),       # whitespace → ""
+    ]
+    df = spark.createDataFrame(
+        rows, ["judul", "konten", "waktu", "tanggal_artikel"]
+    )
+    out = summarize_news(df, order_by=["tanggal_artikel", "judul"]).collect()
+    # output contract {index, judul, konten, rangkuman, waktu,
+    # tanggal_artikel}; index gapless 1..N over the explicit sort key
+    assert [r["index"] for r in out] == [1, 2, 3]
+    assert out[0]["judul"] == "b-title"
+    assert out[0]["rangkuman"] != ""
+    assert out[1]["rangkuman"] == ""  # empty konten
+    assert out[2]["rangkuman"] == ""  # whitespace konten
+    assert set(out[0].asDict()) == {
+        "index", "judul", "konten", "rangkuman", "waktu", "tanggal_artikel"
+    }

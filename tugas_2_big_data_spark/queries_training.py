@@ -408,3 +408,52 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(payload).alias("content_md5"),
         F.substring(F.lower(F.hex(payload)), 1, 16).alias("magic_prefix"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IQPLUS summarization pipeline (reference-parity surface, SURVEY.md
+# §2.10 T1-T6) with the deterministic extractive stub backend. The
+# short-path stub is SQL-expressible → full oracle; the >1024-token
+# split-merge path is exercised by a rows-only query on synthetically
+# lengthened documents (control flow verified exactly in unit tests).
+# ---------------------------------------------------------------------------
+
+_SUMMARIZE_SQL = """
+SELECT
+  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS index,
+  doc_id,
+  text AS konten,
+  CASE WHEN length(trim(text)) = 0 THEN ''
+       ELSE array_to_string(
+         list_slice(string_split_regex(trim(text), '\\s+'), 1, 50), ' ')
+  END AS rangkuman
+FROM documents
+"""
+
+
+@register("iqplus_summarize_stub", _SUMMARIZE_SQL)
+def iqplus_summarize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tugas_2_big_data_spark.pipelines import iqplus
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", F.col("text").alias("konten"))
+    )
+    out = iqplus.summarize_news(docs, order_by=["doc_id"])
+    return out.select("index", "doc_id", "konten", "rangkuman")
+
+
+@register("iqplus_summarize_longdoc", None)  # rows-only: split-merge path
+def iqplus_summarize_longdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents repeated ×30 exceed the 1024-token chunk budget, forcing
+    the hierarchical split-merge path of summarize_long_text. No SQL
+    oracle (loop-carried chunk packing); unit tests pin the control flow
+    exactly (tests/test_text.py)."""
+    from tugas_2_big_data_spark.pipelines import iqplus
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.concat_ws(". ", F.array_repeat(F.col("text"), 30)).alias("konten"),
+    )
+    out = iqplus.summarize_news(docs, order_by=["doc_id"])
+    return out.select("index", "doc_id", "rangkuman")
