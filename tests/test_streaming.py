@@ -1,0 +1,56 @@
+"""Structured Streaming tests: tumbling agg matches its batch twin;
+sessionization produces sane sessions (memory-sink harness)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_UNIT
+from tugas_2_big_data_spark.sources.catalog import load_table
+from tugas_2_big_data_spark.streaming import events as se
+
+
+@pytest.fixture(scope="module")
+def stream_events(spark):
+    return se.read_events_stream(spark, SF_UNIT)
+
+
+def test_tumbling_agg_matches_batch(spark, stream_events):
+    out = se.run_to_memory(
+        se.tumbling_agg(stream_events), "t_tumbling", output_mode="append"
+    ).collect()
+    # batch twin over the same file
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "events", SF_UNIT)
+    batch = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+        )
+        .collect()
+    )
+    b = {(r["window_start"], r["event_type"]): (r["n_events"], r["total_value"]) for r in batch}
+    s = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in out
+    }
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match the batch result exactly, and most windows close
+    assert len(s) >= len(b) * 0.9
+    for k, v in s.items():
+        assert b[k] == v, k
+
+
+def test_sessionize_runs(spark, stream_events):
+    rows = se.run_to_memory(
+        se.sessionize(stream_events, gap="30 minutes"), "t_sessions"
+    ).collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        assert r["session_end"] > r["session_start"]
+        assert r["n_events"] >= 1

@@ -1,0 +1,107 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with a
+mapInPandas decode/feature pipeline (extension — BASELINE.json north
+star; the reference has no binary data at all).
+
+Design for 100 TB: media bytes live in a `binary` column (or an object-
+store URI for >~1 MB payloads); metadata (mime, width, sample rate, …)
+is a typed struct so filters prune on metadata WITHOUT touching bytes —
+`WHERE meta.mime = 'image/png'` reads only the metadata column from
+parquet. Decode/resize/frame-sample run as Arrow-batched mapInPandas so
+the heavy libs initialize once per executor.
+
+The actual codec step is STUBBED: image/audio libraries are not in this
+container. `decode_media_batch(deterministic_fake=True)` produces
+seeded fake features (shape-correct, test-stable); with
+deterministic_fake=False it raises NotImplementedError where Pillow/
+torchaudio would be called. The Spark-side plumbing — schemas, batch
+iteration, partitioning — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum_md5", T.StringType()),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Demo payload builder: UTF-8 bytes of the text column stand in for
+    media bytes (the container ships no real media fixtures)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    mime = F.when(F.col(id_col) % 2 == 0, F.lit("image/png")).otherwise(
+        F.lit("audio/wav")
+    )
+    meta = F.struct(
+        mime.alias("mime"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("checksum_md5"),
+    )
+    return df.select(F.col(id_col), payload.alias("payload"), meta.alias("meta"))
+
+
+def extract_metadata(df: DataFrame) -> DataFrame:
+    """Metadata-only projection — at scale this plan must NOT read the
+    payload column (verify ReadSchema in .explain)."""
+    return df.select("doc_id", "meta.mime", "meta.n_bytes", "meta.checksum_md5")
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a decoded embedding: bytes of
+    md5(payload) scaled to [0, 1) — stable across runs/executors."""
+    digest = hashlib.md5(payload).digest()
+    return [b / 256.0 for b in digest[:dim]]
+
+
+def decode_media_batch(
+    df: DataFrame,
+    deterministic_fake: bool = True,
+    feature_dim: int = 8,
+) -> DataFrame:
+    """mapInPandas decode/feature-extract over (doc_id, payload, meta).
+
+    Real codecs are unavailable here — the decode seam raises
+    NotImplementedError unless deterministic_fake=True. Batch shape,
+    schema contract, and per-executor iteration are the real article.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "media codecs (Pillow/torchaudio/ffmpeg) not available "
+                    "in this container; stubbed decode seam"
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                    "feature": [
+                        _fake_feature(bytes(p), feature_dim) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(decode, DECODED_SCHEMA)

@@ -1,0 +1,102 @@
+"""Structured Streaming ingest of the events table (extension — the
+reference is batch-only, SURVEY.md §2.9; this is the §7/M4 scale path).
+
+Batch/stream parity: `tumbling_agg` is the same logical plan as the
+batch query `evt_tumbling_5min` (queries.py), so results are directly
+comparable — the engine's migration story from batch to incremental is
+"swap read for readStream, add a watermark".
+
+Scale notes: watermark bounds state (late rows beyond 10 min are
+dropped); append output mode emits each window once, on watermark
+passage. For exactly-once delivery to transactional sinks use
+foreachBatch. sessionization uses session_window (gap-based), the
+streaming-native replacement for lag()+cumsum sessionization in batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tugas_2_big_data_spark.sources.catalog import TABLES
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events parquet (ns→µs conversion as in
+    the batch catalog loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file-stream source requires a DIRECTORY; select just the events
+    # parquet out of the sf dir with a glob filter
+    raw = (
+        spark.readStream.schema(TABLES["events"])
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_agg(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window count/sum per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based session windows per user (session_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming frame to completion against the in-memory sink
+    (test/smoke harness — processAllAvailable drains the file source
+    synchronously) and return the materialized result table."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
