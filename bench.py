@@ -28,10 +28,21 @@ from tugas_2_big_data_spark import queries as q  # noqa: E402
 # operators land; keep total runtime < ~5 min at sf0.1.
 HEADLINE = [
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
     "yf_agg_day",
     "yf_agg_month",
-    "yf_agg_year",
     "yf_multi_grain",
+    "idx_flatten_ratios",
+    "fin_customer_ratios",
+    "win_topk_orders_per_customer",
+    "win_rolling_avg",
+    "evt_tumbling_5min",
+    "dedup_minhash_lsh_pairs",
+    "dedup_exact",
+    "ann_cosine_topk",
+    "txt_token_stats",
+    "iqplus_summarize_stub",
 ]
 
 

@@ -57,9 +57,18 @@ def fingerprint_groups(
 def doc_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) pairs, DISTINCT per doc (set semantics for Jaccard)."""
+    """(id, shingle) pairs, DISTINCT per doc (set semantics for Jaccard).
+
+    Repartitions to full parallelism BEFORE the explode: shingling
+    amplifies rows ~50× and the upstream scan may have few input splits
+    (locally a single parquet file = 1 partition) — exploding on a
+    handful of tasks serializes the expensive part. The pre-explode
+    shuffle moves only the small un-exploded rows.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(
+        df.repartition(par, id_col)
+        .select(
             F.col(id_col),
             F.explode(hashing.word_shingles(hashing.words(text_col), n)).alias(
                 "shingle"

@@ -145,7 +145,10 @@ WHERE c.n_common / (sa.sz + sb.sz - c.n_common) >= 0.5
 
 @register("dedup_minhash_lsh_pairs", _LSH_PAIRS_SQL)
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = dedup.doc_shingles(corpus(spark, sf_dir))
+    # the shingle relation feeds BOTH the signature build and the
+    # Jaccard verification — cache it or the explode+distinct shuffle
+    # runs twice (the reference's no-cache fan-out trap, SURVEY.md §4)
+    sh = dedup.doc_shingles(corpus(spark, sf_dir)).cache()
     sig = dedup.minhash_signatures(sh, k=8)
     cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
     return dedup.jaccard_pairs(sh, threshold=0.5, candidates=cand)

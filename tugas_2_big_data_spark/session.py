@@ -13,6 +13,8 @@ coalescing/skew; shuffle partitions should be ~2-3× total cores.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -66,4 +68,42 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-runtime conf on this build — keep going
+    ship_package(spark)
     return spark
+
+
+_SHIPPED: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Pandas-UDF closures (text pipeline, multimodal decode) reference
+    this module by name; when the driver process wasn't launched from
+    the repo root, worker processes can't import it and every task dies
+    with ModuleNotFoundError. Zip the package and addPyFile it — works
+    identically in local mode and on a real cluster.
+    """
+    sc = spark.sparkContext
+    app = sc.applicationId or "local"
+    if app in _SHIPPED:
+        return
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"tugas_2_big_data_spark_pyfiles_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for dirpath, dirnames, filenames in os.walk(pkg_root):
+            dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.join(
+                        "tugas_2_big_data_spark", os.path.relpath(full, pkg_root)
+                    )
+                    zf.write(full, rel)
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # same archive already registered on this context
+    _SHIPPED.add(app)
