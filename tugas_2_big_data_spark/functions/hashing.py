@@ -29,6 +29,13 @@ def word_shingles(words_col: Column, n: int = 3) -> Column:
 
     The CASE guard matters: sequence(1, 0) in Spark yields a DESCENDING
     [1, 0], not an empty array.
+
+    PERF: pass a *materialized column reference* (project the words
+    array with .alias() in a prior select), not the split expression
+    itself. Higher-order lambdas re-evaluate outer expressions per
+    element, so an inline regex split turns O(words) into O(words²)
+    regex calls per doc. element_at on a column ref is an attribute
+    read.
     """
     w = words_col
     return (
@@ -36,7 +43,9 @@ def word_shingles(words_col: Column, n: int = 3) -> Column:
             F.size(w) >= n,
             F.transform(
                 F.sequence(F.lit(1), F.size(w) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + k) for k in range(n)]
+                ),
             ),
         )
         .otherwise(F.array().cast("array<string>"))
@@ -61,12 +70,18 @@ def simhash_bit_contrib(word_col: Column, bit: int) -> Column:
     Bit `bit` = bit (bit % 4) of hex nibble (bit // 4) of md5(word),
     parsed portably via instr('0123456789abcdef', ch) - 1.
     """
+    return simhash_bit_contrib_from_md5(F.md5(word_col), bit)
+
+
+def simhash_bit_contrib_from_md5(md5_col: Column, bit: int) -> Column:
+    """Same contribution, from an already-computed md5 hex digest —
+    lets callers hash each word ONCE and extract all 16 bits from it."""
     nibble_idx = bit // 4  # 1-based position nibble_idx+1 in the hex string
     bit_in_nibble = bit % 4
     nibble = (
         F.instr(
             F.lit("0123456789abcdef"),
-            F.substring(F.md5(word_col), nibble_idx + 1, 1),
+            F.substring(md5_col, nibble_idx + 1, 1),
         )
         - 1
     )

@@ -54,27 +54,60 @@ def fingerprint_groups(
     )
 
 
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingles: array<string>) — each doc's DISTINCT shingle set.
+
+    Set semantics come from ``array_distinct`` INSIDE the row, so this
+    is a narrow projection: no explode, no shuffle. At 100 TB that is
+    the difference between a map-only stage and shuffling a 50×-
+    amplified (id, shingle) relation just to re-group it by id. Docs
+    with fewer than n words (empty set) are dropped, matching the
+    exploded representation where they simply have no rows.
+
+    The words array is projected into a real column before shingling:
+    higher-order lambdas re-evaluate inline outer expressions per
+    element, so shingling directly off the split() expression costs
+    O(words²) regex calls per doc (see hashing.word_shingles).
+
+    Empty docs are dropped by filtering on the WORD count (shingle set
+    is empty ⟺ fewer than n words), checked below the shingle
+    projection: a filter on the shingles column itself would be
+    predicate-pushed below the project, substituting the whole shingle
+    expression (inline split included) into the condition and
+    re-triggering the quadratic re-evaluation.
+    """
+    return (
+        df.select(F.col(id_col), hashing.words(text_col).alias("_words"))
+        .filter(F.size("_words") >= n)
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                hashing.word_shingles(F.col("_words"), n)
+            ).alias("shingles"),
+        )
+    )
+
+
 def doc_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """(id, shingle) pairs, DISTINCT per doc (set semantics for Jaccard).
 
-    Repartitions to full parallelism BEFORE the explode: shingling
-    amplifies rows ~50× and the upstream scan may have few input splits
-    (locally a single parquet file = 1 partition) — exploding on a
-    handful of tasks serializes the expensive part. The pre-explode
-    shuffle moves only the small un-exploded rows.
+    Inverted-index representation used by the exhaustive n-gram Jaccard
+    operator. Per-doc distinctness is established by ``array_distinct``
+    BEFORE the explode (narrow), so no distinct-shuffle is needed after
+    row amplification. Repartitions to full parallelism first: the
+    upstream scan may have few input splits (locally a single parquet
+    file), and the pre-explode shuffle moves only the small un-exploded
+    rows.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.repartition(par, id_col)
-        .select(
-            F.col(id_col),
-            F.explode(hashing.word_shingles(hashing.words(text_col), n)).alias(
-                "shingle"
-            ),
-        )
-        .distinct()
+        shingle_sets(df, text_col, id_col, n)
+        .repartition(par, id_col)
+        .select(F.col(id_col), F.explode("shingles").alias("shingle"))
     )
 
 
@@ -87,6 +120,30 @@ def minhash_signatures(
         for seed in range(k)
     ]
     return shingled.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures_from_sets(
+    sets: DataFrame, k: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """k minhash values per doc as a PURE PROJECTION over shingle sets.
+
+    min(md5(seed:shingle)) is computed with array_min(transform(...))
+    inside the row — the signature build is map-only (zero shuffle),
+    embarrassingly parallel at any scale. Identical values to
+    ``minhash_signatures`` on the exploded relation.
+    """
+    def _hasher(seed: int):
+        # 1-arg lambda factory: pyspark higher-order functions dispatch
+        # on lambda arity (2 params would mean "(element, index)")
+        return lambda s: hashing.seeded_md5(s, seed)
+
+    cols = [
+        F.array_min(F.transform(F.col("shingles"), _hasher(seed))).alias(
+            f"h{seed}"
+        )
+        for seed in range(k)
+    ]
+    return sets.select(F.col(id_col), *cols)
 
 
 def lsh_candidate_pairs(
@@ -135,32 +192,95 @@ def jaccard_pairs(
     Inverted-index self-join on the shingle; |A∩B| = per-pair match
     count, |A∪B| = |A| + |B| − |A∩B|. If `candidates` (id_a, id_b) is
     given, only those pairs are scored (LSH verification path).
+
+    The two paths have very different cost shapes, so the plan differs:
+
+    - no candidates (full n-gram Jaccard): inverted-index self-join on
+      the shingle. A shingle appearing in f docs contributes O(f²)
+      pre-aggregation rows — correct for the exhaustive operator, but
+      quadratic in shingle frequency.
+    - candidates given: intersections are computed candidate-FIRST —
+      broadcast the (small) candidate set onto side A's shingles, then
+      equi-join side B on (id_b, shingle). Work is O(|cand| · avg|A|),
+      independent of shingle frequency, so hot shingles (common
+      3-grams at corpus scale) never blow up the join.
     """
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = shingled.alias("a")
-    b = shingled.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     if candidates is not None:
-        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+        sh_a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+        sh_b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+        common = (
+            candidates.join(sh_a, "id_a")
+            .join(sh_b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+        scored = common.join(sa, "id_a").join(sb, "id_b")
+    else:
+        # Length filter (standard set-similarity-join pruning): jaccard
+        # ≥ t implies min(|A|,|B|) ≥ t·max(|A|,|B|), checked INSIDE the
+        # join condition so disqualified pairs never reach the
+        # aggregate. Sizes ride along on the inverted index, making
+        # them grouping keys instead of two extra post-agg joins.
+        sized = shingled.join(sizes, id_col)
+        a = sized.alias("a")
+        b = sized.alias("b")
+        scored = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
+                & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.sz").alias("sz_a"),
+                F.col("b.sz").alias("sz_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        scored.withColumn(
             "jaccard",
             F.col("n_common")
             / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def jaccard_verify_sets(
+    sets: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via per-row set intersection.
+
+    Two lookups of the (id, shingles) table bring both sets onto the
+    candidate row; |A∩B| = size(array_intersect). Cost is
+    O(|candidates| · avg set size) with two equi-joins — independent of
+    shingle document frequency, so corpus-hot shingles never amplify
+    the join (the inverted-index formulation is quadratic in shingle
+    frequency). Output schema matches ``jaccard_pairs``.
+    """
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
@@ -174,21 +294,34 @@ def simhash16(
 
     Bit i of the signature is the sign of the sum over words of the
     (+1/−1) vote derived from bit i of md5(word). Ties (sum == 0) → 0.
+
+    Pure projection: the distinct-word set and its md5s stay inside the
+    row (array_distinct + transform), bit votes are per-row
+    ``aggregate`` folds — zero shuffles, one md5 per word (all 16 bits
+    extracted from the same digest). The exploded formulation would
+    shuffle a words× amplified relation twice for the same answer.
     """
-    doc_words = (
-        df.select(
-            F.col(id_col), F.explode(hashing.words(text_col)).alias("word")
+    # words projected to a column before the transform: higher-order
+    # lambdas re-evaluate inline outer expressions per element
+    hashes = (
+        df.select(F.col(id_col), hashing.words(text_col).alias("_words"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.filter(F.col("_words"), lambda x: x != F.lit(""))
+            ).alias("_dw"),
         )
-        .filter(F.col("word") != "")
-        .distinct()
+        .select(F.col(id_col), F.transform("_dw", F.md5).alias("_h"))
+        .filter(F.size("_h") > 0)
     )
-    votes = [
-        F.sum(hashing.simhash_bit_contrib(F.col("word"), i)).alias(f"s{i}")
-        for i in range(16)
-    ]
-    summed = doc_words.groupBy(id_col).agg(*votes)
+    def _vote(i: int):
+        # plain 2-arg lambda factory: pyspark's higher-order functions
+        # dispatch on lambda arity, so extra default params break them
+        return lambda acc, h: acc + hashing.simhash_bit_contrib_from_md5(h, i)
+
     sig = None
     for i in range(16):
-        bit = F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        s = F.aggregate("_h", F.lit(0).cast("long"), _vote(i))
+        bit = F.when(s > 0, F.lit(2**i)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
-    return summed.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    return hashes.select(F.col(id_col), sig.cast("long").alias("simhash"))

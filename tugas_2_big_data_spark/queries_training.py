@@ -103,8 +103,10 @@ _MINHASH_SQL = _minhash_select(8)
 
 @register("dedup_minhash_signature", _MINHASH_SQL)
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = dedup.doc_shingles(corpus(spark, sf_dir))
-    return dedup.minhash_signatures(sh, k=8)
+    # map-only signature build: array_min(transform(...)) per row, no
+    # explode/shuffle — same values as the exploded groupBy formulation
+    sets = dedup.shingle_sets(corpus(spark, sf_dir))
+    return dedup.minhash_signatures_from_sets(sets, k=8)
 
 
 _LSH_PAIRS_SQL = f"""
@@ -145,13 +147,20 @@ WHERE c.n_common / (sa.sz + sb.sz - c.n_common) >= 0.5
 
 @register("dedup_minhash_lsh_pairs", _LSH_PAIRS_SQL)
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the shingle relation feeds BOTH the signature build and the
-    # Jaccard verification — cache it or the explode+distinct shuffle
-    # runs twice (the reference's no-cache fan-out trap, SURVEY.md §4)
-    sh = dedup.doc_shingles(corpus(spark, sf_dir)).cache()
-    sig = dedup.minhash_signatures(sh, k=8)
+    # Set-based end to end: shingle sets are a narrow projection shared
+    # by the signature build (map-only) and the Jaccard verify (two
+    # lookups + array_intersect). Materialized once via localCheckpoint
+    # — the fan-out would otherwise re-shingle the corpus three times
+    # (the reference's no-cache fan-out trap, SURVEY.md §4), and the
+    # columnar cache() encode of array<string> measured SLOWER than
+    # recompute at this shape. On a multi-node cluster prefer
+    # persist(DISK_ONLY) or a reliable checkpoint (localCheckpoint dies
+    # with its executor). Only shuffles left: the LSH band self-join
+    # and the two verify lookups.
+    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint()
+    sig = dedup.minhash_signatures_from_sets(sets, k=8)
     cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
-    return dedup.jaccard_pairs(sh, threshold=0.5, candidates=cand)
+    return dedup.jaccard_verify_sets(sets, cand, threshold=0.5)
 
 
 _JACCARD_SQL = f"""
