@@ -1,0 +1,132 @@
+"""Unit tests for dedup / similarity operators on inline frames.
+
+The oracle-parity suite checks end results against DuckDB; these tests
+pin the internal equivalences the parity suite can't see: the set-based
+(map-only) formulations must produce byte-identical results to the
+exploded/shuffled formulations they replaced, and the approximate
+operators' structural guarantees (k per query, one-hop canonicals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tugas_2_big_data_spark.operators import dedup, similarity
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (4, "completely different text with many other words here"),
+    (5, "ab"),  # < 3 words -> no shingles
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_set_based_minhash_equals_exploded(spark):
+    df = _docs(spark)
+    via_sets = dedup.minhash_signatures_from_sets(
+        dedup.shingle_sets(df), k=4
+    ).collect()
+    via_explode = dedup.minhash_signatures(dedup.doc_shingles(df), k=4).collect()
+    assert sorted(map(tuple, via_sets)) == sorted(map(tuple, via_explode))
+
+
+def test_shingle_sets_drops_short_docs(spark):
+    got = {r.doc_id for r in dedup.shingle_sets(_docs(spark)).collect()}
+    assert got == {1, 2, 3, 4}
+
+
+def test_jaccard_verify_sets_equals_jaccard_pairs(spark):
+    df = _docs(spark)
+    sets = dedup.shingle_sets(df)
+    sh = dedup.doc_shingles(df)
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], ["id_a", "id_b"]
+    )
+    a = {
+        tuple(r)
+        for r in dedup.jaccard_verify_sets(sets, cand, threshold=0.0).collect()
+    }
+    b = {
+        tuple(r)
+        for r in dedup.jaccard_pairs(sh, threshold=0.0, candidates=cand).collect()
+    }
+    # the inverted-index path omits pairs with zero common shingles;
+    # the set path keeps them (n_common=0). Compare on the overlap.
+    assert {t for t in a if t[2] > 0} == b
+    exact = next(t for t in a if t[:2] == (1, 3))
+    assert exact[3] == 1.0  # identical docs -> jaccard 1
+
+
+def test_exact_dup_same_signature(spark):
+    sig = {
+        r.doc_id: (r.h0, r.h1)
+        for r in dedup.minhash_signatures_from_sets(
+            dedup.shingle_sets(_docs(spark)), k=2
+        ).collect()
+    }
+    assert sig[1] == sig[3]
+    assert sig[1] != sig[4]
+
+
+def test_simhash_dups_match_and_differ(spark):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash16(_docs(spark)).collect()}
+    assert sh[1] == sh[3]
+    assert sh[1] != sh[4]
+    assert all(0 <= v < 2**16 for v in sh.values())
+
+
+def test_near_dup_canonical_one_hop(spark):
+    corpus = spark.createDataFrame([(i,) for i in range(1, 6)], ["vec_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], ["id_a", "id_b"]
+    )
+    got = {
+        r.vec_id: r.canonical_id
+        for r in similarity.near_dup_canonical(corpus, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_ivf_topk_structure(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 3), n_centroids=4, nprobe=2, k=5
+    )
+    rows = out.collect()
+    per_query = {}
+    for r in rows:
+        assert r.query_id != r.nbr_id
+        per_query.setdefault(r.query_id, []).append(r.rk)
+    for q, rks in per_query.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 5
+
+
+def test_ivf_more_probes_no_worse(spark):
+    """Recall monotonicity: probing all cells == brute force."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") < 2)
+    exact = {
+        (r.query_id, r.nbr_id)
+        for r in similarity.cosine_topk(emb, queries, k=3).collect()
+    }
+    allprobe = {
+        (r.query_id, r.nbr_id)
+        for r in similarity.ivf_topk(
+            emb, queries, n_centroids=4, nprobe=4, k=3
+        ).collect()
+    }
+    assert allprobe == exact

@@ -84,6 +84,103 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    into `n_centroids` cells, probe the `nprobe` closest cells per
+    query, exact cosine only within probed cells.
+
+    The coarse quantizer here is deliberately simple and fully
+    relational (centroids = the n_centroids lowest-id vectors, i.e. a
+    deterministic seed set; swap in k-means centroids at production
+    scale — the cell-assignment/probe/search plan is identical). Scale
+    shape: the corpus is scanned once to assign cells (broadcast
+    nested-loop against n_centroids rows), the search join is a
+    key-equi-join on cell id — never an all-pairs compare; cost is
+    O(corpus/n_centroids · nprobe) per query instead of O(corpus).
+    """
+    from pyspark.sql import Window
+
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+    )
+
+    def assign(df: DataFrame, idname: str, vecname: str, probes: int) -> DataFrame:
+        w = Window.partitionBy(idname).orderBy(F.desc("csim"), F.asc("cid"))
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .withColumn("csim", cosine(F.col(vecname), F.col("cvec")))
+            .withColumn("crn", F.row_number().over(w))
+            .filter(F.col("crn") <= probes)
+            .select(idname, vecname, "cid")
+        )
+
+    c = assign(
+        corpus.select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).cast("array<double>").alias("nbr_vec"),
+        ),
+        "nbr_id",
+        "nbr_vec",
+        1,
+    )
+    q = assign(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("query_vec"),
+        ),
+        "query_id",
+        "query_vec",
+        nprobe,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        q.join(c, "cid")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("query_vec"), F.col("nbr_vec")))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "nbr_id", F.round("cosine", 9).alias("cosine"), "rk")
+    )
+
+
+def near_dup_canonical(
+    corpus: DataFrame, pairs: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Embedding-cosine near-dup DEDUP: map every vector to a canonical
+    representative (one-hop min over its near-duplicate pairs; vectors
+    with no near-dup map to themselves).
+
+    One-hop, not full transitive closure — chains longer than one hop
+    keep distinct canonicals (full closure is an iterative connected-
+    components job; see GraphFrames or an iterated min-propagation
+    join, deliberately out of scope for a single declarative query).
+    """
+    canon = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.min("id_a").alias("_canon")
+    )
+    return (
+        corpus.select(id_col)
+        .join(canon, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_canon"), F.col(id_col)).alias("canonical_id"),
+        )
+    )
+
+
 def lsh_near_dup_pairs(
     corpus: DataFrame,
     n_planes: int = 8,

@@ -396,6 +396,86 @@ def ann_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_near_dup_pairs(c, n_planes=8, dim=64, threshold=0.999)
 
 
+_ANN_IVF_SQL = """
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+cents AS (
+  SELECT vec_id AS cid, vec AS cvec FROM corpus ORDER BY vec_id LIMIT 8
+),
+cassign AS (
+  SELECT vec_id AS nbr_id, vec AS nbr_vec, cid FROM (
+    SELECT c.vec_id, c.vec, ct.cid,
+      row_number() OVER (
+        PARTITION BY c.vec_id
+        ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC, ct.cid
+      ) AS crn
+    FROM corpus c CROSS JOIN cents ct
+  ) WHERE crn <= 1
+),
+qassign AS (
+  SELECT vec_id AS query_id, vec AS query_vec, cid FROM (
+    SELECT c.vec_id, c.vec, ct.cid,
+      row_number() OVER (
+        PARTITION BY c.vec_id
+        ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC, ct.cid
+      ) AS crn
+    FROM corpus c CROSS JOIN cents ct
+    WHERE c.vec_id < 5
+  ) WHERE crn <= 2
+)
+SELECT query_id, nbr_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT q.query_id, a.nbr_id,
+    round(list_cosine_similarity(q.query_vec, a.nbr_vec), 9) AS cosine,
+    row_number() OVER (
+      PARTITION BY q.query_id
+      ORDER BY list_cosine_similarity(q.query_vec, a.nbr_vec) DESC, a.nbr_id
+    ) AS rk
+  FROM qassign q JOIN cassign a USING (cid)
+  WHERE a.nbr_id != q.query_id
+) WHERE rk <= 5
+"""
+
+
+@register("ann_ivf_topk", _ANN_IVF_SQL)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), n_centroids=8, nprobe=2, k=5
+    )
+
+
+def _embed_near_dup_sql() -> str:
+    pairs_sql = _ann_lsh_sql()
+    return f"""
+WITH pairs AS ({pairs_sql}),
+corpus AS (
+  SELECT vec_id FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 FROM embeddings WHERE vec_id % 20 = 0
+),
+canon AS (SELECT id_b AS vec_id, min(id_a) AS canonical_id FROM pairs GROUP BY id_b)
+SELECT c.vec_id, COALESCE(n.canonical_id, c.vec_id) AS canonical_id
+FROM corpus c LEFT JOIN canon n USING (vec_id)
+"""
+
+
+@register("dedup_embedding_near_dup", _embed_near_dup_sql())
+def dedup_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: LSH-bucketed near-dup pairs →
+    one-hop canonical assignment over the corpus-with-planted-dups."""
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 2.0
+        ).alias("embedding"),
+    )
+    c = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(dups)
+    pairs = similarity.lsh_near_dup_pairs(c, n_planes=8, dim=64, threshold=0.999)
+    return similarity.near_dup_canonical(c, pairs)
+
+
 # ---------------------------------------------------------------------------
 # multimodal: opaque binary column + typed metadata (decode itself is a
 # stubbed Pandas-UDF pipeline — see tugas_2_big_data_spark/multimodal)
