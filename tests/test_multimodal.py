@@ -42,6 +42,38 @@ def test_decode_stub_batch_shape(media):
     assert again[0]["feature"] == r["feature"]
 
 
+def test_resize_images(media):
+    resized = multimodal.resize_images(media, width=16, height=16)
+    rows = resized.collect()
+    assert len(rows) == media.count()
+    for r in rows:
+        if r["mime"].startswith("image/"):
+            assert (r["width"], r["height"]) == (16, 16)
+            assert len(r["payload"]) == 16 * 16
+        else:
+            # non-image rows pass through untouched with NULL dims
+            assert r["width"] is None and r["height"] is None
+            assert len(r["payload"]) > 0
+
+
+def test_sample_frames_row_expansion(media):
+    frames = multimodal.sample_frames(media, every_n=10, max_frames=3)
+    rows = frames.collect()
+    assert len(rows) > media.count()  # row-expanding operator
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        assert len(r["frame_payload"]) == 16  # md5 digest per frame
+    for doc_rows in by_doc.values():
+        assert 1 <= len(doc_rows) <= 3
+        assert sorted(r["frame_idx"] for r in doc_rows) == [
+            i * 10 for i in range(len(doc_rows))
+        ]
+    # determinism across runs
+    again = {(r["doc_id"], r["frame_idx"]): r["frame_payload"] for r in frames.collect()}
+    assert all(again[(r["doc_id"], r["frame_idx"])] == r["frame_payload"] for r in rows)
+
+
 def test_decode_without_fake_raises(media):
     import pytest as _pytest
     from py4j.protocol import Py4JJavaError

@@ -46,6 +46,38 @@ def test_tumbling_agg_matches_batch(spark, stream_events):
         assert b[k] == v, k
 
 
+def test_running_user_totals_stateful(spark, stream_events):
+    """applyInPandasWithState totals must converge to the batch groupBy
+    totals once the stream drains (last update per user wins)."""
+    from pyspark.sql import functions as F
+
+    out = se.run_to_memory(
+        se.running_user_totals(stream_events), "t_state", output_mode="update"
+    ).collect()
+    assert len(out) > 0
+    # memory sink in update mode appends every update; the final state
+    # per user is the row with the max n_events
+    final = {}
+    for r in out:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    ev = load_table(spark, "events", SF_UNIT)
+    batch = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("total"),
+        )
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, (n, total) in final.items():
+        assert batch[uid][0] == n, uid
+        assert abs(batch[uid][1] - total) < 1e-6, uid
+
+
 def test_sessionize_runs(spark, stream_events):
     rows = se.run_to_memory(
         se.sessionize(stream_events, gap="30 minutes"), "t_sessions"

@@ -3,6 +3,8 @@ from tugas_2_big_data_spark.multimodal.binary import (
     attach_binary_payload,
     decode_media_batch,
     extract_metadata,
+    resize_images,
+    sample_frames,
 )
 
 __all__ = [
@@ -10,4 +12,6 @@ __all__ = [
     "attach_binary_payload",
     "decode_media_batch",
     "extract_metadata",
+    "resize_images",
+    "sample_frames",
 ]

@@ -105,3 +105,116 @@ def decode_media_batch(
             )
 
     return df.mapInPandas(decode, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """mapInPandas image resize over (doc_id, payload, meta).
+
+    With real codecs this is Pillow `Image.open(bytes).resize((w, h))`
+    per element inside the Arrow batch; here the codec seam is stubbed
+    (deterministic fake: payload md5-digest bytes tiled to w·h — size-
+    correct, content-stable). Non-image rows pass through untouched
+    with NULL dims, so the operator composes with mixed-modality
+    tables without a pre-filter.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "image codecs (Pillow) not available in this "
+                    "container; stubbed resize seam"
+                )
+            out = {
+                "doc_id": [],
+                "mime": [],
+                "width": [],
+                "height": [],
+                "payload": [],
+            }
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                mime = meta["mime"]
+                out["doc_id"].append(doc_id)
+                out["mime"].append(mime)
+                if mime.startswith("image/"):
+                    digest = hashlib.md5(bytes(payload)).digest()
+                    n = width * height
+                    fake = (digest * (n // len(digest) + 1))[:n]
+                    out["width"].append(width)
+                    out["height"].append(height)
+                    out["payload"].append(fake)
+                else:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["payload"].append(bytes(payload))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    max_frames: int = 5,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Row-EXPANDING mapInPandas video frame sampler: one output row per
+    sampled frame (doc_id, frame_idx, frame_payload).
+
+    With real codecs: ffmpeg/PyAV seek-decode of every n-th frame. The
+    stub derives frame count from payload length and frame bytes from
+    md5(payload ‖ frame_idx) — deterministic, and exercises the real
+    structural contract: output batches whose row count differs from
+    the input's (the shape that trips naive one-row-in/one-row-out UDF
+    plumbing).
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "video codecs (ffmpeg/PyAV) not available in this "
+                    "container; stubbed frame-sample seam"
+                )
+            ids, idxs, payloads = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = min(max_frames, max(1, len(raw) // every_n))
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i * every_n)
+                    payloads.append(
+                        hashlib.md5(raw + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_payload": payloads}
+            )
+
+    return df.mapInPandas(sample, FRAMES_SCHEMA)

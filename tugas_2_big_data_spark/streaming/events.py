@@ -83,6 +83,43 @@ def sessionize(
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total, one updated row per user per
+    micro-batch.
+
+    This is the escape hatch for stateful logic Spark's built-in
+    windows can't express (cross-batch accumulators, custom session
+    logic, model state). State is a single (n, total) tuple per
+    user — O(users) store, bounded; use a timeout (ProcessingTimeTimeout
+    / EventTimeTimeout) to expire idle keys when the key space is
+    unbounded at production scale.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:
