@@ -4,10 +4,10 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}. The driver records this per-round
 as BENCH_r{N}.json against BASELINE.md.
 
-Each query is fully materialized via a count-style action (collect on
-aggregates is small; we use df.write to a null-ish action — here
-``df.foreach(lambda r: None)`` would serialize to Python, so we use
-``df.count()`` after an agg or the cheaper _materialize below).
+Each query is materialized by hash-aggregating EVERY output column
+(sum of xxhash64 over all columns): a bare count() would let Catalyst
+prune computed projections out of the plan entirely, silently
+benchmarking just the scan.
 """
 
 from __future__ import annotations
@@ -37,18 +37,36 @@ HEADLINE = [
     "fin_customer_ratios",
     "win_topk_orders_per_customer",
     "win_rolling_avg",
+    "win_lag_delta",
     "evt_tumbling_5min",
+    "region_nation_rollup",
+    "segment_pivot",
+    "customers_without_orders",
     "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
     "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_simhash",
+    "dedup_embedding_near_dup",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "txt_token_stats",
+    "txt_quality",
+    "txt_langid",
+    "mm_binary_meta",
     "iqplus_summarize_stub",
 ]
 
 
 def _materialize(df) -> int:
-    """Force full computation without collecting rows to the driver."""
-    return df.count()
+    """Force FULL computation of every output column without collecting
+    rows to the driver: sum(xxhash64(all columns)) defeats column
+    pruning (count() alone would optimize projections away)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.sum(F.xxhash64(*[F.col(c) for c in df.columns]))
+    ).count()
 
 
 def main() -> None:

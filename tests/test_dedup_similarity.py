@@ -62,6 +62,27 @@ def test_jaccard_verify_sets_equals_jaccard_pairs(spark):
     assert exact[3] == 1.0  # identical docs -> jaccard 1
 
 
+def test_prefix_filtered_jaccard_equals_naive(spark):
+    """PPJoin-style prefix filtering is EXACT: same pairs/scores as the
+    length-filtered inverted index at any threshold."""
+    docs = spark.createDataFrame(
+        DOCS + [(6, "the quick brown fox leaps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    for t in (0.3, 0.5, 0.8):
+        naive = {
+            tuple(r)
+            for r in dedup.jaccard_pairs(
+                dedup.doc_shingles(docs), threshold=t
+            ).collect()
+        }
+        prefix = {
+            tuple(r)
+            for r in dedup.jaccard_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert prefix == naive, t
+
+
 def test_exact_dup_same_signature(spark):
     sig = {
         r.doc_id: (r.h0, r.h1)

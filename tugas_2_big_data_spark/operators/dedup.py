@@ -254,6 +254,75 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via PREFIX FILTERING (PPJoin-style).
+
+    Identical results to the exhaustive inverted-index formulation, but
+    the candidate join touches only each doc's PREFIX — its
+    ``|A| − ⌈t·|A|⌉ + 1`` rarest shingles under a global canonical
+    order (ascending document frequency, shingle as tie-break). Two
+    sets with Jaccard ≥ t must share at least one prefix element, so
+    no pair is lost; common shingles (the O(f²) blowup of the naive
+    index) land at the END of the order and rarely enter any prefix.
+    Candidates are then verified exactly with array_intersect.
+
+    Scale shape: two linear shuffles to rank shingles by frequency, a
+    prefix-only equi-join with the standard length filter, and an
+    O(|candidates|·avg|A|) verify — the quadratic frequency term is
+    gone entirely.
+
+    WHEN TO USE: prefix filtering pays off when shingle document
+    frequency is heavy-tailed (real-world text) and/or the threshold is
+    high (t ≥ 0.7 → prefix ≤ 30% of the set). On corpora with a small
+    vocabulary where every shingle is common — like the synthetic
+    benchmark documents — the prefix cannot prune and the plain
+    length-filtered inverted index (``jaccard_pairs``) measured ~2×
+    faster. Both are exact; pick by data shape.
+    """
+    from pyspark.sql import Window
+
+    sets = shingle_sets(df, text_col, id_col, n)
+    sized = sets.select(
+        F.col(id_col), F.size("shingles").alias("sz"), "shingles"
+    )
+    ex = sized.select(id_col, "sz", F.explode("shingles").alias("shingle"))
+    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("shingle_df"))
+    w = Window.partitionBy(id_col).orderBy("shingle_df", "shingle")
+    prefix = (
+        ex.join(freq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select(id_col, "sz", "shingle")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "shingle"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "shingle"
+    )
+    cand = (
+        a.join(
+            b,
+            (a["shingle"] == b["shingle"])
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b"))
+            & (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify_sets(sets, cand, threshold=threshold, id_col=id_col)
+
+
 def jaccard_verify_sets(
     sets: DataFrame,
     candidates: DataFrame,
