@@ -39,6 +39,7 @@ HEADLINE = [
     "win_rolling_avg",
     "win_lag_delta",
     "evt_tumbling_5min",
+    "evt_asof_last_purchase",
     "region_nation_rollup",
     "segment_pivot",
     "customers_without_orders",

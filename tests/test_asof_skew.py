@@ -1,0 +1,104 @@
+"""Unit tests: as-of join edge semantics; skew salting equivalences."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from tugas_2_big_data_spark.operators import asof, skew
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T10:00:00")),  # before any right -> NULL
+            (2, "u1", _ts("2024-01-01T11:00:00")),  # exactly at right -> match
+            (3, "u1", _ts("2024-01-01T12:30:00")),  # between -> 11:00 row
+            (4, "u2", _ts("2024-01-01T12:00:00")),  # other key
+            (5, "u3", _ts("2024-01-01T12:00:00")),  # key with no right rows
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T11:00:00"), 10.0),
+            ("u1", _ts("2024-01-01T13:00:00"), 20.0),
+            ("u2", _ts("2024-01-01T09:00:00"), 30.0),
+        ],
+        ["user_id", "ts", "value"],
+    )
+    out = {
+        r.event_id: (r.value_r, r.ts_r)
+        for r in asof.asof_join(left, right).collect()
+    }
+    assert out[1] == (None, None)
+    assert out[2] == (10.0, _ts("2024-01-01T11:00:00"))  # inclusive boundary
+    assert out[3] == (10.0, _ts("2024-01-01T11:00:00"))
+    assert out[4] == (30.0, _ts("2024-01-01T09:00:00"))
+    assert out[5] == (None, None)
+    assert len(out) == 5  # no row duplication or loss
+
+
+def test_asof_preserves_left_columns(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01T12:00:00"), "extra")],
+        ["event_id", "user_id", "ts", "note"],
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01T11:00:00"), 1.5)], ["user_id", "ts", "value"]
+    )
+    row = asof.asof_join(left, right).collect()[0]
+    assert row.note == "extra" and row.value_r == 1.5
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(1000)]
+        + [(f"k{i}", float(i)) for i in range(50)],
+        ["k", "value"],
+    )
+    plain = {
+        r.k: (r.n, r.total, r.mx)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r.k: (r.n, r.total, r.mx)
+        for r in skew.salted_agg(
+            df,
+            ["k"],
+            {
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "total": (F.sum("value"), F.sum("total")),
+                "mx": (F.max("value"), F.max("mx")),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_broadcast_join_matches_plain(spark):
+    stream = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", i) for i in range(5)],
+        ["k", "v"],
+    )
+    build = spark.createDataFrame([("hot", "H"), ("cold", "C")], ["k", "name"])
+    plain = sorted(
+        (r.k, r.v, r.name) for r in stream.join(build, "k").collect()
+    )
+    salted = sorted(
+        (r.k, r.v, r.name)
+        for r in skew.salted_broadcast_left(stream, build, "k", n_salts=4).collect()
+    )
+    assert salted == plain

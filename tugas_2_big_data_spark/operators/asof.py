@@ -1,0 +1,81 @@
+"""As-of (point-in-time) join — timeseries extension (not in the
+reference, which has no joins at all, SURVEY.md §2.5; natural for its
+OHLCV data model: "attach the latest known X at each observation").
+
+Spark has no built-in ASOF JOIN (DuckDB/Pandas do). The classic
+distributed formulation is union-sort-carry:
+
+  1. tag left/right rows and union them on the shared (by, time) spine;
+  2. one window sorted by (time, side) per key partition carries the
+     most recent right-side payload forward (last(ignorenulls));
+  3. keep left rows, now holding the as-of matched payload.
+
+Scale shape: ONE shuffle (the window partition by key) regardless of
+table sizes — no range-condition join that Catalyst would plan as a
+broadcast-nested-loop or cartesian. Skewed keys behave like any
+window: salt the key or split hot entities upstream if one entity
+dominates a partition.
+
+A range-interval variant (join events to enclosing [start, end)
+windows) composes from the same spine: carry the active interval id
+instead of a payload.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Sequence[str] = ("user_id",),
+    suffix: str = "_r",
+    include_right_time: bool = True,
+) -> DataFrame:
+    """Backward inclusive as-of LEFT join: each left row gains the
+    payload of the latest right row with right.on <= left.on within the
+    same `by` group (NULLs when no prior right row exists).
+
+    Matches DuckDB ``l ASOF LEFT JOIN r ON l.by = r.by AND l.on >= r.on``
+    when (by, on) is unique on the right side; with duplicate right
+    timestamps the carried row is the last in (on, payload) order —
+    define a total order upstream if that matters.
+    """
+    by = list(by)
+    payload_cols = [c for c in right.columns if c not in {*by, on}]
+
+    l2 = left.withColumn("_side", F.lit(1))
+    for c in payload_cols:
+        l2 = l2.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
+    if include_right_time:
+        l2 = l2.withColumn(f"{on}{suffix}", F.lit(None).cast(right.schema[on].dataType))
+
+    r2 = right.select(
+        *by,
+        F.col(on),
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload_cols],
+    ).withColumn("_side", F.lit(0))
+    if include_right_time:
+        r2 = r2.withColumn(f"{on}{suffix}", F.col(on))
+    for c in left.columns:
+        if c not in {*by, on}:
+            r2 = r2.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    unioned = l2.unionByName(r2)
+    # right rows (side 0) sort before left rows at equal timestamps →
+    # backward INCLUSIVE semantics
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [f"{c}{suffix}" for c in payload_cols] + (
+        [f"{on}{suffix}"] if include_right_time else []
+    )
+    for c in carried:
+        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return unioned.filter(F.col("_side") == 1).drop("_side")

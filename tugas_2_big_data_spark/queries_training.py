@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tugas_2_big_data_spark.queries import register
 from tugas_2_big_data_spark.sources.catalog import load_table
-from tugas_2_big_data_spark.operators import dedup, similarity, text_analysis
+from tugas_2_big_data_spark.operators import asof, dedup, similarity, text_analysis
 
 # ---------------------------------------------------------------------------
 # shared corpus-with-duplicates
@@ -480,6 +480,51 @@ def dedup_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(dups)
     pairs = similarity.lsh_near_dup_pairs(c, n_planes=8, dim=64, threshold=0.999)
     return similarity.near_dup_canonical(c, pairs)
+
+
+# ---------------------------------------------------------------------------
+# as-of join (timeseries point-in-time lookup; DuckDB native ASOF oracle)
+# ---------------------------------------------------------------------------
+
+_ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id,
+  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+  p.value AS value_r,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_r
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+@register("evt_asof_last_purchase", _ASOF_SQL)
+def evt_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click annotated with the user's most recent purchase at or
+    before the click (value + purchase time; NULL before any purchase).
+    Checked against DuckDB's native ASOF LEFT JOIN."""
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = asof.asof_join(clicks, purchases, on="ts", by=["user_id"])
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("ts"),
+        "value_r",
+        F.date_format("ts_r", fmt).alias("ts_r"),
+    )
 
 
 # ---------------------------------------------------------------------------
