@@ -64,3 +64,46 @@ def test_topk_uses_window_group_limit(dfs):
 
 def test_q1_codegen_live(dfs):
     assert pi.wholestage_codegen_ids(dfs["tpch_q1"]) >= 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_minhash_signature",
+        "dedup_simhash",
+        "txt_token_stats",
+        "txt_canonical_fingerprint",
+        "mm_binary_meta",
+    ],
+)
+def test_map_only_operators_have_zero_shuffles(dfs, name):
+    """The set-based signature/text operators are pure projections —
+    any Exchange appearing here means a rewrite re-introduced an
+    explode+groupBy and the map-only scale property is gone."""
+    plan = pi.explain_formatted(dfs[name])
+    assert "Exchange" not in plan, name
+
+
+def test_asof_single_logical_shuffle(dfs):
+    """As-of join = union-sort-carry: one hash partitioning by key (the
+    window), never a range-condition nested loop / cartesian."""
+    plan = pi.explain_formatted(dfs["evt_asof_last_purchase"])
+    assert plan.count("Exchange") <= 2
+    assert not pi.uses_cartesian_or_bnl(dfs["evt_asof_last_purchase"])
+
+
+def test_lsh_pairs_all_joins_are_equi(dfs):
+    """Every pairwise dedup step must go through key-equi-joins."""
+    assert not pi.uses_cartesian_or_bnl(dfs["dedup_minhash_lsh_pairs"])
+    assert not pi.uses_cartesian_or_bnl(dfs["dedup_ngram_jaccard_pairs"])
+
+
+def test_ivf_broadcasts_centroids(dfs):
+    assert pi.uses_broadcast_join(dfs["ann_ivf_topk"])
+
+
+def test_idx_flatten_prunes_unused(dfs):
+    """The 32-column financial contract must not drag unused customer
+    columns through the scan."""
+    cols = pi.read_schema_columns(dfs["idx_flatten_ratios"], "customer")
+    assert "c_mktsegment" not in cols or len(cols) < 5
