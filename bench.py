@@ -40,6 +40,7 @@ HEADLINE = [
     "win_lag_delta",
     "evt_tumbling_5min",
     "evt_asof_last_purchase",
+    "evt_sessionize_30min",
     "region_nation_rollup",
     "segment_pivot",
     "customers_without_orders",

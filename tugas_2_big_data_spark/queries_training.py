@@ -483,6 +483,64 @@ def dedup_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# gap sessionization (batch twin of streaming.sessionize; oracle via
+# lag/cumsum island detection)
+# ---------------------------------------------------------------------------
+
+_SESSION_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+ids AS (
+  SELECT user_id, ts, value,
+    sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+    ) AS sid
+  FROM marked
+)
+SELECT user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f')                    AS session_start,
+  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+  CAST(count(*) AS BIGINT)                                     AS n_events,
+  sum(value)                                                   AS session_value
+FROM ids
+GROUP BY user_id, sid
+"""
+
+
+@register("evt_sessionize_30min", _SESSION_SQL)
+def evt_sessionize_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-sessionization via session_window — the SAME logical
+    grouping the streaming sessionize operator uses, here checked
+    against a lag+cumsum island-detection oracle. session_window end =
+    last event + gap."""
+    ev = load_table(spark, "events", sf_dir)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", fmt).alias("session_start"),
+            F.date_format("w.end", fmt).alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # as-of join (timeseries point-in-time lookup; DuckDB native ASOF oracle)
 # ---------------------------------------------------------------------------
 
