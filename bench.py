@@ -30,6 +30,7 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
     "yf_agg_day",
     "yf_agg_month",
     "yf_multi_grain",

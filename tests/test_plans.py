@@ -45,6 +45,18 @@ def test_q5_broadcasts_no_cartesian(dfs):
     assert cols == {"l_discount", "l_extendedprice", "l_orderkey", "l_suppkey"}
 
 
+def test_q6_all_predicates_pushed(dfs):
+    pushed = " ".join(pi.pushed_filters(dfs["tpch_q6"]))
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed
+    assert pi.read_schema_columns(dfs["tpch_q6"], "lineitem") == {
+        "l_discount",
+        "l_extendedprice",
+        "l_quantity",
+        "l_shipdate",
+    }
+
+
 def test_ann_topk_broadcasts_queries(dfs):
     # the small query side must broadcast: corpus stays partition-parallel
     assert pi.uses_broadcast_join(dfs["ann_cosine_topk"])

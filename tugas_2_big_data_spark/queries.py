@@ -432,6 +432,39 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q6_SQL = """
+SELECT sum(l_extendedprice * l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("tpch_q6", _Q6_SQL)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan range-filter aggregate: every predicate must reach
+    the parquet scan (PushedFilters) so row groups outside the ranges
+    are skipped entirely — at 100 TB this query's cost is IO on the
+    surviving row groups, nothing else."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
+        )
+    )
+
+
 _SEMI_SQL = """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
 FROM orders
