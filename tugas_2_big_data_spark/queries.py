@@ -764,6 +764,82 @@ def evt_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUBE_SQL = """
+SELECT r_name, o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  sum(o_totalprice)        AS total_price,
+  CAST(
+    (CASE WHEN r_name IS NULL THEN 1 ELSE 0 END)
+    + 2 * (CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+  AS BIGINT) AS gid
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, o_orderpriority)
+"""
+
+
+@register("region_priority_cube", _CUBE_SQL)
+def region_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (region, priority): all four grouping-set combinations
+    in one pass (Spark expands to a single Expand + hash aggregate —
+    one shuffle for the whole lattice, not one job per grouping set).
+    gid disambiguates real NULLs from subtotal rows on both engines."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .cube("r_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+            (
+                F.grouping("r_name") + F.grouping("o_orderpriority") * 2
+            ).cast("long").alias("gid"),
+        )
+    )
+
+
+_SQL_SURFACE_SQL = """
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity)                   AS sum_qty,
+  round(avg(l_discount), 9)         AS avg_disc,
+  CAST(count(*) AS BIGINT)          AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_surface_pricing", _SQL_SURFACE_SQL)
+def sql_surface_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry point: register the catalog as temp views
+    and run ANSI SQL through spark.sql — same text a DuckDB/Trino user
+    would write (modulo dialect), same Catalyst plan as the DataFrame
+    API. Demonstrates that every catalog table is queryable as SQL."""
+    from tugas_2_big_data_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+          sum(l_quantity)                 AS sum_qty,
+          round(avg(l_discount), 9)       AS avg_disc,
+          CAST(count(*) AS BIGINT)        AS n_rows
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
 # register the training-data pipeline extension queries (dedup,
 # similarity, text analysis, multimodal) into the same registry
 from tugas_2_big_data_spark import queries_training  # noqa: E402,F401
