@@ -128,3 +128,68 @@ def canonical_fingerprint(
         F.col(id_col),
         F.md5(F.array_join(words_arr, " ")).alias("canonical_fp"),
     )
+
+
+ROLLING_BASE = 257
+ROLLING_MOD = 1_000_000_007
+
+
+def rolling_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowed Rabin-style rolling-hash fingerprints (one row per
+    selected fingerprint): hash every k-char gram of the normalized
+    text with a polynomial hash (base 257 mod 1e9+7), then keep the
+    MINIMUM hash of each `window` consecutive grams (winnowing) —
+    the standard local-fingerprint scheme whose selected hashes
+    survive insertions/deletions outside the window.
+
+    Pure per-row expressions (map-only until the final distinct):
+    char-gram hashing and window minima are higher-order transforms
+    over the normalized string held in a projected column (see
+    SCALE.md pitfall 1 — never inline the normalization expression).
+    Docs shorter than k chars produce no fingerprints.
+    """
+    pows = [pow(ROLLING_BASE, k - 1 - j, ROLLING_MOD) for j in range(k)]
+
+    def gram_hash(s, i):
+        acc = None
+        for j in range(k):
+            # explicit long math: ascii*pow exceeds int32 and non-ANSI
+            # mode would wrap silently instead of erroring
+            term = F.ascii(F.substr(s, i + F.lit(j), F.lit(1))).cast(
+                "long"
+            ) * F.lit(pows[j]).cast("long")
+            acc = term if acc is None else acc + term
+        return (acc % F.lit(ROLLING_MOD)).cast("long")
+
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    with_text = df.select(F.col(id_col), normalized.alias("_t")).filter(
+        F.length("_t") >= k
+    )
+    hseq = with_text.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), F.length("_t") - (k - 1)),
+            lambda i: gram_hash(F.col("_t"), i),
+        ).alias("_h"),
+    )
+    mins = hseq.select(
+        F.col(id_col),
+        F.when(
+            F.size("_h") >= window,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_h") - (window - 1)),
+                lambda i: F.array_min(F.slice("_h", i, window)),
+            ),
+        )
+        .otherwise(F.array(F.array_min("_h")))
+        .alias("_m"),
+    )
+    return mins.select(
+        F.col(id_col), F.explode(F.array_distinct("_m")).alias("fingerprint")
+    )

@@ -333,6 +333,52 @@ def txt_canonical_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.canonical_fingerprint(load_table(spark, "documents", sf_dir))
 
 
+def _rolling_fp_sql(k: int = 8, window: int = 4) -> str:
+    base, mod = text_analysis.ROLLING_BASE, text_analysis.ROLLING_MOD
+    pows = [pow(base, k - 1 - j, mod) for j in range(k)]
+    pow_list = "[" + ", ".join(str(p) for p in pows) + "]"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    list_transform(
+      generate_series(1, len(s) - {k - 1}),
+      i -> (list_sum(list_transform(
+              generate_series(0, {k - 1}),
+              j -> ascii(s[CAST(i + j AS INT)])::BIGINT
+                   * ({pow_list})[CAST(j + 1 AS INT)]::BIGINT
+            )) % {mod})::BIGINT
+    ) AS hs
+  FROM t WHERE len(s) >= {k}
+),
+m AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) >= {window}
+      THEN list_transform(
+        generate_series(1, len(hs) - {window - 1}),
+        i -> list_min(list_slice(hs, CAST(i AS INT), CAST(i + {window - 1} AS INT)))
+      )
+      ELSE [list_min(hs)]
+    END AS ms
+  FROM h
+)
+SELECT doc_id, unnest(list_distinct(ms)) AS fingerprint FROM m
+"""
+
+
+@register("txt_rolling_fingerprints", _rolling_fp_sql())
+def txt_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed Rabin rolling-hash fingerprints per document, identical
+    polynomial arithmetic embedded in the DuckDB oracle."""
+    return text_analysis.rolling_fingerprints(
+        load_table(spark, "documents", sf_dir)
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings)
 # ---------------------------------------------------------------------------
