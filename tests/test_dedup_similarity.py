@@ -113,6 +113,22 @@ def test_near_dup_canonical_one_hop(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
 
 
+def test_connected_components_multi_hop_chain(spark):
+    """A 4-hop chain must collapse to ONE component (the one-hop
+    canonical operator would leave 2: this is the difference the
+    iterative closure exists for), plus an isolated vertex and a
+    separate pair."""
+    vertices = spark.createDataFrame([(i,) for i in range(1, 8)], ["vec_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)], ["id_a", "id_b"]
+    )
+    got = {
+        r.vec_id: r.component_id
+        for r in similarity.connected_components(vertices, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6}
+
+
 def test_ivf_topk_structure(spark):
     import numpy as np
 

@@ -181,6 +181,58 @@ def near_dup_canonical(
     )
 
 
+def connected_components(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """FULL transitive closure of near-dup pairs: iterative min-label
+    propagation until fixpoint → (id, component_id = min id reachable).
+
+    This is the genuinely iterative algorithm ``near_dup_canonical``
+    (one-hop) punts on: each round every vertex adopts the smallest
+    label among itself and its neighbors; rounds needed = graph
+    diameter (near-dup clusters are star-ish → 2-3). Each round is one
+    equi-join + hash agg; lineage is truncated per round
+    (localCheckpoint) so plans don't grow unboundedly — on a cluster
+    use reliable checkpointing. Convergence is detected with a count
+    of changed labels (an action per round, as any fixpoint loop).
+    """
+    edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionAll(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["v"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["v"] == nbr_min["src"], "left")
+            .select(
+                F.col("v"),
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("v").alias(id_col), F.col("label").alias("component_id")
+    )
+
+
 def lsh_near_dup_pairs(
     corpus: DataFrame,
     n_planes: int = 8,

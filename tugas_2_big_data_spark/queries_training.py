@@ -528,6 +528,49 @@ def dedup_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_dup_canonical(c, pairs)
 
 
+def _embed_components_sql() -> str:
+    pairs_sql = _ann_lsh_sql()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+corpus AS (
+  SELECT vec_id FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 FROM embeddings WHERE vec_id % 20 = 0
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(v, label) AS (
+  SELECT vec_id, vec_id FROM corpus
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v
+)
+SELECT v AS vec_id, min(label) AS component_id FROM reach GROUP BY v
+"""
+
+
+@register("dedup_embedding_components", _embed_components_sql())
+def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full transitive-closure near-dup clustering: LSH pairs → iterative
+    min-label propagation (Spark) vs recursive-CTE reachability (DuckDB
+    oracle). Every vector maps to the minimum id in its connected
+    component."""
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 2.0
+        ).alias("embedding"),
+    )
+    c = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(dups)
+    pairs = similarity.lsh_near_dup_pairs(c, n_planes=8, dim=64, threshold=0.999)
+    return similarity.connected_components(c.select("vec_id"), pairs)
+
+
 # ---------------------------------------------------------------------------
 # gap sessionization (batch twin of streaming.sessionize; oracle via
 # lag/cumsum island detection)
