@@ -78,6 +78,39 @@ def test_running_user_totals_stateful(spark, stream_events):
         assert abs(batch[uid][1] - total) < 1e-6, uid
 
 
+def test_foreachbatch_parquet_sink_idempotent(spark, stream_events, tmp_path):
+    """Watermark-closed tumbling windows written via foreachBatch +
+    dynamic partition overwrite must equal the memory-sink result; a
+    second (replayed) run over the same source must NOT duplicate."""
+    out_dir = str(tmp_path / "agg")
+    for run in range(2):  # second run simulates full replay
+        q = se.stream_to_parquet_partitions(
+            se.tumbling_agg(stream_events).withColumn(
+                "wday", __import__("pyspark").sql.functions.to_date("window_start")
+            ),
+            out_dir,
+            ["wday"],
+            str(tmp_path / f"ckpt{run}"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    written = spark.read.parquet(out_dir).drop("wday")
+    mem = se.run_to_memory(
+        se.tumbling_agg(stream_events), "t_fb_ref", output_mode="append"
+    )
+    w = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in written.collect()
+    }
+    m = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in mem.collect()
+    }
+    assert w == m  # same content, no replay duplicates
+
+
 def test_sessionize_runs(spark, stream_events):
     rows = se.run_to_memory(
         se.sessionize(stream_events, gap="30 minutes"), "t_sessions"

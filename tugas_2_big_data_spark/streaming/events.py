@@ -15,6 +15,8 @@ streaming-native replacement for lag()+cumsum sessionization in batch.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tugas_2_big_data_spark.sources.catalog import TABLES
@@ -117,6 +119,42 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         state_schema,
         "update",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_to_parquet_partitions(
+    stream_df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    checkpoint_dir: str,
+    output_mode: str = "append",
+):
+    """foreachBatch → dynamic-partition-overwrite parquet sink.
+
+    Structured Streaming delivers micro-batches at-least-once to
+    foreachBatch; making the write IDEMPOTENT (replayed batch rewrites
+    the same partitions instead of appending duplicates) upgrades the
+    pipeline to effectively exactly-once. Correct when each partition's
+    rows arrive batch-complete — true for watermark-closed windows in
+    append mode partitioned by window start (each window is emitted
+    exactly once, whole). For update-mode aggregates use a merge/upsert
+    sink instead: partition overwrite would drop the partition's
+    not-updated rows.
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    from tugas_2_big_data_spark.sources import sinks
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sinks.overwrite_partitions(batch_df, path, partition_by)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
     )
 
 
