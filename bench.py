@@ -58,6 +58,7 @@ HEADLINE = [
     "txt_langid",
     "mm_binary_meta",
     "iqplus_summarize_stub",
+    "pipeline_clean_corpus",
 ]
 
 

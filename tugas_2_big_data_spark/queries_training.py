@@ -46,8 +46,10 @@ def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(exact).unionByName(near)
 
 
-# DuckDB shingle relation over the corpus (3-word shingles, set semantics)
-SHINGLES_SQL = f"""
+def _shingles_over(src: str) -> str:
+    """DuckDB shingle relation over any (doc_id, text) source (3-word
+    shingles, set semantics)."""
+    return f"""
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
       unnest(CASE WHEN len(w) >= 3
@@ -56,10 +58,13 @@ SHINGLES_SQL = f"""
         ELSE [] END) AS shingle
     FROM (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-      FROM ({CORPUS_SQL})
+      FROM ({src})
     )
   )
 """
+
+
+SHINGLES_SQL = _shingles_over(CORPUS_SQL)
 
 # ---------------------------------------------------------------------------
 # dedup family
@@ -526,6 +531,98 @@ def dedup_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(dups)
     pairs = similarity.lsh_near_dup_pairs(c, n_planes=8, dim=64, threshold=0.999)
     return similarity.near_dup_canonical(c, pairs)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus-hygiene pipeline (pipelines/corpus.py): exact dedup →
+# LSH near-dup removal → quality/lang filters → token accounting. The
+# oracle composes the per-operator SQL over the same staged CTEs (the
+# .replace() retargets the per-table constants at the staged relation —
+# single source of truth for each operator's SQL).
+# ---------------------------------------------------------------------------
+
+
+def _clean_corpus_sql() -> str:
+    sh_sql = _shingles_over("SELECT doc_id, text FROM survivors")
+    mins = ",\n    ".join(
+        f"min(md5('{s}:' || shingle)) AS h{s}" for s in range(8)
+    )
+    quality_sql = _QUALITY_SQL.replace("FROM documents", "FROM deduped")
+    langid_sql = _langid_sql().replace("FROM documents", "FROM deduped")
+    token_sql = _TOKEN_SQL.replace("FROM documents", "FROM enriched")
+    return f"""
+WITH raw AS ({CORPUS_SQL}),
+fp AS (
+  SELECT doc_id, text,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fpv
+  FROM raw
+),
+keep AS (SELECT fpv, min(doc_id) AS doc_id FROM fp GROUP BY fpv),
+survivors AS (
+  SELECT f.doc_id, f.text FROM fp f JOIN keep k USING (fpv, doc_id)
+),
+sh AS ({sh_sql}),
+sig AS (SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, band_id, key FROM (
+    SELECT doc_id, unnest([
+      struct_pack(band_id := 0, key := h0 || '|' || h1),
+      struct_pack(band_id := 1, key := h2 || '|' || h3),
+      struct_pack(band_id := 2, key := h4 || '|' || h5),
+      struct_pack(band_id := 3, key := h6 || '|' || h7)
+    ], recursive := true)
+    FROM sig
+  )
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+losers AS (
+  SELECT DISTINCT c.id_b
+  FROM common c
+  JOIN cand USING (id_a, id_b)
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  WHERE c.n_common / (sa.sz + sb.sz - c.n_common) >= 0.5
+),
+deduped AS (
+  SELECT s.doc_id, s.text FROM survivors s
+  WHERE s.doc_id NOT IN (SELECT id_b FROM losers)
+),
+quality AS ({quality_sql}),
+lang AS ({langid_sql}),
+enriched AS (
+  SELECT d.doc_id, d.text, l.lang_pred, q.quality_score
+  FROM deduped d
+  JOIN quality q USING (doc_id)
+  JOIN lang l USING (doc_id)
+  WHERE q.quality_score >= 0.55 AND l.lang_pred IN ('en')
+),
+tokens AS ({token_sql})
+SELECT e.doc_id, e.text, e.lang_pred, e.quality_score,
+       t.n_tokens_ws, t.n_tokens_bpe
+FROM enriched e JOIN tokens t USING (doc_id)
+"""
+
+
+@register("pipeline_clean_corpus", _clean_corpus_sql())
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-hygiene pipeline over the dup-planted corpus
+    (pipelines/corpus.py)."""
+    from tugas_2_big_data_spark.pipelines import corpus as corpus_pipeline
+
+    return corpus_pipeline.clean_corpus(corpus(spark, sf_dir))
 
 
 def _embed_components_sql() -> str:
