@@ -28,26 +28,43 @@ STOPWORDS: dict[str, list[str]] = {
 BPE_ISH_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
 
 
+def ws_token_count(text_col: str = "text") -> F.Column:
+    """Whitespace-token count expression (0 for empty/blank text)."""
+    t = F.trim(F.col(text_col))
+    return (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("long")
+    )
+
+
+def bpe_token_count(text_col: str = "text") -> F.Column:
+    """BPE-ish token count expression."""
+    t = F.trim(F.col(text_col))
+    return F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), 0)).cast(
+        "long"
+    )
+
+
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace tokens, BPE-ish tokens, chars, avg token length."""
     t = F.trim(F.col(text_col))
-    ws_tokens = F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, r"\s+"))
-    )
-    bpe_tokens = F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), 0))
+    ws_tokens = ws_token_count(text_col)
     no_space = F.regexp_replace(t, r"\s+", "")
     return df.select(
         F.col(id_col),
         F.length(t).cast("long").alias("n_chars"),
-        ws_tokens.cast("long").alias("n_tokens_ws"),
-        bpe_tokens.cast("long").alias("n_tokens_bpe"),
+        ws_tokens.alias("n_tokens_ws"),
+        bpe_token_count(text_col).alias("n_tokens_bpe"),
         (F.length(no_space) / F.nullif(ws_tokens, F.lit(0))).alias("avg_token_len"),
     )
 
 
-def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic quality signals: punctuation / digit / uppercase /
-    stopword ratios and a composite score in [0, 1]."""
+def quality_exprs(text_col: str = "text") -> dict[str, F.Column]:
+    """Quality-signal expressions keyed by output column name — the
+    single source of truth shared by `quality_scores` and the map-only
+    pipeline composition (pipelines/corpus.py), which inlines these
+    instead of joining a scored relation back by id."""
     t = F.trim(F.col(text_col))
     n = F.nullif(F.length(t).cast("double"), F.lit(0.0))
     punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
@@ -66,14 +83,54 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         - F.least(F.lit(1.0), punct_ratio * 4)
         - F.least(F.lit(0.5), digit_ratio * 2)
     ) * (F.lit(0.5) + F.least(F.lit(0.5), stop_ratio))
+    return {
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "upper_ratio": upper_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality signals: punctuation / digit / uppercase /
+    stopword ratios and a composite score in [0, 1]."""
+    exprs = quality_exprs(text_col)
     return df.select(
-        F.col(id_col),
-        punct_ratio.alias("punct_ratio"),
-        digit_ratio.alias("digit_ratio"),
-        upper_ratio.alias("upper_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        score.alias("quality_score"),
+        F.col(id_col), *(c.alias(name) for name, c in exprs.items())
     )
+
+
+def _contains(stop: F.Column):
+    # closure factory: a bare 1-arg lambda in a loop both captures the
+    # loop variable late AND risks the 2-param (element, index) dispatch
+    # if ever given defaults (SCALE.md pitfall 2)
+    return lambda w: F.array_contains(stop, w)
+
+
+def lang_vote(words_col: F.Column) -> F.Column:
+    """Stopword-vote winner as a struct column
+    (neg_hits, lang, hits): `array_min` over per-language vote structs
+    picks max hits with ties broken on language code ascending —
+    identical semantics to `lang_id`'s join/window plan but as a pure
+    per-row expression (no explode, no shuffle).
+
+    `words_col` MUST be a projected column, not an inline `split`
+    (SCALE.md pitfall 1: HOF lambdas re-evaluate inline outer
+    expressions per element).
+    """
+    entries = []
+    for lang, ws in sorted(STOPWORDS.items()):
+        stop = F.array([F.lit(w) for w in ws])
+        hits = F.size(F.filter(words_col, _contains(stop))).cast("long")
+        entries.append(
+            F.struct(
+                (-hits).alias("neg_hits"),
+                F.lit(lang).alias("lang"),
+                hits.alias("hits"),
+            )
+        )
+    return F.array_min(F.array(*entries))
 
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -15,9 +15,17 @@ Stage order is part of the contract (the oracle mirrors it exactly):
    language ID (pure expressions / broadcast join).
 4. TOKEN ACCOUNTING — whitespace + BPE-ish counts for budget tracking.
 
-Scale: stages 1/3/4 are map-only or single-shuffle; stage 2 is the LSH
-plan (band equi-join, frequency-independent verify). Nothing pairwise
-ever leaves a key-equi-join.
+Scale: stage 1 is one hash shuffle; stage 2 is the LSH plan (band
+equi-join, frequency-independent verify); stages 3-4 are ONE map-only
+projection over the dedup survivors — the enrichments are inlined as
+column expressions (`text_analysis.quality_exprs` / `lang_vote` /
+token-count exprs), NOT computed as separate relations joined back by
+id. Joining map-only enrichments by id would re-derive the survivor
+lineage (including the whole LSH branch) once per join branch —
+measured 19 s → 4.5 s warm at sf0.1 once flattened and the shared
+shingle relation is checkpointed, and at 100 TB it is three
+full-table shuffles avoided. Nothing pairwise ever leaves a
+key-equi-join.
 """
 
 from __future__ import annotations
@@ -43,8 +51,14 @@ def clean_corpus(
     keep_exact = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     survivors = fp.join(keep_exact, [id_col, "_fp"], "left_semi").drop("_fp")
 
-    # 2. near-dup removal among survivors (LSH + verified Jaccard)
-    sets = dedup.shingle_sets(survivors, text_col, id_col)
+    # 2. near-dup removal among survivors (LSH + verified Jaccard).
+    # Shingle sets are shared by the signature build and the Jaccard
+    # verify — localCheckpoint materializes them once (the no-cache
+    # fan-out would re-shingle the survivors three times; columnar
+    # cache() of array<string> measured slower than recompute, see
+    # dedup_minhash_lsh_pairs). On a cluster prefer persist(DISK_ONLY)
+    # or a reliable checkpoint.
+    sets = dedup.shingle_sets(survivors, text_col, id_col).localCheckpoint()
     sig = dedup.minhash_signatures_from_sets(sets, k=8, id_col=id_col)
     cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4, id_col=id_col)
     pairs = dedup.jaccard_verify_sets(
@@ -53,31 +67,29 @@ def clean_corpus(
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     deduped = survivors.join(losers, id_col, "left_anti")
 
-    # 3. quality + language filters
-    quality = text_analysis.quality_scores(deduped, text_col, id_col).select(
-        id_col, "quality_score"
+    # 3+4. quality / language / token enrichment as ONE map-only
+    # projection (see module docstring for why not joins). The words
+    # array is projected to a real column first — lang_vote's HOF
+    # lambdas must not see an inline split (SCALE.md pitfall 1).
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    vote = text_analysis.lang_vote(F.col("_words"))
+    lang_pred = F.when(vote["hits"] == 0, F.lit("und")).otherwise(
+        vote["lang"]
     )
-    lang = text_analysis.lang_id(deduped, text_col, id_col).select(
-        id_col, "lang_pred"
-    )
-    enriched = (
-        deduped.join(quality, id_col)
-        .join(lang, id_col)
+    return (
+        deduped.withColumn("_words", words)
+        .select(
+            id_col,
+            text_col,
+            lang_pred.alias("lang_pred"),
+            text_analysis.quality_exprs(text_col)["quality_score"].alias(
+                "quality_score"
+            ),
+            text_analysis.ws_token_count(text_col).alias("n_tokens_ws"),
+            text_analysis.bpe_token_count(text_col).alias("n_tokens_bpe"),
+        )
         .filter(
             (F.col("quality_score") >= min_quality)
             & F.col("lang_pred").isin(*langs)
         )
-    )
-
-    # 4. token accounting
-    tokens = text_analysis.token_stats(enriched, text_col, id_col).select(
-        id_col, "n_tokens_ws", "n_tokens_bpe"
-    )
-    return enriched.join(tokens, id_col).select(
-        id_col,
-        text_col,
-        "lang_pred",
-        "quality_score",
-        "n_tokens_ws",
-        "n_tokens_bpe",
     )
