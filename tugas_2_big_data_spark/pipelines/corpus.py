@@ -67,17 +67,28 @@ def clean_corpus(
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     deduped = survivors.join(losers, id_col, "left_anti")
 
-    # 3+4. quality / language / token enrichment as ONE map-only
-    # projection (see module docstring for why not joins). The words
-    # array is projected to a real column first — lang_vote's HOF
-    # lambdas must not see an inline split (SCALE.md pitfall 1).
+    # 3+4. quality / language / token enrichment + filter
+    return enrich_and_filter(deduped, text_col, id_col, min_quality, langs)
+
+
+def enrich_and_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.55,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """Stages 3+4 as ONE map-only projection — zero Exchange, pinned by
+    tests/test_plans.py (see module docstring for why not joins). The
+    words array is projected to a real column first — lang_vote's HOF
+    lambdas must not see an inline split (SCALE.md pitfall 1)."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     vote = text_analysis.lang_vote(F.col("_words"))
     lang_pred = F.when(vote["hits"] == 0, F.lit("und")).otherwise(
         vote["lang"]
     )
     return (
-        deduped.withColumn("_words", words)
+        docs.withColumn("_words", words)
         .select(
             id_col,
             text_col,
