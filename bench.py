@@ -59,6 +59,8 @@ HEADLINE = [
     "mm_binary_meta",
     "iqplus_summarize_stub",
     "pipeline_clean_corpus",
+    "txt_tfidf_topk",
+    "split_stratified",
 ]
 
 

@@ -135,3 +135,17 @@ def test_pipeline_enrichment_is_map_only(spark):
 def test_pipeline_no_cartesian(dfs):
     """The composed hygiene pipeline stays inside key-equi-joins."""
     assert not pi.uses_cartesian_or_bnl(dfs["pipeline_clean_corpus"])
+
+
+def test_hash_split_is_map_only(dfs):
+    """hash_split is the 100 TB split path — any Exchange here means
+    someone reintroduced a per-stratum ordering."""
+    assert "Exchange" not in pi.explain_formatted(dfs["split_hash"])
+
+
+def test_tfidf_topk_window_pruned_and_broadcast(dfs):
+    """The per-doc top-k must prune rank>k map-side; the one-row doc
+    count must ride a broadcast, never a shuffle."""
+    plan = pi.explain_formatted(dfs["txt_tfidf_topk"])
+    assert "WindowGroupLimit" in plan
+    assert pi.uses_broadcast_join(dfs["txt_tfidf_topk"])

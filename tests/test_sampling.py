@@ -1,0 +1,59 @@
+"""Split-operator semantics: exact quotas, determinism, seed
+sensitivity."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_UNIT
+from tugas_2_big_data_spark.operators import sampling
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_UNIT}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+
+
+def test_stratified_split_exact_quotas(spark):
+    out = sampling.stratified_split(_docs(spark), strata_cols=("lang",))
+    counts = {
+        (r["lang"], r["split"]): r["n"]
+        for r in out.groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    totals = {
+        r["lang"]: r["n"]
+        for r in _docs(spark).groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for lang, n in totals.items():
+        train = counts.get((lang, "train"), 0)
+        val = counts.get((lang, "val"), 0)
+        assert train == math.floor(0.8 * n), lang
+        assert val == math.floor(0.9 * n) - math.floor(0.8 * n), lang
+
+
+def test_stratified_split_deterministic(spark):
+    a = sampling.stratified_split(_docs(spark)).orderBy("doc_id").collect()
+    b = sampling.stratified_split(_docs(spark)).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_hash_split_seed_changes_assignment(spark):
+    a = sampling.hash_split(_docs(spark), seed=42).select("doc_id", "split")
+    b = sampling.hash_split(_docs(spark), seed=43).select("doc_id", "split")
+    moved = a.join(b.withColumnRenamed("split", "split_b"), "doc_id").filter(
+        F.col("split") != F.col("split_b")
+    )
+    assert moved.count() > 0
+
+
+def test_hash_split_proportions(spark):
+    out = sampling.hash_split(_docs(spark))
+    n = out.count()
+    train = out.filter(F.col("split") == "train").count()
+    # binomial tolerance at n=500: 0.8 ± ~0.06
+    assert abs(train / n - 0.8) < 0.08

@@ -1,0 +1,87 @@
+"""Deterministic dataset splitting for training pipelines (extension
+surface — the reference has no sampling; SURVEY.md §2.8 notes set ops
+are absent entirely).
+
+Two split operators with different scale/exactness trade-offs:
+
+- `hash_split`: per-row seeded md5-bucket assignment — MAP-ONLY, zero
+  shuffles, proportions are approximate (binomial around the target
+  fractions). This is the 100 TB path: no per-stratum ordering, no
+  state, reproducible from the id alone, stable under
+  repartitioning/insertion of new rows.
+- `stratified_split`: EXACT per-stratum quotas via a seeded-hash
+  permutation ranked inside each stratum — one shuffle (hash by the
+  strata columns). Use when per-stratum proportions must be exact
+  (small eval sets); at 100 TB the per-stratum sort makes this the
+  expensive variant and few-distinct-strata skew concentrates work —
+  prefer `hash_split` unless exactness matters.
+
+Both are deterministic functions of (id, seed) / (stratum, id, seed):
+rerunning on the same data yields byte-identical assignments, which is
+what makes train/test contamination auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# 4096 hex buckets on the first 3 md5 hex chars; thresholds are part of
+# the spec (train 0xccc/4096 ≈ 0.7998, val (0xe66-0xccc)/4096 ≈ 0.1001)
+TRAIN_HEX = "ccc"
+VAL_HEX = "e66"
+
+
+def _bucket(id_col: str, seed: int) -> F.Column:
+    return F.substring(
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+        1,
+        3,
+    )
+
+
+def hash_split(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Adds a `split` column ∈ {train, val, test} by seeded md5 bucket.
+
+    Map-only (pinned zero-Exchange in test_plans.py); proportions are
+    ≈ 80/10/10 — the hex thresholds, not the fractions, are the spec.
+    """
+    b = _bucket(id_col, seed)
+    return df.withColumn(
+        "split",
+        F.when(b < TRAIN_HEX, F.lit("train"))
+        .when(b < VAL_HEX, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_cols: tuple[str, ...] = ("lang",),
+    id_col: str = "doc_id",
+    seed: int = 42,
+    fracs: tuple[float, float] = (0.8, 0.9),
+) -> DataFrame:
+    """Adds a `split` column with EXACT per-stratum quotas.
+
+    Rows are ranked inside each stratum by the seeded md5 hash (a
+    reproducible permutation; id breaks hash ties): positions ≤
+    floor(fracs[0]·n) are train, ≤ floor(fracs[1]·n) val, the rest
+    test. Strata with n=1 therefore land in test — floor semantics are
+    part of the spec so the DuckDB oracle matches exactly.
+    """
+    h = F.md5(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
+    )
+    strata = [F.col(c) for c in strata_cols]
+    order_w = Window.partitionBy(*strata).orderBy(h.asc(), F.col(id_col).asc())
+    count_w = Window.partitionBy(*strata)
+    pos = F.row_number().over(order_w)
+    n = F.count(F.lit(1)).over(count_w)
+    return df.withColumn(
+        "split",
+        F.when(pos <= F.floor(F.lit(fracs[0]) * n), F.lit("train"))
+        .when(pos <= F.floor(F.lit(fracs[1]) * n), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -173,6 +173,52 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def tf_idf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k terms per document by classic smoothed TF-IDF.
+
+    tf = raw term count in the doc; idf = ln((N+1)/(df+1)) + 1 with
+    N = total input docs, df = number of docs containing the term.
+    Ties break on tfidf DESC, term ASC (deterministic top-k).
+
+    Scale: the exploded (doc, term) relation is inherent — the idf
+    aggregation is BY term. Shuffles: term-count agg, doc-freq agg,
+    tf⋈idf equi-join on term (co-partitioned with the doc-freq agg),
+    and the per-doc top-k window (WindowGroupLimit prunes rank>k
+    map-side). N rides along as a one-row broadcast, never collected
+    to the driver.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    terms = df.select(F.col(id_col), F.explode(words).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    idf = docfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        (F.log((F.col("_n") + 1) / (F.col("df") + 1)) + 1).alias("idf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        tf.join(idf, "term")
+        .withColumn("tfidf", F.col("tf") * F.col("idf"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rk")
+    )
+
+
 def canonical_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -14,7 +14,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tugas_2_big_data_spark.queries import register
 from tugas_2_big_data_spark.sources.catalog import load_table
-from tugas_2_big_data_spark.operators import asof, dedup, similarity, text_analysis
+from tugas_2_big_data_spark.operators import (
+    asof,
+    dedup,
+    sampling,
+    similarity,
+    text_analysis,
+)
 
 # ---------------------------------------------------------------------------
 # shared corpus-with-duplicates
@@ -336,6 +342,95 @@ FROM documents
 @register("txt_canonical_fingerprint", _CANON_FP_SQL)
 def txt_canonical_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.canonical_fingerprint(load_table(spark, "documents", sf_dir))
+
+
+_TFIDF_SQL = """
+WITH terms AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id,
+      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms GROUP BY 1, 2
+),
+docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+idf AS (
+  SELECT term, ln((n.n + 1) / (docfreq.df + 1)) + 1 AS idf
+  FROM docfreq, n
+),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, tf.tf * idf.idf AS tfidf,
+    CAST(row_number() OVER (
+      PARTITION BY tf.doc_id ORDER BY tf.tf * idf.idf DESC, tf.term ASC
+    ) AS INT) AS rk
+  FROM tf JOIN idf USING (term)
+)
+SELECT doc_id, term, tf, tfidf, rk FROM ranked WHERE rk <= 3
+"""
+
+
+@register("txt_tfidf_topk", _TFIDF_SQL)
+def txt_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.tf_idf_top_terms(
+        load_table(spark, "documents", sf_dir), k=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# dataset splitting (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+_HASH_SPLIT_SQL = """
+SELECT doc_id, lang,
+  CASE
+    WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 3) < 'ccc'
+      THEN 'train'
+    WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 3) < 'e66'
+      THEN 'val'
+    ELSE 'test'
+  END AS split
+FROM documents
+"""
+
+
+@register("split_hash", _HASH_SPLIT_SQL)
+def split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only seeded train/val/test assignment (the 100 TB path)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    return sampling.hash_split(docs, seed=42)
+
+
+_STRATIFIED_SPLIT_SQL = """
+WITH h AS (
+  SELECT doc_id, lang,
+    md5(CAST(doc_id AS VARCHAR) || ':42') AS hv
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang ORDER BY hv ASC, doc_id ASC) AS pos,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM h
+)
+SELECT doc_id, lang,
+  CASE
+    WHEN pos <= floor(0.8 * n) THEN 'train'
+    WHEN pos <= floor(0.9 * n) THEN 'val'
+    ELSE 'test'
+  END AS split
+FROM r
+"""
+
+
+@register("split_stratified", _STRATIFIED_SPLIT_SQL)
+def split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum quotas via seeded-hash permutation ranking."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    return sampling.stratified_split(docs, strata_cols=("lang",), seed=42)
 
 
 def _rolling_fp_sql(k: int = 8, window: int = 4) -> str:
