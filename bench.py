@@ -61,6 +61,9 @@ HEADLINE = [
     "pipeline_clean_corpus",
     "txt_tfidf_topk",
     "split_stratified",
+    "pack_shards",
+    "stats_quantiles_by_lang",
+    "ann_kmeans_assign",
 ]
 
 

@@ -57,3 +57,24 @@ def test_hash_split_proportions(spark):
     train = out.filter(F.col("split") == "train").count()
     # binomial tolerance at n=500: 0.8 ± ~0.06
     assert abs(train / n - 0.8) < 0.08
+
+
+def test_pack_shards_contiguous_monotone(spark):
+    from tugas_2_big_data_spark.operators import text_analysis
+
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet").select(
+        "doc_id", "lang", text_analysis.ws_token_count("text").alias("t")
+    )
+    out = sampling.pack_shards(
+        docs, token_col="t", budget=500, strata_cols=("lang",)
+    )
+    for lang, rows in (
+        (r["lang"], r["shards"])
+        for r in out.orderBy("lang", "doc_id")
+        .groupBy("lang")
+        .agg(F.collect_list("shard_id").alias("shards"))
+        .collect()
+    ):
+        assert rows[0] == 0, lang
+        assert all(b - a in (0, 1) or b >= a for a, b in zip(rows, rows[1:])), lang
+        assert sorted(set(rows)) == list(range(max(rows) + 1)), lang

@@ -56,6 +56,39 @@ def hash_split(
     )
 
 
+def pack_shards(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    strata_cols: tuple[str, ...] = (),
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assigns each row a `shard_id` so consecutive rows (in
+    `order_col` order, within each stratum) pack into ~`budget`-token
+    shards: shard_id = floor(tokens_before_this_row / budget), i.e. a
+    row starting before a budget boundary stays in the earlier shard
+    (greedy packing — shards may overflow by at most one document,
+    which is the standard training-shard contract).
+
+    A running sum over a GLOBAL order is a single-partition bottleneck,
+    so pass `strata_cols` at scale: packing then runs per stratum in
+    parallel (one shuffle by the strata columns) and shard ids are
+    per-stratum. The empty-strata global form exists for small outputs
+    only.
+    """
+    strata = [F.col(c) for c in strata_cols]
+    w = (
+        Window.partitionBy(*strata)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    before = cum - F.col(token_col)
+    return df.withColumn(
+        "shard_id", F.floor(before / F.lit(budget)).cast("long")
+    )
+
+
 def stratified_split(
     df: DataFrame,
     strata_cols: tuple[str, ...] = ("lang",),

@@ -156,6 +156,83 @@ def ivf_topk(
     )
 
 
+def kmeans_assign(
+    vecs: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column as pure DataFrame ops —
+    the production coarse quantizer for `ivf_topk` (which seeds cells
+    with lowest-id vectors and documents this swap).
+
+    Deterministic spec (the DuckDB oracle mirrors it exactly):
+    initial centroids = the k lowest-id vectors (cid 0..k-1 in id
+    order); distance = squared L2 accumulated left-to-right in DOUBLE
+    (identical FP result on both engines); argmin ties break on cid
+    ascending; empty clusters keep their previous centroid. `iters`
+    assign/update rounds, then a final assignment.
+
+    Scale shape per round: centroid state is k rows — broadcast to the
+    scan (one job, no shuffle for assignment); the update is
+    posexplode → (cid, pos) partial-aggregated mean, shuffling
+    |corpus|·dim rows ONCE per round on a uniform key. Like
+    connected_components, iteration count is driver-side control flow;
+    each round's plan is independent so lineage stays bounded.
+    """
+    from pyspark.sql import Window
+
+    pts = vecs.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    w0 = Window.orderBy(id_col)
+    cents = (
+        pts.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(w0) - 1).cast("long").alias("cid"),
+            F.col("_v").alias("cvec"),
+        )
+    )
+
+    d2 = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wa = Window.partitionBy(id_col).orderBy(F.asc("_d2"), F.asc("cid"))
+
+    def assign(cent: DataFrame) -> DataFrame:
+        return (
+            pts.crossJoin(F.broadcast(cent))
+            .withColumn("_d2", d2)
+            .withColumn("_rk", F.row_number().over(wa))
+            .filter(F.col("_rk") == 1)
+            .select(id_col, "_v", "cid")
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        means = (
+            assigned.select("cid", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("val"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("new_cvec")
+            )
+        )
+        cents = cents.join(means, "cid", "left").select(
+            "cid", F.coalesce("new_cvec", "cvec").alias("cvec")
+        )
+
+    return assign(cents).select(id_col, F.col("cid").alias("cluster"))
+
+
 def near_dup_canonical(
     corpus: DataFrame, pairs: DataFrame, id_col: str = "vec_id"
 ) -> DataFrame:

@@ -433,6 +433,65 @@ def split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_split(docs, strata_cols=("lang",), seed=42)
 
 
+_PACK_SHARDS_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(floor((
+    sum(n_tokens) OVER (
+      PARTITION BY lang ORDER BY doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) - n_tokens
+  ) / 2000) AS BIGINT) AS shard_id
+FROM toks
+"""
+
+
+@register("pack_shards", _PACK_SHARDS_SQL)
+def pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-language packing of docs into ~2000-token training
+    shards (operators/sampling.py)."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "lang",
+        text_analysis.ws_token_count("text").alias("n_tokens"),
+    )
+    return sampling.pack_shards(
+        docs, token_col="n_tokens", budget=2000, strata_cols=("lang",)
+    )
+
+
+_QUANTILES_SQL = """
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  quantile_cont(n_chars, 0.5) AS p50_chars,
+  quantile_cont(n_chars, 0.9) AS p90_chars,
+  quantile_cont(n_chars, 0.99) AS p99_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("stats_quantiles_by_lang", _QUANTILES_SQL)
+def stats_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length quantiles (corpus profiling). Uses
+    EXACT `percentile` so the DuckDB `quantile_cont` oracle matches
+    bit-for-bit within rel_tol; at 100 TB swap in `percentile_approx`
+    (t-digest sketch, mergeable map-side) — approximate results are
+    deliberately NOT what the correctness gate checks."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.percentile("n_chars", 0.5).alias("p50_chars"),
+        F.percentile("n_chars", 0.9).alias("p90_chars"),
+        F.percentile("n_chars", 0.99).alias("p99_chars"),
+    )
+
+
 def _rolling_fp_sql(k: int = 8, window: int = 4) -> str:
     base, mod = text_analysis.ROLLING_BASE, text_analysis.ROLLING_MOD
     pows = [pow(base, k - 1 - j, mod) for j in range(k)]
@@ -593,6 +652,65 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 5), n_centroids=8, nprobe=2, k=5
     )
+
+
+def _kmeans_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """CTE chain mirroring similarity.kmeans_assign: each Lloyd round
+    is one assignment CTE + one update CTE; squared-L2 accumulates
+    left-to-right in DOUBLE as (a-b)*(a-b) on both engines so the
+    argmin ordering is bit-identical."""
+
+    def d2(vec: str, cvec: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> (CAST({vec}[i] AS DOUBLE) - {cvec}[i]) "
+            f"* (CAST({vec}[i] AS DOUBLE) - {cvec}[i])))"
+        )
+
+    parts = [
+        "pts AS (SELECT vec_id, embedding FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM (SELECT vec_id, embedding FROM pts ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    for it in range(iters + 1):
+        prev, a = f"c{it}", f"a{it + 1}"
+        parts.append(f"""{a} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT p.vec_id, p.embedding, c.cid,
+      row_number() OVER (
+        PARTITION BY p.vec_id
+        ORDER BY {d2("p.embedding", "c.cvec")} ASC, c.cid ASC
+      ) AS rk
+    FROM pts p CROSS JOIN {prev} c
+  ) WHERE rk = 1
+)""")
+        if it < iters:
+            parts.append(f"""c{it + 1} AS (
+  SELECT o.cid, coalesce(m.cvec, o.cvec) AS cvec
+  FROM {prev} o LEFT JOIN (
+    SELECT cid, list(v ORDER BY pos) AS cvec FROM (
+      SELECT cid, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS v
+      FROM {a}, generate_series(1, {dim}) AS g(i)
+      GROUP BY 1, 2
+    ) GROUP BY cid
+  ) m ON o.cid = m.cid
+)""")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT vec_id, cid AS cluster FROM a{iters + 1}
+"""
+
+
+@register("ann_kmeans_assign", _kmeans_sql())
+def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds of k-means (k=4) over the embeddings — the
+    production coarse quantizer for IVF (similarity.kmeans_assign)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.kmeans_assign(emb, k=4, iters=2)
 
 
 def _embed_near_dup_sql() -> str:
