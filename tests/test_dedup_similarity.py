@@ -167,3 +167,40 @@ def test_ivf_more_probes_no_worse(spark):
         ).collect()
     }
     assert allprobe == exact
+
+
+def test_kmeans_assign_separated_clusters(spark):
+    """Two well-separated blobs with k=2 must recover the blobs
+    regardless of seeding (seeds 0 and 1 both start in blob A; one
+    Lloyd round pulls a centroid across)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(4) + (0.0 if i % 2 else 50.0)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.kmeans_assign(emb, k=2, iters=3, dim=4)
+    got = {r.vec_id: r.cluster for r in out.collect()}
+    assert set(got) == set(range(40))
+    blob_a = {got[i] for i in range(40) if i % 2 == 0}
+    blob_b = {got[i] for i in range(40) if i % 2 == 1}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+
+
+def test_kmeans_assign_plan_no_window_no_generate(spark):
+    """Pin the scale shape: assignment is map-only (broadcast one-row
+    state, argmin expression), the mean update is a hash aggregate —
+    never a per-id Window, never a posexplode Generate (a Generate
+    below the argmin projection re-evaluates it per element; SCALE.md
+    pitfall 1)."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    rows = [(i, [float(x) for x in rng.standard_normal(4)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.kmeans_assign(emb, k=2, iters=2, dim=4)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+    assert "Generate" not in plan

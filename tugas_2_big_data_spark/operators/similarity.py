@@ -162,6 +162,7 @@ def kmeans_assign(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column as pure DataFrame ops —
     the production coarse quantizer for `ivf_topk` (which seeds cells
@@ -174,63 +175,87 @@ def kmeans_assign(
     ascending; empty clusters keep their previous centroid. `iters`
     assign/update rounds, then a final assignment.
 
-    Scale shape per round: centroid state is k rows — broadcast to the
-    scan (one job, no shuffle for assignment); the update is
-    posexplode → (cid, pos) partial-aggregated mean, shuffling
-    |corpus|·dim rows ONCE per round on a uniform key. Like
-    connected_components, iteration count is driver-side control flow;
-    each round's plan is independent so lineage stays bounded.
+    Scale shape: the centroid state is a ONE-ROW DataFrame holding
+    `array<array<double>>` (k·dim doubles), threaded lazily through
+    the rounds — no driver action until the caller's. Assignment
+    broadcasts that single row to the scan (broadcast nested loop over
+    one row = map-only; argmin = `array_min` over struct(d2, cid), no
+    crossJoin amplification, no per-id window shuffle — both the
+    k-literal inline form and a collect-per-round loop were measured
+    ~3× slower at sf0.1: codegen blows up on the literal tree, and
+    per-round driver actions pay a plan-compile + job barrier each).
+    The mean update is ONE hash aggregate keyed on the argmin with
+    `dim` per-dimension avg columns — map-side combine shrinks the
+    shuffle to k·(dim+1) values per partition. NOT posexplode: a
+    Generate below the argmin projection re-evaluates the argmin per
+    exploded element (measured 64× re-evaluation — pitfall #1 in
+    SCALE.md), and the exploded shuffle is |corpus|·dim rows anyway.
+    Empty clusters keep their previous centroid via a map lookup +
+    coalesce against the prior state. Lineage nests across rounds —
+    bounded here (iters is small); checkpoint per round on a cluster.
     """
-    from pyspark.sql import Window
-
     pts = vecs.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    w0 = Window.orderBy(id_col)
-    cents = (
+
+    # initial state: the k lowest-id vectors, in id order, as one row
+    # (TakeOrderedAndProject — never a full collect_list of the corpus)
+    state = (
         pts.orderBy(id_col)
         .limit(k)
-        .select(
-            (F.row_number().over(w0) - 1).cast("long").alias("cid"),
-            F.col("_v").alias("cvec"),
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(id_col, "_v"))),
+                lambda s: s["_v"],
+            ).alias("_cs")
         )
     )
 
-    d2 = F.aggregate(
-        F.zip_with(F.col("_v"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+    # argmin_cid of squared L2, ties on cid ascending — struct
+    # comparison (d2 first, cid second) encodes both
+    _d2 = lambda v, c: F.aggregate(  # noqa: E731
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    wa = Window.partitionBy(id_col).orderBy(F.asc("_d2"), F.asc("cid"))
-
-    def assign(cent: DataFrame) -> DataFrame:
-        return (
-            pts.crossJoin(F.broadcast(cent))
-            .withColumn("_d2", d2)
-            .withColumn("_rk", F.row_number().over(wa))
-            .filter(F.col("_rk") == 1)
-            .select(id_col, "_v", "cid")
-        )
+    assign_col = F.array_min(
+        F.transform(
+            F.col("_cs"),
+            lambda c, i: F.struct(_d2(F.col("_v"), c), i.cast("long")),
+        ).cast("array<struct<d2:double,cid:bigint>>")
+    )["cid"]
 
     for _ in range(iters):
-        assigned = assign(cents)
-        means = (
-            assigned.select("cid", F.posexplode("_v").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("val"))
-            .groupBy("cid")
+        means_map = (
+            pts.crossJoin(F.broadcast(state))
+            .groupBy(assign_col.alias("cid"))
+            .agg(*[F.avg(F.get("_v", i)).alias(f"_m{i}") for i in range(dim)])
+            .groupBy()
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
-                    lambda s: s["val"],
-                ).alias("new_cvec")
+                F.map_from_entries(
+                    F.collect_list(
+                        F.struct(
+                            F.col("cid"),
+                            F.array(*[F.col(f"_m{i}") for i in range(dim)]),
+                        )
+                    )
+                ).alias("_m")
             )
         )
-        cents = cents.join(means, "cid", "left").select(
-            "cid", F.coalesce("new_cvec", "cvec").alias("cvec")
+        state = state.crossJoin(F.broadcast(means_map)).select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_m"), i.cast("long")),
+                    F.get(F.col("_cs"), i),
+                ),
+            ).alias("_cs")
         )
 
-    return assign(cents).select(id_col, F.col("cid").alias("cluster"))
+    return pts.crossJoin(F.broadcast(state)).select(
+        F.col(id_col), assign_col.alias("cluster")
+    )
 
 
 def near_dup_canonical(
