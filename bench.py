@@ -64,6 +64,7 @@ HEADLINE = [
     "pack_shards",
     "stats_quantiles_by_lang",
     "ann_kmeans_assign",
+    "ann_ivf_kmeans_topk",
 ]
 
 

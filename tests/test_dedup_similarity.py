@@ -204,3 +204,24 @@ def test_kmeans_assign_plan_no_window_no_generate(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in plan
     assert "Generate" not in plan
+
+
+def test_ivf_with_kmeans_centroids(spark):
+    """ivf_topk(centroids=kmeans_centroids(...)) returns ranked
+    neighbors per query, never self, ranks contiguous from 1."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = similarity.kmeans_centroids(emb, k=4, iters=2, dim=8)
+    out = similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 3), nprobe=2, k=5, centroids=cents
+    )
+    per_query = {}
+    for r in out.collect():
+        assert r.query_id != r.nbr_id
+        per_query.setdefault(r.query_id, []).append(r.rk)
+    assert set(per_query) == {0, 1, 2}
+    for rks in per_query.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1))

@@ -92,30 +92,37 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
     into `n_centroids` cells, probe the `nprobe` closest cells per
     query, exact cosine only within probed cells.
 
-    The coarse quantizer here is deliberately simple and fully
+    The default coarse quantizer is deliberately simple and fully
     relational (centroids = the n_centroids lowest-id vectors, i.e. a
-    deterministic seed set; swap in k-means centroids at production
-    scale — the cell-assignment/probe/search plan is identical). Scale
-    shape: the corpus is scanned once to assign cells (broadcast
-    nested-loop against n_centroids rows), the search join is a
-    key-equi-join on cell id — never an all-pairs compare; cost is
+    deterministic seed set); pass `centroids` (cid, cvec rows — e.g.
+    `kmeans_centroids`) for the production quantizer — the
+    cell-assignment/probe/search plan is identical. Scale shape: the
+    corpus is scanned once to assign cells (broadcast nested-loop
+    against n_centroids rows), the search join is a key-equi-join on
+    cell id — never an all-pairs compare; cost is
     O(corpus/n_centroids · nprobe) per query instead of O(corpus).
     """
     from pyspark.sql import Window
 
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).cast("array<double>").alias("cvec"),
+    if centroids is None:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("cid"),
+                F.col(vec_col).cast("array<double>").alias("cvec"),
+            )
         )
-    )
+    else:
+        cents = centroids.select(
+            F.col("cid"), F.col("cvec").cast("array<double>").alias("cvec")
+        )
 
     def assign(df: DataFrame, idname: str, vecname: str, probes: int) -> DataFrame:
         w = Window.partitionBy(idname).orderBy(F.desc("csim"), F.asc("cid"))
@@ -156,17 +163,16 @@ def ivf_topk(
     )
 
 
-def kmeans_assign(
+def _kmeans_state(
     vecs: DataFrame,
-    k: int = 4,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int = 64,
-) -> DataFrame:
-    """Lloyd's k-means over an embedding column as pure DataFrame ops —
-    the production coarse quantizer for `ivf_topk` (which seeds cells
-    with lowest-id vectors and documents this swap).
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+):
+    """Shared Lloyd-iteration core: returns (pts, one-row centroid
+    state after `iters` rounds, argmin assignment Column).
 
     Deterministic spec (the DuckDB oracle mirrors it exactly):
     initial centroids = the k lowest-id vectors (cid 0..k-1 in id
@@ -253,9 +259,43 @@ def kmeans_assign(
             ).alias("_cs")
         )
 
+    return pts, state, assign_col
+
+
+def kmeans_assign(
+    vecs: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Lloyd's k-means cluster assignment over an embedding column as
+    pure DataFrame ops — spec and scale notes in `_kmeans_state`."""
+    pts, state, assign_col = _kmeans_state(
+        vecs, k, iters, id_col, vec_col, dim
+    )
     return pts.crossJoin(F.broadcast(state)).select(
         F.col(id_col), assign_col.alias("cluster")
     )
+
+
+def kmeans_centroids(
+    vecs: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(cid, cvec) centroid rows after `iters` Lloyd rounds — the
+    production coarse quantizer to hand to `ivf_topk(centroids=...)`.
+    k rows total, so the posexplode here is k elements of one row —
+    nothing like the corpus-sized Generate `_kmeans_state` avoids."""
+    _, state, _ = _kmeans_state(vecs, k, iters, id_col, vec_col, dim)
+    return state.select(
+        F.posexplode("_cs").alias("cid", "cvec")
+    ).select(F.col("cid").cast("long").alias("cid"), "cvec")
 
 
 def near_dup_canonical(

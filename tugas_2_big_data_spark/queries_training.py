@@ -654,11 +654,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
-    """CTE chain mirroring similarity.kmeans_assign: each Lloyd round
+def _kmeans_cents_ctes(k: int = 4, iters: int = 2, dim: int = 64) -> list[str]:
+    """CTE chain mirroring similarity._kmeans_state: each Lloyd round
     is one assignment CTE + one update CTE; squared-L2 accumulates
     left-to-right in DOUBLE as (a-b)*(a-b) on both engines so the
-    argmin ordering is bit-identical."""
+    argmin ordering is bit-identical. Final centroids CTE = c{iters}."""
 
     def d2(vec: str, cvec: str) -> str:
         return (
@@ -698,10 +698,63 @@ def _kmeans_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     ) GROUP BY cid
   ) m ON o.cid = m.cid
 )""")
-    ctes = ",\n".join(parts)
+    return parts
+
+
+def _kmeans_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    ctes = ",\n".join(_kmeans_cents_ctes(k, iters, dim))
     return f"""
 WITH {ctes}
 SELECT vec_id, cid AS cluster FROM a{iters + 1}
+"""
+
+
+def _ivf_kmeans_sql(
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    nprobe: int = 2,
+    topk: int = 5,
+    n_queries: int = 5,
+) -> str:
+    """Composed oracle: the k-means centroid CTE chain feeds the IVF
+    assign/probe/search CTEs (same shapes as _ANN_IVF_SQL, with cells
+    keyed by k-means cid instead of seed vec_id)."""
+    parts = _kmeans_cents_ctes(k, iters, dim)
+    parts.append(
+        "corpus AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
+        "FROM embeddings)"
+    )
+    parts.append(f"cents AS (SELECT cid, cvec FROM c{iters})")
+    for name, out_id, out_vec, pred, probes in (
+        ("cassign", "nbr_id", "nbr_vec", "", 1),
+        ("qassign", "query_id", "query_vec", f"WHERE c.vec_id < {n_queries}", nprobe),
+    ):
+        parts.append(f"""{name} AS (
+  SELECT vec_id AS {out_id}, vec AS {out_vec}, cid FROM (
+    SELECT c.vec_id, c.vec, ct.cid,
+      row_number() OVER (
+        PARTITION BY c.vec_id
+        ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC, ct.cid
+      ) AS crn
+    FROM corpus c CROSS JOIN cents ct
+    {pred}
+  ) WHERE crn <= {probes}
+)""")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT query_id, nbr_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT q.query_id, a.nbr_id,
+    round(list_cosine_similarity(q.query_vec, a.nbr_vec), 9) AS cosine,
+    row_number() OVER (
+      PARTITION BY q.query_id
+      ORDER BY list_cosine_similarity(q.query_vec, a.nbr_vec) DESC, a.nbr_id
+    ) AS rk
+  FROM qassign q JOIN cassign a USING (cid)
+  WHERE a.nbr_id != q.query_id
+) WHERE rk <= {topk}
 """
 
 
@@ -711,6 +764,23 @@ def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     production coarse quantizer for IVF (similarity.kmeans_assign)."""
     emb = load_table(spark, "embeddings", sf_dir)
     return similarity.kmeans_assign(emb, k=4, iters=2)
+
+
+@register("ann_ivf_kmeans_topk", _ivf_kmeans_sql())
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF composition: k-means centroids (k=8, two
+    Lloyd rounds) as the coarse quantizer, then the IVF
+    assign/probe/search plan (similarity.kmeans_centroids +
+    similarity.ivf_topk(centroids=...))."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = similarity.kmeans_centroids(emb, k=8, iters=2)
+    return similarity.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        nprobe=2,
+        k=5,
+        centroids=cents,
+    )
 
 
 def _embed_near_dup_sql() -> str:
