@@ -102,9 +102,12 @@ def ivf_topk(
     relational (centroids = the n_centroids lowest-id vectors, i.e. a
     deterministic seed set); pass `centroids` (cid, cvec rows — e.g.
     `kmeans_centroids`) for the production quantizer — the
-    cell-assignment/probe/search plan is identical. Scale shape: the
-    corpus is scanned once to assign cells (broadcast nested-loop
-    against n_centroids rows), the search join is a key-equi-join on
+    cell-assignment/probe/search plan is identical. Scale shape: cell
+    assignment broadcasts the centroid set as ONE row and picks the
+    top-`probes` cells with an in-row sort expression — map-only, no
+    crossJoin row amplification, no per-id window shuffle (the same
+    shape `_kmeans_state` uses; the windowed crossJoin it replaced
+    shuffled corpus·k rows). The search join is a key-equi-join on
     cell id — never an all-pairs compare; cost is
     O(corpus/n_centroids · nprobe) per query instead of O(corpus).
     """
@@ -124,14 +127,43 @@ def ivf_topk(
             F.col("cid"), F.col("cvec").cast("array<double>").alias("cvec")
         )
 
+    # one-row centroid state: cids and vectors in cid order, so an
+    # index into _cv maps back through _cc (tie-break = cid ascending,
+    # matching the oracle's ORDER BY csim DESC, cid ASC)
+    srt = F.array_sort(F.collect_list(F.struct("cid", "cvec")))
+    cstate = cents.groupBy().agg(
+        F.transform(srt, lambda s: s["cid"]).alias("_cc"),
+        F.transform(srt, lambda s: s["cvec"]).alias("_cv"),
+    )
+
     def assign(df: DataFrame, idname: str, vecname: str, probes: int) -> DataFrame:
-        w = Window.partitionBy(idname).orderBy(F.desc("csim"), F.asc("cid"))
+        # negated similarity so ascending struct sort = csim desc;
+        # null cosine (zero-norm vector) maps to +inf = probed last,
+        # matching the window form's NULLS LAST
+        scored = F.transform(
+            F.col("_cv"),
+            lambda c, i: F.struct(
+                -F.coalesce(
+                    cosine(F.col(vecname), c), F.lit(float("-inf"))
+                ),
+                i.cast("int"),
+            ),
+        ).cast("array<struct<ncs:double,idx:int>>")
         return (
-            df.crossJoin(F.broadcast(cents))
-            .withColumn("csim", cosine(F.col(vecname), F.col("cvec")))
-            .withColumn("crn", F.row_number().over(w))
-            .filter(F.col("crn") <= probes)
-            .select(idname, vecname, "cid")
+            df.crossJoin(F.broadcast(cstate))
+            .select(
+                idname,
+                vecname,
+                "_cc",
+                F.explode(F.slice(F.array_sort(scored), 1, probes)).alias(
+                    "_t"
+                ),
+            )
+            .select(
+                idname,
+                vecname,
+                F.get(F.col("_cc"), F.col("_t.idx")).alias("cid"),
+            )
         )
 
     c = assign(
