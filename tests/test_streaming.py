@@ -111,6 +111,21 @@ def test_foreachbatch_parquet_sink_idempotent(spark, stream_events, tmp_path):
     assert w == m  # same content, no replay duplicates
 
 
+def test_dedup_stream_drops_redeliveries(spark, stream_events):
+    """Union the stream with itself (every event delivered twice in the
+    same micro-batch) — dedup_stream must emit each event_id exactly
+    once, matching the batch table's row count."""
+    out = se.run_to_memory(
+        se.dedup_stream(stream_events.union(stream_events)),
+        "t_dedup",
+        output_mode="append",
+    ).collect()
+    ids = [r["event_id"] for r in out]
+    assert len(ids) == len(set(ids))
+    n_batch = load_table(spark, "events", SF_UNIT).count()
+    assert len(ids) == n_batch
+
+
 def test_sessionize_runs(spark, stream_events):
     rows = se.run_to_memory(
         se.sessionize(stream_events, gap="30 minutes"), "t_sessions"

@@ -85,6 +85,28 @@ def sessionize(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, dropping
+    re-deliveries that arrive within the watermark delay — the
+    streaming counterpart of the batch `dedup_exact` hash-groupBy.
+
+    Uses `dropDuplicatesWithinWatermark`, whose state store holds each
+    key only until the watermark passes it. Plain `dropDuplicates` on a
+    stream keeps EVERY key forever — an unbounded state store that OOMs
+    a 100 TB ingest; bounded state is the whole point here, and the
+    trade is explicit: duplicates separated by more than the watermark
+    delay pass through. Size `watermark` to the sink's redelivery
+    horizon, not the business key's lifetime.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running event count + value total, one updated row per user per
