@@ -65,6 +65,12 @@ HEADLINE = [
     "stats_quantiles_by_lang",
     "ann_kmeans_assign",
     "ann_ivf_kmeans_topk",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_profit",
+    "tpch_q13_order_distribution",
+    "tpch_q17_small_qty",
+    "tpch_q18_large_orders",
+    "tpch_q21_sole_fault",
 ]
 
 

@@ -843,3 +843,7 @@ def sql_surface_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # register the training-data pipeline extension queries (dedup,
 # similarity, text analysis, multimodal) into the same registry
 from tugas_2_big_data_spark import queries_training  # noqa: E402,F401
+
+# register the TPC-H-style join/subquery surface (q2/q7..q22 adapted to
+# the testdata schema)
+from tugas_2_big_data_spark import queries_tpch  # noqa: E402,F401

@@ -1,0 +1,736 @@
+"""TPC-H-style analytics queries beyond the flagship set (q2/q7..q22).
+
+The reference repo has no joins or subqueries at all (SURVEY.md §2.5);
+these queries are the engine's general-analytics surface, proving the
+join/subquery/decorrelation machinery a reference user would expect from
+a full engine. Every query is adapted to the driver testdata schema
+(TESTDATA.md — no partsupp table, no l_commitdate/l_receiptdate/
+l_shipmode columns), with the adaptation noted per query.
+
+Scale notes (100 TB stance), applied throughout:
+- nation/region/supplier/part are dimension tables: always the broadcast
+  side (`F.broadcast`), so the big fact scans never shuffle for them;
+- filtered dims (brand/type subsets) are broadcast AFTER filtering, so
+  the broadcast payload is the residual, not the full table;
+- correlated scalar subqueries (q17) and HAVING-IN subqueries (q18/q20)
+  are decorrelated by hand into aggregate-then-join — the same rewrite
+  Catalyst performs for SQL text, expressed natively in the DataFrame
+  API so the plan is visible and hintable;
+- global scalar aggregates (q15 max, q22 avg) become one-row broadcast
+  cross joins, never `collect()` round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tugas_2_big_data_spark.queries import register
+from tugas_2_big_data_spark.sources.catalog import load_table
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# q2 (adapted: no partsupp → min retail price per part type, join-back)
+# ---------------------------------------------------------------------------
+
+_Q2_SQL = """
+SELECT p_type, p_partkey, p_name, p_retailprice
+FROM part
+JOIN (
+  SELECT p_type AS t, min(p_retailprice) AS min_price
+  FROM part GROUP BY p_type
+) m ON p_type = m.t AND p_retailprice = m.min_price
+"""
+
+
+@register("tpch_q2_min_cost", _Q2_SQL)
+def tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-per-group join-back (the q2 correlated-min pattern without
+    partsupp). Aggregate once, broadcast the tiny per-type minima back
+    against the part scan — no second scan shuffle."""
+    part = load_table(spark, "part", sf_dir)
+    minima = part.groupBy(F.col("p_type").alias("t")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        part.join(
+            F.broadcast(minima),
+            (F.col("p_type") == F.col("t"))
+            & (F.col("p_retailprice") == F.col("min_price")),
+        )
+        .select("p_type", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q7 volume shipping between two nations
+# ---------------------------------------------------------------------------
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         strftime(l_shipdate, '%Y') AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("tpch_q7_volume_shipping", _Q7_SQL)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-nation trade volume by year. The nation filter is applied to
+    the dimension BEFORE broadcasting, so supplier/customer shrink via
+    broadcast semi-reduction and only the orders↔lineitem equi-join
+    shuffles; the pair predicate runs post-join on two tiny columns."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate").between("1995-01-01", "1996-12-31 23:59:59")
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nat = load_table(spark, "nation", sf_dir).filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp.join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(cust.join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.date_format("l_shipdate", "yyyy").alias("l_year"),
+            _revenue().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q8 national market share
+# ---------------------------------------------------------------------------
+
+_Q8_SQL = """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+             / sum(volume), 9) AS mkt_share
+FROM (
+  SELECT strftime(o_orderdate, '%Y') AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@register("tpch_q8_market_share", _Q8_SQL)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share of one supplier nation within one customer region.
+    Seven-table join where every dimension is broadcast; the only
+    shuffle is lineitem↔orders plus the final 2-group aggregate."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31 23:59:59")
+    )
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "ECONOMY")
+    supp = load_table(spark, "supplier", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    # customer side: customers in the ASIA region (broadcast semi-reduction)
+    cust_asia = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region), nation.n_regionkey == region.r_regionkey
+                ).select("n_nationkey")
+            ),
+            cust.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nat = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation"))),
+        supp.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "nation")
+    vol = _revenue()
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_asia), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.date_format("o_orderdate", "yyyy").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                9,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9 product-type profit (adapted: p_retailprice*0.1 as supply-cost proxy)
+# ---------------------------------------------------------------------------
+
+_Q9_SQL = """
+SELECT nation, o_year, sum(amount) AS sum_profit
+FROM (
+  SELECT n_name AS nation, strftime(o_orderdate, '%Y') AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.1 * p_retailprice * l_quantity AS amount
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@register("tpch_q9_profit", _Q9_SQL)
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation and order year. partsupp is absent from
+    the testdata, so supply cost is proxied by 0.1*p_retailprice (noted
+    in oracle too). LIKE-filtered part dim broadcast; one fact shuffle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("%widget%"))
+    supp = load_table(spark, "supplier", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    supp_nat = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation"))),
+        supp.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "nation")
+    amount = _revenue() - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "nation",
+            F.date_format("o_orderdate", "yyyy").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 returned-item reporting
+# ---------------------------------------------------------------------------
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+"""
+
+
+@register("tpch_q10_returned_items", _Q10_SQL)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lost revenue per customer from returned items in one quarter.
+    Date filter prunes orders before the fact join; returnflag filter is
+    pushed into the lineitem scan (PushedFilters)."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_revenue()).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 (adapted: no l_shipmode → l_returnflag as the mode axis)
+# ---------------------------------------------------------------------------
+
+_Q12_SQL = """
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
+@register("tpch_q12_priority_lines", _Q12_SQL)
+def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-count aggregate over a fact join (q12 shape; the
+    testdata has no l_shipmode, so l_returnflag is the grouping axis)."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 customer order-count distribution
+# ---------------------------------------------------------------------------
+
+_Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@register("tpch_q13_order_distribution", _Q13_SQL)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregate over a conditional LEFT join (q13; the filter
+    lives in the join condition, so customers with only 5-LOW orders
+    still appear with c_count=0). Second aggregate is tiny (distinct
+    counts), so the expensive shuffle happens exactly once on custkey."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# q14 promotion revenue effect
+# ---------------------------------------------------------------------------
+
+_Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 9) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+"""
+
+
+@register("tpch_q14_promo_revenue", _Q14_SQL)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share in one month: broadcast part join +
+    single global conditional aggregate — a map-side-only plan except
+    for the final one-row reduce."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    part = load_table(spark, "part", sf_dir)
+    rev = _revenue()
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                9,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 top supplier by quarterly revenue
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@register("tpch_q15_top_supplier", _Q15_SQL)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) achieving max quarterly revenue. The scalar max is a
+    one-row broadcast cross join against the per-supplier aggregate (no
+    collect, no single-partition window), then the supplier dim is
+    broadcast for the name lookup."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue()).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 supplier count by part attributes (adapted: lineitem as the link
+# table in place of partsupp)
+# ---------------------------------------------------------------------------
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#9'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("tpch_q16_supplier_cnt", _Q16_SQL)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-supplier count per part attribute bucket (q16 with
+    lineitem standing in for the absent partsupp). countDistinct plans
+    as a two-stage expand+aggregate; the filtered part dim broadcasts."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49))
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 small-quantity-order revenue (correlated scalar subquery)
+# ---------------------------------------------------------------------------
+
+_Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 9) AS avg_yearly
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+@register("tpch_q17_small_qty", _Q17_SQL)
+def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated by hand: per-part avg
+    quantity computed once (over lineitem rows of the brand's parts
+    only — the semi-reduction keeps the aggregate small), broadcast back
+    against the same filtered scan. Note the inner avg in TPC-H scans
+    ALL lineitem rows for the part, which is what both sides compute."""
+    part23 = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    li23 = li.join(F.broadcast(part23), li.l_partkey == F.col("p_partkey"))
+    thresholds = li23.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li23.join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 9).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 large-volume customers
+# ---------------------------------------------------------------------------
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       sum(l_quantity) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+@register("tpch_q18_large_orders", _Q18_SQL)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING-IN subquery as aggregate→semi join. The qualifying-order
+    set is tiny (top ~1% by quantity), so it broadcasts into a
+    left-semi join that prunes orders before the customer join."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 250)
+        .select("l_orderkey")
+    )
+    li_big = li.join(
+        F.broadcast(big.withColumnRenamed("l_orderkey", "b_orderkey")),
+        li.l_orderkey == F.col("b_orderkey"),
+        "left_semi",
+    )
+    return (
+        li_big.join(orders, li_big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 disjunctive brand/size/quantity predicates
+# ---------------------------------------------------------------------------
+
+_Q19_SQL = """
+SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#5'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@register("tpch_q19_disjunctive", _Q19_SQL)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-column predicate across both join sides. The
+    part side of each disjunct is pre-filtered into the broadcast dim
+    (brands ∪), the mixed OR evaluates post-join; lineitem never
+    shuffles."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#5")
+    )
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    b = F.col("p_brand")
+    cond = (
+        ((b == "Brand#12") & sz.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#23") & sz.between(1, 25) & q.between(10, 30))
+        | ((b == "Brand#5") & sz.between(1, 35) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")), li.l_partkey == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.sum(_revenue()).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 suppliers with significant promo-part volume (nested IN)
+# ---------------------------------------------------------------------------
+
+_Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey HAVING sum(l_quantity) > 60
+)
+"""
+
+
+@register("tpch_q20_promo_suppliers", _Q20_SQL)
+def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested IN over an aggregate (q20 shape without partsupp):
+    aggregate-then-semi-join. The HAVING set is at most |supplier| rows,
+    broadcast into the semi join."""
+    supp = load_table(spark, "supplier", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    promo = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    qualifying = (
+        li.join(F.broadcast(promo), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 60)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(qualifying), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 (adapted: sole-faulting-supplier pattern on l_returnflag, since
+# l_commitdate/l_receiptdate don't exist in the testdata)
+# ---------------------------------------------------------------------------
+
+_Q21_SQL = """
+WITH os AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+), ord AS (
+  SELECT l_orderkey,
+         CAST(count(*) AS BIGINT) AS n_supp,
+         CAST(sum(has_r) AS BIGINT) AS n_r
+  FROM os GROUP BY l_orderkey
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM os
+JOIN ord USING (l_orderkey)
+JOIN supplier ON os.l_suppkey = s_suppkey
+WHERE os.has_r = 1 AND ord.n_supp > 1 AND ord.n_r = 1
+GROUP BY s_name
+"""
+
+
+@register("tpch_q21_sole_fault", _Q21_SQL)
+def tpch_q21_sole_fault(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21's EXISTS/NOT-EXISTS pair ("other suppliers in the order, none
+    of them also late") rewritten as two-level aggregation: per
+    (order, supplier) flags, then per-order counts, keeping the supplier
+    whose flag is the order's only one. One shuffle on l_orderkey serves
+    both levels; the reflags join reuses the same partitioning."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    os_flags = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
+    )
+    ord_stats = os_flags.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("has_r").cast("long").alias("n_r")
+    )
+    return (
+        os_flags.join(ord_stats, "l_orderkey")
+        .filter((F.col("has_r") == 1) & (F.col("n_supp") > 1) & (F.col("n_r") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 wealthy inactive customers (scalar subquery + anti join)
+# ---------------------------------------------------------------------------
+
+_Q22_SQL = """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust, sum(c_acctbal) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 350000
+  )
+GROUP BY c_nationkey
+"""
+
+
+@register("tpch_q22_wealthy_inactive", _Q22_SQL)
+def tpch_q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-avg scalar subquery (one-row broadcast cross join) plus an
+    anti join against big orders — q22 with nationkey standing in for
+    the phone prefix. The orders side is filtered before the anti join,
+    so its build set is small enough to broadcast."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 350000)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            F.broadcast(orders.select("o_custkey")),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("c_acctbal").alias("totacctbal"),
+        )
+    )
