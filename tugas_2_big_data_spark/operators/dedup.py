@@ -365,10 +365,13 @@ def simhash16(
     (+1/−1) vote derived from bit i of md5(word). Ties (sum == 0) → 0.
 
     Pure projection: the distinct-word set and its md5s stay inside the
-    row (array_distinct + transform), bit votes are per-row
-    ``aggregate`` folds — zero shuffles, one md5 per word (all 16 bits
-    extracted from the same digest). The exploded formulation would
-    shuffle a words× amplified relation twice for the same answer.
+    row (array_distinct + transform), bit votes are ONE per-row
+    ``aggregate`` fold with an array<long>(16) accumulator — zero
+    shuffles, one md5 per word, one traversal of the word array. The
+    earlier 16-separate-folds formulation walked the hash array 16
+    times (once per bit) for the same values and measured 5.8× slower
+    at sf0.1; the exploded formulation would shuffle a words×
+    amplified relation twice.
     """
     # words projected to a column before the transform: higher-order
     # lambdas re-evaluate inline outer expressions per element
@@ -383,14 +386,45 @@ def simhash16(
         .select(F.col(id_col), F.transform("_dw", F.md5).alias("_h"))
         .filter(F.size("_h") > 0)
     )
-    def _vote(i: int):
-        # plain 2-arg lambda factory: pyspark's higher-order functions
-        # dispatch on lambda arity, so extra default params break them
-        return lambda acc, h: acc + hashing.simhash_bit_contrib_from_md5(h, i)
 
+    def _contribs16(h):
+        # all 16 ±1 votes from one digest: 4 hex nibbles (chars 1..4),
+        # 4 bits each, ordered bit0..bit15 to match
+        # hashing.simhash_bit_contrib_from_md5(h, i) at every i
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(4)),
+                lambda nib_i: F.transform(
+                    F.sequence(F.lit(0), F.lit(3)),
+                    lambda bit: (
+                        (
+                            F.floor(
+                                (
+                                    F.instr(
+                                        F.lit("0123456789abcdef"),
+                                        F.substring(h, nib_i, 1),
+                                    )
+                                    - 1
+                                )
+                                / F.pow(F.lit(2.0), bit.cast("double"))
+                            ).cast("long")
+                            % 2
+                        )
+                        * 2
+                        - 1
+                    ).cast("long"),
+                ),
+            )
+        )
+
+    votes = F.aggregate(
+        "_h",
+        F.array_repeat(F.lit(0).cast("long"), 16),
+        lambda acc, h: F.zip_with(acc, _contribs16(h), lambda a, c: a + c),
+    )
+    v = hashes.select(F.col(id_col), votes.alias("_v"))
     sig = None
     for i in range(16):
-        s = F.aggregate("_h", F.lit(0).cast("long"), _vote(i))
-        bit = F.when(s > 0, F.lit(2**i)).otherwise(F.lit(0))
+        bit = F.when(F.element_at("_v", i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
-    return hashes.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    return v.select(F.col(id_col), sig.cast("long").alias("simhash"))
