@@ -71,6 +71,11 @@ HEADLINE = [
     "tpch_q17_small_qty",
     "tpch_q18_large_orders",
     "tpch_q21_sole_fault",
+    "evt_range_join_30min",
+    "evt_hypertable_rollup",
+    "win_balance_distribution",
+    "sketch_distinct_users",
+    "sketch_value_quantiles",
 ]
 
 

@@ -1,0 +1,116 @@
+"""Tests for the analytics extensions: range join, hypertable rollup,
+sketch aggregates (error-bounded vs exact), and plan-shape pins.
+
+The oracle-equality of evt_range_join_30min / evt_hypertable_rollup /
+unpivot / window-distribution queries is covered by test_oracle_parity
+(they register DuckDB SQL); here we pin the properties an oracle can't
+see: plan shape (no nested-loop join) and sketch error bounds (no
+exact oracle exists by construction).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE, SF_UNIT
+from tugas_2_big_data_spark import queries as q
+from tugas_2_big_data_spark.operators import rangejoin, timeseries
+from tugas_2_big_data_spark.plans import inspect as pi
+from tugas_2_big_data_spark.sources.catalog import load_table
+
+REG = q.queries()
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The whole point of bucketization: Catalyst must plan a hash/sort
+    equi-join on the bucket key, never BroadcastNestedLoop/cartesian."""
+    df = REG["evt_range_join_30min"](spark, SF_UNIT)
+    assert not pi.uses_cartesian_or_bnl(df)
+
+
+def test_range_join_width_independence(spark):
+    """Containment predicate makes results independent of bucket width
+    (width only shapes candidate amplification)."""
+    ev = load_table(spark, "events", SF_UNIT)
+    anchors = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select(
+            F.col("event_id").alias("anchor_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+        )
+    )
+    points = ev.select(F.col("event_id").alias("pid"), "ts")
+    kwargs = dict(point_ts="ts", start_ts="start_ts", end_ts="end_ts")
+    narrow = rangejoin.bucketed_range_join(
+        points, anchors, bucket_width_s=1800, **kwargs
+    )
+    wide = rangejoin.bucketed_range_join(
+        points, anchors, bucket_width_s=7200, **kwargs
+    )
+    a = sorted((r.anchor_id, r.pid) for r in narrow.collect())
+    b = sorted((r.anchor_id, r.pid) for r in wide.collect())
+    assert a == b and len(a) > 0
+
+
+def test_rollup_grains_nest_exactly(spark):
+    """Every 1d bucket's n_rows equals the sum of its 1h buckets, and
+    total rows at each grain equal the raw count (lossless rollup)."""
+    ev = load_table(spark, "events", SF_UNIT)
+    out = timeseries.hypertable_rollup(
+        ev, "ts", "value", widths_s=(300, 3600, 86400),
+        grain_labels=("5m", "1h", "1d"),
+    ).cache()
+    raw = ev.count()
+    per_grain = {
+        r.grain: r.total
+        for r in out.groupBy("grain").agg(F.sum("n_rows").alias("total")).collect()
+    }
+    assert per_grain == {"5m": raw, "1h": raw, "1d": raw}
+    out.unpersist()
+
+
+def test_rollup_rejects_non_nesting_widths(spark):
+    ev = load_table(spark, "events", SF_UNIT)
+    with pytest.raises(ValueError, match="nest"):
+        timeseries.hypertable_rollup(ev, "ts", "value", widths_s=(300, 1000))
+
+
+def test_hll_distinct_within_rsd(spark):
+    """HLL++ estimate within 5× the configured rsd (1%) of exact —
+    generous but catches wiring mistakes (wrong column, wrong group)."""
+    approx = {
+        r.event_type: r.approx_users
+        for r in REG["sketch_distinct_users"](spark, SF_ORACLE).collect()
+    }
+    ev = load_table(spark, "events", SF_ORACLE)
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
+
+
+def test_approx_quantiles_rank_error(spark):
+    """GK sketch: estimated p50/p90/p99 must land within ±2% of the
+    requested rank in the exact sorted order of each group."""
+    rows = REG["sketch_value_quantiles"](spark, SF_ORACLE).collect()
+    ev = load_table(spark, "events", SF_ORACLE)
+    for r in rows:
+        vals = sorted(
+            x.value
+            for x in ev.filter(F.col("event_type") == r.event_type)
+            .select("value")
+            .collect()
+        )
+        n = len(vals)
+        for p, est in [(0.5, r.p50), (0.9, r.p90), (0.99, r.p99)]:
+            import bisect
+
+            rank = bisect.bisect_right(vals, est) / n
+            assert abs(rank - p) <= 0.02, (r.event_type, p, est, rank)

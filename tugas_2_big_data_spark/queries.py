@@ -847,3 +847,7 @@ from tugas_2_big_data_spark import queries_training  # noqa: E402,F401
 # register the TPC-H-style join/subquery surface (q2/q7..q22 adapted to
 # the testdata schema)
 from tugas_2_big_data_spark import queries_tpch  # noqa: E402,F401
+
+# register the analytics extensions (range join, hypertable rollup,
+# unpivot, distribution windows, sketches)
+from tugas_2_big_data_spark import queries_analytics  # noqa: E402,F401

@@ -1,0 +1,230 @@
+"""Analytics extension queries: range join, hypertable rollup, unpivot,
+ranked-distribution window functions, and sketch aggregates.
+
+Registered into the same oracle-checked registry as queries.py. None of
+these exist in the reference (SURVEY.md §2.5/§2.7/§2.8 record the
+absences); they are the engine-completeness surface a reference user
+migrating real workloads would reach for next.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tugas_2_big_data_spark.queries import register
+from tugas_2_big_data_spark.sources.catalog import load_table
+from tugas_2_big_data_spark.operators import rangejoin, timeseries
+
+
+# ---------------------------------------------------------------------------
+# Range join: events within [anchor, anchor+30min) of high-value
+# purchase anchors — NO equi-key, the bucketized plan replaces the
+# BroadcastNestedLoopJoin Catalyst would otherwise produce.
+# ---------------------------------------------------------------------------
+
+_RANGE_JOIN_SQL = """
+SELECT a.event_id AS anchor_id, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(e.value) AS total_value
+FROM (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS start_ts,
+         CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS end_ts
+  FROM events WHERE event_type = 'purchase' AND value > 150
+) a
+JOIN (
+  SELECT event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+) e ON e.ts >= a.start_ts AND e.ts < a.end_ts
+GROUP BY anchor_id, e.event_type
+"""
+
+
+@register("evt_range_join_30min", _RANGE_JOIN_SQL)
+def evt_range_join_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-anchor activity profile for the 30 minutes after each
+    high-value purchase. Bucket width == interval length (1800 s), so
+    each interval explodes to exactly 2 bucket keys and the join is a
+    plain hash equi-join on the bucket — shuffle-parallel at any scale
+    (operators/rangejoin.py)."""
+    ev = load_table(spark, "events", sf_dir)
+    anchors = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select(
+            F.col("event_id").alias("anchor_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+        )
+    )
+    points = ev.select("event_id", "event_type", "value", "ts")
+    joined = rangejoin.bucketed_range_join(
+        points,
+        anchors,
+        point_ts="ts",
+        start_ts="start_ts",
+        end_ts="end_ts",
+        bucket_width_s=1800,
+    )
+    return joined.groupBy("anchor_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable rollup: 5min → 1h → 1d continuous aggregate, coarse grains
+# re-aggregated from fine (ONE raw-table shuffle). Oracle computes every
+# grain from raw — identical values because count/sum/min/max compose.
+# ---------------------------------------------------------------------------
+
+def _rollup_grain_sql(width: str, label: str) -> str:
+    return f"""
+SELECT '{label}' AS grain,
+  strftime(time_bucket(INTERVAL '{width}', CAST(ts AS TIMESTAMP)),
+           '%Y-%m-%d %H:%M:%S')       AS bucket_start,
+  CAST(count(*) AS BIGINT)            AS n_rows,
+  sum(value)                          AS sum_value,
+  min(value)                          AS min_value,
+  max(value)                          AS max_value
+FROM events GROUP BY bucket_start
+"""
+
+
+_ROLLUP_SQL = " UNION ALL ".join(
+    _rollup_grain_sql(w, lb)
+    for w, lb in [("5 minutes", "5m"), ("1 hour", "1h"), ("1 day", "1d")]
+)
+
+
+@register("evt_hypertable_rollup", _ROLLUP_SQL)
+def evt_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain rollup where each coarser grain aggregates the
+    next-finer aggregate, not the raw table. The oracle recomputes each
+    grain from raw rows — equal results ARE the test that the rollup
+    composition is lossless. (The two-level sum re-associates float
+    addition; at ~10⁴ values the relative drift is ~1e-13, far inside
+    the 1e-9 compare tolerance, so no rounding is needed.)"""
+    ev = load_table(spark, "events", sf_dir)
+    out = timeseries.hypertable_rollup(
+        ev, "ts", "value",
+        widths_s=(300, 3600, 86400),
+        grain_labels=("5m", "1h", "1d"),
+    )
+    return out.select(
+        "grain",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "n_rows",
+        "sum_value",
+        "min_value",
+        "max_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide → long): the inverse of segment_pivot. Spark's native
+# unpivot == SQL stack(); oracle spells it as UNION ALL.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         sum(l_quantity)      AS qty,
+         sum(l_extendedprice) AS price,
+         sum(l_discount)      AS discount,
+         sum(l_tax)           AS tax
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'qty' AS metric, qty AS total FROM wide
+UNION ALL SELECT l_returnflag, 'price', price FROM wide
+UNION ALL SELECT l_returnflag, 'discount', discount FROM wide
+UNION ALL SELECT l_returnflag, 'tax', tax FROM wide
+"""
+
+
+@register("unpivot_lineitem_totals", _UNPIVOT_SQL)
+def unpivot_lineitem_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide aggregate melted to (key, metric, value) rows via the native
+    unpivot operator (Expand node: one pass, no self-union re-scan —
+    the UNION ALL oracle formulation would scan the aggregate 4×)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("qty"),
+        F.sum("l_extendedprice").alias("price"),
+        F.sum("l_discount").alias("discount"),
+        F.sum("l_tax").alias("tax"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "discount", "tax"],
+        variableColumnName="metric",
+        valueColumnName="total",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranked-distribution window suite: ntile / percent_rank / cume_dist
+# (none in the reference — SURVEY.md §2.7 has only row_number).
+# ---------------------------------------------------------------------------
+
+_WIN_DIST_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+  CAST(ntile(4)  OVER w AS BIGINT)        AS balance_quartile,
+  round(percent_rank() OVER w, 9)         AS pct_rank,
+  round(cume_dist()    OVER w, 9)         AS cume,
+  first_value(c_custkey) OVER w           AS poorest_in_segment
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("win_balance_distribution", _WIN_DIST_SQL)
+def win_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing + rank distributions per market segment. The
+    ORDER BY includes c_custkey so ranks are total-ordered and
+    deterministic on both engines (SURVEY.md §7 ordering policy)."""
+    cust = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.first("c_custkey").over(w).alias("poorest_in_segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch aggregates — the 100 TB path for distinct counts and quantiles.
+# Estimates are engine-specific (Spark HLL++ / GK vs DuckDB's sketches),
+# so there is no value-equal oracle; the driver records a rows-only
+# check and tests/test_sketches.py bounds the error against the exact
+# answers instead.
+# ---------------------------------------------------------------------------
+
+@register("sketch_distinct_users", None)
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type at rsd=0.01.
+    Mergeable sketch => one map-side-partial shuffle at any scale,
+    constant memory per group — countDistinct's exact expand+dedup
+    shuffles every distinct (group, user) pair instead."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+    )
+
+
+@register("sketch_value_quantiles", None)
+def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of event value per type
+    (Greenwald-Khanna, accuracy 1e4 ≈ 0.01% rank error). Exact
+    percentile sorts every group; the GK sketch is single-pass,
+    mergeable, bounded-memory — the only viable shape at 100 TB."""
+    ev = load_table(spark, "events", sf_dir)
+    q = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+    return ev.groupBy("event_type").agg(
+        q.getItem(0).alias("p50"),
+        q.getItem(1).alias("p90"),
+        q.getItem(2).alias("p99"),
+    )
