@@ -134,3 +134,40 @@ def test_sessionize_runs(spark, stream_events):
     for r in rows[:50]:
         assert r["session_end"] > r["session_start"]
         assert r["n_events"] >= 1
+
+
+def test_stream_stream_join_matches_batch(spark, stream_events):
+    """The streaming interval join must produce exactly the rows the
+    same join yields in batch (the file source delivers everything, so
+    no matches are watermark-dropped for this bounded input)."""
+    from pyspark.sql import functions as F
+
+    out = se.run_to_memory(
+        se.purchases_joined_clicks(stream_events), "t_ssjoin", output_mode="append"
+    )
+    got = sorted((r.purchase_id, r.click_id) for r in out.collect())
+
+    ev = load_table(spark, "events", SF_UNIT)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    expected = sorted(
+        (r.purchase_id, r.click_id)
+        for r in p.join(
+            c,
+            (F.col("user_id") == F.col("click_user_id"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                > F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+            ),
+        ).collect()
+    )
+    assert got == expected and len(got) > 0

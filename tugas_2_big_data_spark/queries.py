@@ -851,3 +851,7 @@ from tugas_2_big_data_spark import queries_tpch  # noqa: E402,F401
 # register the analytics extensions (range join, hypertable rollup,
 # unpivot, distribution windows, sketches)
 from tugas_2_big_data_spark import queries_analytics  # noqa: E402,F401
+
+# register the Structured Streaming queries (drained on the bounded
+# source so the driver's oracle checks batch/stream parity by value)
+from tugas_2_big_data_spark import queries_streaming  # noqa: E402,F401

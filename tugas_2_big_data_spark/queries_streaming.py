@@ -1,0 +1,88 @@
+"""Streaming queries exposed through the oracle-checked registry.
+
+Each entry drives a Structured Streaming plan to completion on the
+bounded file source (memory sink, processAllAvailable) and returns the
+materialized result — so the DRIVER's DuckDB oracle verifies the
+streaming operator's values, not just that it runs. Because the input
+is bounded and fully drained, no rows are watermark-dropped and the
+streaming result must equal the equivalent batch query: batch/stream
+parity is checked by the same gate as every batch operator.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tugas_2_big_data_spark.queries import register
+from tugas_2_big_data_spark.streaming import events as se
+
+_COUNTER = itertools.count()
+
+
+def _sink_name(prefix: str) -> str:
+    # memory-sink table names are session-global; keep re-invocations
+    # (driver retries, repeated tests) from colliding
+    return f"{prefix}_{os.getpid()}_{next(_COUNTER)}"
+
+
+_STREAM_TUMBLE_SQL = """
+SELECT
+  strftime(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+           '%Y-%m-%d %H:%M:%S')           AS window_start,
+  event_type,
+  CAST(count(*) AS BIGINT)                AS n_events,
+  sum(value)                              AS total_value
+FROM events
+GROUP BY window_start, event_type
+"""
+
+
+@register("stream_tumbling_5min", _STREAM_TUMBLE_SQL)
+def stream_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 5-minute tumbling aggregation, executed as a real
+    Structured Streaming query (file source → memory sink) and verified
+    against the SAME oracle as the batch twin evt_tumbling_5min.
+
+    Complete output mode: append emits a window only when the watermark
+    passes it, so on a bounded drain the final windows (within the
+    watermark of max event time) would be held back in state forever —
+    complete mode emits the whole result table instead."""
+    stream = se.read_events_stream(spark, sf_dir)
+    out = se.run_to_memory(
+        se.tumbling_agg(stream), _sink_name("q_stream_tumble"), "complete"
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "total_value",
+    )
+
+
+_STREAM_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 30 MINUTE
+"""
+
+
+@register("stream_join_purchase_clicks", _STREAM_JOIN_SQL)
+def stream_join_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (both sides watermarked, event-time
+    distance bounded in the join condition so state expires), drained
+    on the bounded source and value-checked against the batch join."""
+    stream = se.read_events_stream(spark, sf_dir)
+    out = se.run_to_memory(
+        se.purchases_joined_clicks(stream),
+        _sink_name("q_stream_join"),
+        "append",
+    )
+    return out.select("purchase_id", "user_id", "click_id")

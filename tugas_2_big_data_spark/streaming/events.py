@@ -144,6 +144,48 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def purchases_joined_clicks(
+    events: DataFrame,
+    window: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding `window`.
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance — the two things Spark needs to EXPIRE join
+    state (without the time bound, every click is kept forever waiting
+    for a possible future purchase; state grows without bound at
+    ingest scale). The equi-key (user_id) keeps it a hash-partitioned
+    stream-stream join, shuffle-parallel on the key.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("value").alias("purchase_value"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") > F.col("purchase_ts") - F.expr(f"INTERVAL {window}")),
+    ).select("purchase_id", "user_id", "purchase_value", "purchase_ts", "click_id", "click_ts")
+
+
 def stream_to_parquet_partitions(
     stream_df: DataFrame,
     path: str,
