@@ -149,3 +149,35 @@ def test_tfidf_topk_window_pruned_and_broadcast(dfs):
     plan = pi.explain_formatted(dfs["txt_tfidf_topk"])
     assert "WindowGroupLimit" in plan
     assert pi.uses_broadcast_join(dfs["txt_tfidf_topk"])
+
+
+# --- TPC-H join/subquery surface (queries_tpch.py) ---------------------------
+
+
+def test_q7_broadcasts_filtered_dims_no_cartesian(dfs):
+    assert pi.uses_broadcast_join(dfs["tpch_q7_volume_shipping"])
+    assert not pi.uses_cartesian_or_bnl(dfs["tpch_q7_volume_shipping"])
+
+
+def test_q9_broadcasts_dims_no_cartesian(dfs):
+    assert pi.uses_broadcast_join(dfs["tpch_q9_profit"])
+    assert not pi.uses_cartesian_or_bnl(dfs["tpch_q9_profit"])
+    # LIKE-filtered part dim must be pruned to the two needed columns
+    cols = pi.read_schema_columns(dfs["tpch_q9_profit"], "part")
+    assert cols == {"p_partkey", "p_retailprice", "p_name"}
+
+
+def test_q17_brand_filter_pushed_to_part_scan(dfs):
+    pushed = " ".join(pi.pushed_filters(dfs["tpch_q17_small_qty"]))
+    assert "p_brand" in pushed
+
+
+def test_q18_semi_join_plan_is_broadcast(dfs):
+    assert pi.uses_broadcast_join(dfs["tpch_q18_large_orders"])
+    assert not pi.uses_cartesian_or_bnl(dfs["tpch_q18_large_orders"])
+
+
+def test_q22_scalar_subquery_no_cartesian_blowup(dfs):
+    # the one-row avg broadcast cross join must stay a broadcast
+    # nested loop over ONE build row, and the anti join a broadcast
+    assert pi.uses_broadcast_join(dfs["tpch_q22_wealthy_inactive"])

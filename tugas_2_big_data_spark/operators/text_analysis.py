@@ -296,3 +296,56 @@ def rolling_fingerprints(
     return mins.select(
         F.col(id_col), F.explode(F.array_distinct("_m")).alias("fingerprint")
     )
+
+
+def repetition_exprs(words_col: F.Column) -> dict[str, F.Column]:
+    """Gopher-style repetition signals over a projected words array:
+    duplicate-word fraction and the most-frequent word's share.
+
+    In-row only (transform/filter/aggregate HOFs) — map-only at any
+    scale, like the other quality expressions. top_word_frac counts
+    occurrences of each DISTINCT word with an O(distinct·n) per-row
+    scan: fine at document word counts, and it keeps the whole signal
+    out of the shuffle path (the explode+groupBy formulation shuffles a
+    words× amplified relation to compute a per-row statistic).
+
+    Pass a materialized array column, not an inline split() (pitfall 1
+    in SCALE.md: HOF lambdas re-evaluate inline outer expressions per
+    element).
+    """
+    n = F.size(words_col)
+    n_distinct = F.size(F.array_distinct(words_col))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(words_col),
+            lambda w: F.size(F.filter(words_col, lambda x: x == w)),
+        )
+    )
+    return {
+        "dup_word_frac": F.when(
+            n > 0, 1.0 - n_distinct.cast("double") / n.cast("double")
+        ).otherwise(F.lit(0.0)),
+        "top_word_frac": F.when(
+            n > 0, top_count.cast("double") / n.cast("double")
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+# Conservative cross-engine patterns: Java regex (Spark) and RE2
+# (DuckDB) agree on these constructs (char classes, {m,n}, \d, \b).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3,4}[- ]\d{3,4}[- ]\d{3,5}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(text_col: F.Column | str) -> F.Column:
+    """Mask emails / IPv4s / phone-shaped numbers with typed tags.
+    Chained regexp_replace — pure projection, codegen'd, zero shuffle.
+    Order matters: emails first (their local part can contain digits
+    that the phone pattern would otherwise split)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pat, tag in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, tag)
+    return col

@@ -21,6 +21,7 @@ from tugas_2_big_data_spark.operators import (
     similarity,
     text_analysis,
 )
+from tugas_2_big_data_spark.functions import hashing
 
 # ---------------------------------------------------------------------------
 # shared corpus-with-duplicates
@@ -1127,3 +1128,73 @@ def iqplus_summarize_longdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = iqplus.summarize_news(docs, order_by=["doc_id"])
     return out.select("index", "doc_id", "rangkuman")
+
+
+_REPETITION_SQL = """
+SELECT doc_id,
+  round(CASE WHEN n > 0 THEN 1.0 - nd / n ELSE 0.0 END, 9) AS dup_word_frac,
+  round(CASE WHEN n > 0 THEN topc / n ELSE 0.0 END, 9)     AS top_word_frac
+FROM (
+  SELECT doc_id,
+    CAST(len(w) AS DOUBLE)                AS n,
+    CAST(len(list_distinct(w)) AS DOUBLE) AS nd,
+    CAST(list_max(list_transform(list_distinct(w),
+      x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) AS topc
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents)
+)
+"""
+
+
+@register("txt_repetition", _REPETITION_SQL)
+def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-word fraction,
+    most-frequent-word share) — in-row HOFs, map-only (SCALE.md §text)."""
+    docs = load_table(spark, "documents", sf_dir)
+    with_words = docs.select(
+        "doc_id", hashing.words("text").alias("_w")
+    )
+    rep = text_analysis.repetition_exprs(F.col("_w"))
+    return with_words.select(
+        "doc_id",
+        F.round(rep["dup_word_frac"], 9).alias("dup_word_frac"),
+        F.round(rep["top_word_frac"], 9).alias("top_word_frac"),
+    )
+
+
+# The synthetic corpus contains no PII, so the scrub query PLANTS
+# deterministic PII derived from doc_id on both engines, then verifies
+# the masked output value-equal — demonstrating the scrub on text that
+# actually exercises every pattern.
+_PII_SQL = """
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(planted,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+    '\\b\\d{3,4}[- ]\\d{3,4}[- ]\\d{3,5}\\b', '<PHONE>', 'g') AS scrubbed
+FROM (
+  SELECT doc_id,
+    'user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.'
+      || CAST(doc_id % 256 AS VARCHAR) || '.7 call 0812-3456-'
+      || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' ' || text AS planted
+  FROM documents
+)
+"""
+
+
+@register("txt_pii_scrub", _PII_SQL)
+def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (emails, IPv4s, phone-shaped numbers) as chained
+    regexp_replace — pure projection. PII is planted deterministically
+    from doc_id so the oracle checks the masked values exactly."""
+    docs = load_table(spark, "documents", sf_dir)
+    planted = F.concat(
+        F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7 call 0812-3456-"),
+        (F.col("doc_id") % 9000 + 1000).cast("string"), F.lit(" "), F.col("text"),
+    )
+    return docs.select(
+        "doc_id", text_analysis.pii_scrub(planted).alias("scrubbed")
+    )
