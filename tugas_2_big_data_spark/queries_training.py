@@ -1198,3 +1198,67 @@ def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", text_analysis.pii_scrub(planted).alias("scrubbed")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal: resize + frame-sample mapInPandas plumbing, oracle-checked
+# on the deterministic parts of the contract (dims, byte counts, frame
+# expansion). Payload CONTENT parity is pinned in tests/test_multimodal.py;
+# here the oracle recomputes the structural outputs from first principles.
+# ---------------------------------------------------------------------------
+
+_MM_RESIZE_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 64 END AS INT) AS width,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 64 END AS INT) AS height,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 4096
+       ELSE octet_length(CAST(text AS BLOB)) END AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+@register("mm_resize_dims", _MM_RESIZE_SQL)
+def mm_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize through the stubbed-codec mapInPandas operator
+    (multimodal/binary.py): image rows come out at the target 64×64
+    (4096 payload bytes), non-image rows pass through untouched with
+    NULL dims. The oracle recomputes dims/sizes from the deterministic
+    mime assignment (even doc_id → image)."""
+    from tugas_2_big_data_spark.multimodal import binary
+
+    docs = load_table(spark, "documents", sf_dir)
+    resized = binary.resize_images(binary.attach_binary_payload(docs))
+    return resized.select(
+        "doc_id",
+        "mime",
+        "width",
+        "height",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+
+
+_MM_FRAMES_SQL = """
+SELECT d.doc_id, CAST((s.i - 1) * 10 AS INT) AS frame_idx
+FROM (
+  SELECT doc_id, least(5, greatest(1,
+    octet_length(CAST(text AS BLOB)) // 10)) AS n_frames
+  FROM documents
+) d
+JOIN generate_series(1, 5) AS s(i) ON s.i <= d.n_frames
+"""
+
+
+@register("mm_frame_sample", _MM_FRAMES_SQL)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the row-EXPANDING mapInPandas
+    operator: one output row per sampled frame, frame count derived
+    from payload length (min(5, max(1, n_bytes // 10)) frames at
+    stride 10). The oracle regenerates the (doc_id, frame_idx) fan-out
+    with a lateral generate_series — checking the expansion cardinality
+    and indices exactly; frame bytes are pinned in unit tests."""
+    from tugas_2_big_data_spark.multimodal import binary
+
+    docs = load_table(spark, "documents", sf_dir)
+    frames = binary.sample_frames(binary.attach_binary_payload(docs))
+    return frames.select("doc_id", "frame_idx")
