@@ -73,6 +73,9 @@ HEADLINE = [
     "tpch_q21_sole_fault",
     "evt_range_join_30min",
     "evt_hypertable_rollup",
+    "evt_gapfill_5min",
+    "evt_json_props",
+    "mm_frame_sample",
     "win_balance_distribution",
     "sketch_distinct_users",
     "sketch_value_quantiles",

@@ -86,6 +86,8 @@ def test_q1_codegen_live(dfs):
         "txt_token_stats",
         "txt_canonical_fingerprint",
         "mm_binary_meta",
+        "mm_frame_sample",
+        "mm_resize_dims",
     ],
 )
 def test_map_only_operators_have_zero_shuffles(dfs, name):
@@ -181,3 +183,24 @@ def test_q22_scalar_subquery_no_cartesian_blowup(dfs):
     # the one-row avg broadcast cross join must stay a broadcast
     # nested loop over ONE build row, and the anti join a broadcast
     assert pi.uses_broadcast_join(dfs["tpch_q22_wealthy_inactive"])
+
+
+def test_json_props_reads_two_columns_only(dfs):
+    """JSON extraction must stay a scan-side projection: only the
+    grouping key and the props JSON string leave the parquet reader."""
+    assert pi.read_schema_columns(dfs["evt_json_props"], "events") == {
+        "event_type",
+        "props",
+    }
+    assert not pi.uses_cartesian_or_bnl(dfs["evt_json_props"])
+
+
+def test_gapfill_spine_is_generated_not_cartesian(dfs):
+    """Gap fill reads only (ts, key, value) from the fact and builds its
+    dense spine from a one-row bounds agg + sequence explode — the tiny
+    keys×buckets cross join must plan as a broadcast, never a
+    CartesianProduct/BNL over fact-sized inputs."""
+    df = dfs["evt_gapfill_5min"]
+    assert pi.read_schema_columns(df, "events") == {"ts", "event_type", "value"}
+    assert not pi.uses_cartesian_or_bnl(df)
+    assert pi.uses_broadcast_join(df)

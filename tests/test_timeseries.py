@@ -103,3 +103,34 @@ def test_month_aggregates_consistent_with_daily(prices):
     m = [r for r in month if r["ticker"] == "AAAA" and r["period_key"] == "2024-02"][0]
     assert m["sum_volume"] == sum(r["Volume"] for r in feb)
     assert m["min_low"] == min(r["Low"] for r in feb)
+
+
+def test_gap_fill_locf_dense_spine_and_carry(spark):
+    from datetime import datetime
+
+    from tugas_2_big_data_spark.operators import timeseries
+
+    rows = [
+        # key "a": buckets 0 and 10:00 filled, 5:00 missing
+        ("a", datetime(2024, 1, 1, 0, 0, 30), 1.0),
+        ("a", datetime(2024, 1, 1, 0, 1, 0), 2.0),
+        ("a", datetime(2024, 1, 1, 0, 10, 0), 5.0),
+        # key "b": only the middle bucket
+        ("b", datetime(2024, 1, 1, 0, 5, 0), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = timeseries.gap_fill_locf(df, "ts", "k", "v", width_s=300)
+    got = {(r["k"], r["bucket_start"].minute): r for r in out.collect()}
+    # dense spine: 2 keys x 3 buckets (00:00 / 00:05 / 00:10)
+    assert len(got) == 6
+    # filled bucket sums
+    assert got[("a", 0)]["sum_value"] == 3.0 and got[("a", 0)]["n_rows"] == 2
+    # gap: zero count, NULL sum, LOCF carries the previous sum
+    assert got[("a", 5)]["n_rows"] == 0
+    assert got[("a", 5)]["sum_value"] is None
+    assert got[("a", 5)]["locf_value"] == 3.0
+    assert got[("a", 10)]["locf_value"] == 5.0
+    # key b: leading gap has nothing to carry -> NULL locf
+    assert got[("b", 0)]["locf_value"] is None
+    assert got[("b", 5)]["locf_value"] == 7.0
+    assert got[("b", 10)]["locf_value"] == 7.0

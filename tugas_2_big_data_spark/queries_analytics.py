@@ -228,3 +228,101 @@ def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.getItem(1).alias("p90"),
         q.getItem(2).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured JSON extraction — events.props is a JSON string
+# column; parse with an EXPLICIT schema (from_json), never schema
+# inference, so the extraction stays a JVM-side codegen'd projection.
+# At 100 TB: parse once per row map-side, filter before the agg
+# shuffle; no Python, no sampling pass over the corpus.
+# ---------------------------------------------------------------------------
+
+_JSON_PROPS_SQL = """
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(k) AS BIGINT) AS sum_k,
+  CAST(min(k) AS BIGINT) AS min_k,
+  CAST(max(k) AS BIGINT) AS max_k,
+  avg(k) AS avg_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+WHERE k >= 50
+GROUP BY event_type
+"""
+
+
+@register("evt_json_props", _JSON_PROPS_SQL)
+def evt_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction + filter + aggregate over the props JSON
+    column: `from_json` with a declared one-field schema pulls `k` out
+    as BIGINT in the scan projection, the k>=50 predicate runs before
+    the shuffle, and the agg is an ordinary partial+final hash agg.
+    Oracle re-extracts with DuckDB's json_extract_string."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.select(
+            "event_type",
+            F.from_json("props", "k BIGINT").getField("k").alias("k"),
+        )
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.avg("k").alias("avg_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap fill + LOCF — dense 5-minute calendar per event type with
+# carried-forward sums (TimescaleDB time_bucket_gapfill/locf).
+# ---------------------------------------------------------------------------
+
+_GAPFILL_SQL = """
+WITH agg AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS bucket,
+         CAST(count(*) AS BIGINT) AS n, sum(value) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg),
+spine AS (
+  SELECT k.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM events) k
+  CROSS JOIN (
+    SELECT unnest(generate_series(lo, hi, INTERVAL '5 minutes')) AS bucket
+    FROM bounds
+  ) g
+)
+SELECT s.event_type,
+  strftime(s.bucket, '%Y-%m-%d %H:%M:%S') AS window_start,
+  CAST(coalesce(a.n, 0) AS BIGINT) AS n_events,
+  a.v AS total_value,
+  last_value(a.v IGNORE NULLS) OVER (
+    PARTITION BY s.event_type ORDER BY s.bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+FROM spine s
+LEFT JOIN agg a ON s.event_type = a.event_type AND s.bucket = a.bucket
+"""
+
+
+@register("evt_gapfill_5min", _GAPFILL_SQL)
+def evt_gapfill_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-type 5-minute series with zero-filled counts and
+    LOCF-interpolated sums (operators/timeseries.gap_fill_locf): one
+    fact shuffle, a generated spine, and a per-key LOCF window."""
+    ev = load_table(spark, "events", sf_dir)
+    g = timeseries.gap_fill_locf(ev, "ts", "event_type", "value", width_s=300)
+    return g.select(
+        "event_type",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col("n_rows").alias("n_events"),
+        F.col("sum_value").alias("total_value"),
+        "locf_value",
+    )
