@@ -86,3 +86,106 @@ def stream_join_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
     )
     return out.select("purchase_id", "user_id", "click_id")
+
+
+_STREAM_SESSION_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+ids AS (
+  SELECT user_id, ts, value,
+    sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+    ) AS sid
+  FROM marked
+)
+SELECT user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f')                    AS session_start,
+  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+  CAST(count(*) AS BIGINT)                                     AS n_events,
+  sum(value)                                                   AS session_value
+FROM ids
+GROUP BY user_id, sid
+"""
+
+
+@register("stream_sessionize_30min", _STREAM_SESSION_SQL)
+def stream_sessionize_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session_window sessionization as a REAL streaming
+    query, drained on the bounded source in complete mode and checked
+    against the same lag+cumsum island oracle as the batch twin
+    (evt_sessionize_30min) — proving streaming session merging yields
+    byte-identical sessions to the batch formulation."""
+    stream = se.read_events_stream(spark, sf_dir)
+    out = se.run_to_memory(
+        se.sessionize(stream), _sink_name("q_stream_session"), "complete"
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "session_value",
+    )
+
+
+_STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@register("stream_dedup_keys", _STREAM_DEDUP_SQL)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming exact dedup
+    (dropDuplicatesWithinWatermark): keep the first arrival per
+    (user_id, event_type) key. Only the key columns are emitted —
+    WHICH duplicate survives is arrival-order-dependent, the key set
+    is not — so the drained result must equal batch DISTINCT exactly.
+    The state store holds each key only until the watermark passes it
+    (bounded state at ingest scale; plain dropDuplicates on a stream
+    grows state forever)."""
+    stream = se.read_events_stream(spark, sf_dir)
+    deduped = se.dedup_stream(
+        stream, keys=("user_id", "event_type"), watermark="10 minutes"
+    ).select("user_id", "event_type")
+    out = se.run_to_memory(deduped, _sink_name("q_stream_dedup"), "append")
+    return out
+
+
+_STREAM_TOTALS_SQL = """
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  sum(coalesce(value, 0)) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("stream_running_user_totals", _STREAM_TOTALS_SQL)
+def stream_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) driven as a
+    real streaming query: per-user running (count, sum) state updated
+    each micro-batch, update-mode memory sink. The totals are
+    monotonically non-decreasing, so max() over the emitted updates ==
+    the final state for every user regardless of how the source was
+    micro-batched — making the drained result equal the batch
+    GROUP BY oracle deterministically."""
+    stream = se.read_events_stream(spark, sf_dir)
+    out = se.run_to_memory(
+        se.running_user_totals(stream),
+        _sink_name("q_stream_totals"),
+        "update",
+    )
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+    )
