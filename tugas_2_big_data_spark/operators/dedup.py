@@ -428,3 +428,51 @@ def simhash16(
         bit = F.when(F.element_at("_v", i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return v.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def contamination_rates(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for every training doc, the
+    fraction of its n-gram shingle set that appears anywhere in the
+    benchmark corpus.
+
+    The standard pre-training hygiene step (the reference has no text
+    dedup at all — its text surface is summarization only,
+    iqplus_market_transform.py:28-89 — so this is part of the
+    LLM-pipeline extension surface).
+
+    Scale shape: the benchmark side is aggregated to ONE row holding
+    its distinct shingle vocabulary (array<string>), broadcast cross-
+    joined against the narrow per-doc shingle sets, and scored with
+    ``array_intersect`` — the whole operator is map-only over the
+    training corpus, no explode and no shuffle of the amplified
+    (id, shingle) relation. This holds as long as the benchmark
+    vocabulary fits in one task (benchmarks are ~10^3-10^6 items even
+    when the training side is 100 TB); if it ever doesn't, fall back to
+    exploded shingles broadcast-hash-joined against the benchmark
+    vocabulary and re-grouped by id.
+    """
+    bench_vocab = (
+        shingle_sets(benchmark, text_col, id_col, n)
+        .select(F.explode("shingles").alias("shingle"))
+        .agg(F.collect_set("shingle").alias("_bench"))
+    )
+    sets = shingle_sets(train, text_col, id_col, n)
+    return (
+        sets.join(F.broadcast(bench_vocab))
+        .select(
+            F.col(id_col),
+            F.size("shingles").cast("long").alias("n_shingles"),
+            F.size(F.array_intersect("shingles", "_bench"))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_rate", F.col("n_contaminated") / F.col("n_shingles")
+        )
+    )

@@ -326,3 +326,52 @@ def evt_gapfill_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_value").alias("total_value"),
         "locf_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS: one pass producing three grains (flag×status, flag,
+# grand total) — distinct from the cube/rollup queries, which emit the
+# full lattice; grouping sets picks exactly the grains asked for.
+# ---------------------------------------------------------------------------
+
+_GSETS_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("grouping_sets_pricing", _GSETS_SQL)
+def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain aggregate in ONE shuffle via DataFrame.groupingSets
+    (Spark 4 native API — Expand feeds a single HashAggregate, so the
+    fact table is scanned and shuffled once for all three grains, not
+    once per grain as the UNION ALL formulation would). Subtotal rows
+    surface the grouping NULLs as an 'ALL' sentinel on both sides; the
+    testdata columns are non-null so the sentinel is unambiguous."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+            "revenue",
+        )
+    )

@@ -734,3 +734,40 @@ def tpch_q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_acctbal").alias("totacctbal"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# q11 important stock (adapted: lineitem revenue per part in place of
+# partsupp value; HAVING against a fraction of the global total)
+# ---------------------------------------------------------------------------
+
+_Q11_SQL = """
+WITH pr AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS part_value
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM pr
+WHERE part_value > (SELECT sum(part_value) FROM pr) * 0.0006
+"""
+
+
+@register("tpch_q11_important_parts", _Q11_SQL)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue exceeds a fixed fraction of total revenue —
+    the q11 HAVING-over-global-total pattern with lineitem revenue
+    standing in for partsupp value (the testdata has no partsupp,
+    module docstring). One scan feeds both sides: the per-part
+    aggregate is computed once, its global sum re-aggregated from the
+    small per-part relation (not the fact table) and applied as a
+    one-row broadcast cross join — no collect, no second fact scan.
+    Completes the q1-q22 suite (reference has no joins at all,
+    SURVEY.md §2.5)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    pr = li.groupBy("l_partkey").agg(F.sum(_revenue()).alias("part_value"))
+    total = pr.agg((F.sum("part_value") * F.lit(0.0006)).alias("threshold"))
+    return (
+        pr.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )

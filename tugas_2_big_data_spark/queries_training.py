@@ -1262,3 +1262,36 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     frames = binary.sample_frames(binary.attach_binary_payload(docs))
     return frames.select("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination
+# ---------------------------------------------------------------------------
+
+_TRAIN_DOCS_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0"
+_BENCH_DOCS_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0"
+
+_CONTAMINATION_SQL = f"""
+WITH tr AS ({_shingles_over(_TRAIN_DOCS_SQL)}),
+b AS (SELECT DISTINCT shingle FROM ({_shingles_over(_BENCH_DOCS_SQL)}))
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM b)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+  sum(CASE WHEN shingle IN (SELECT shingle FROM b) THEN 1 ELSE 0 END)
+    / count(*) AS contamination_rate
+FROM tr
+GROUP BY doc_id
+"""
+
+
+@register("txt_contamination", _CONTAMINATION_SQL)
+def txt_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination rates: every 97th doc plays the held-out
+    benchmark, the rest are the training corpus. Map-only over the
+    training side — the benchmark shingle vocabulary is one broadcast
+    row scored with array_intersect (dedup.contamination_rates)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return dedup.contamination_rates(train, bench)
