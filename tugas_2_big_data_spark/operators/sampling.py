@@ -89,6 +89,94 @@ def pack_shards(
     )
 
 
+HEX24 = 16**6  # first 24 md5 bits as an integer range
+
+
+def hash_unit24(id_col: str, seed: int) -> F.Column:
+    """First 24 bits of md5("{id}:{seed}") as a long in [0, 2^24) — the
+    integer form of a reproducible uniform draw. Kept integral so keep/
+    drop decisions compare exactly in any engine (no float rounding at
+    the threshold)."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(id_col).cast("string"), F.lit(str(seed))
+                )
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def weighted_keep(
+    df: DataFrame,
+    weight_num_col: str,
+    weight_den: int,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic per-row Bernoulli(min(1, num/den)) thinning —
+    quality- or length-proportional corpus subsampling without an RNG.
+
+    Keep iff ``hash24 · den < min(num, den) · 2^24``: pure integer
+    arithmetic, so the decision is exact and portable (the DuckDB
+    oracle reproduces it bit-for-bit; a float threshold would hash-
+    mismatch on boundary rows). Rows with num ≥ den are always kept.
+
+    MAP-ONLY — zero shuffles, no state; stable under repartitioning
+    and incremental appends, which is what makes the sample auditable
+    at 100 TB (rerun ⇒ identical keep set, per-file parallel).
+    """
+    h = hash_unit24(id_col, seed)
+    num = F.least(F.col(weight_num_col).cast("long"), F.lit(int(weight_den)))
+    return df.filter(h * F.lit(int(weight_den)) < num * F.lit(HEX24))
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    budget: int,
+    strata_cols: tuple[str, ...] = ("lang",),
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Data-mixture rebalancing: cap each stratum (language / source /
+    domain) at ~``budget`` total weight (chars / tokens), keeping a
+    reproducible random subset of its rows.
+
+    Rows are ranked inside each stratum by the seeded md5 permutation
+    (id breaks ties); a row is kept while the cumulative weight BEFORE
+    it is under budget, so the last kept row may overflow by at most
+    one document — the same greedy contract as `pack_shards`. Strata
+    under budget keep everything; the selection is a deterministic
+    function of (stratum, id, seed).
+
+    ONE shuffle (hash by the strata columns). The per-stratum running
+    sum is the same window shape as `pack_shards`: at 100 TB the
+    stratum count (languages × sources) bounds parallelism, which is
+    fine — mixture strata are few and fat, and a skewed giant stratum
+    is exactly the one the budget truncates.
+    """
+    h = F.md5(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in strata_cols])
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.sum(F.col(weight_col)).over(w) - F.col(weight_col)
+    return (
+        df.withColumn("_before", before)
+        .filter(F.col("_before") < budget)
+        .drop("_before")
+    )
+
+
 def stratified_split(
     df: DataFrame,
     strata_cols: tuple[str, ...] = ("lang",),

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from tugas_2_big_data_spark.queries import register
 from tugas_2_big_data_spark.sources.catalog import load_table
-from tugas_2_big_data_spark.operators import rangejoin, timeseries
+from tugas_2_big_data_spark.operators import rangejoin, skew, timeseries
 
 
 # ---------------------------------------------------------------------------
@@ -374,4 +374,39 @@ def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
             "revenue",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase aggregation: identical results to the plain GROUP BY
+# (the oracle IS the plain GROUP BY), with the hot key spread over 16
+# reducers. AQE skew handling covers shuffle-partition skew; salting is
+# the manual fallback when one KEY dominates inside a task.
+# ---------------------------------------------------------------------------
+
+_SALTED_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(value) AS total_value,
+       max(value) AS max_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("skew_salted_user_totals", _SALTED_SQL)
+def skew_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user totals via skew.salted_agg: partial aggregate on
+    (user_id, salt) then merge — two shuffles, but each ≤ 1/16th of a
+    hot user's rows per task. Matching the plain-GROUP-BY oracle
+    proves the decomposition is lossless for algebraic aggregates."""
+    ev = load_table(spark, "events", sf_dir)
+    return skew.salted_agg(
+        ev,
+        ["user_id"],
+        {
+            "n_events": (F.count(F.lit(1)), F.sum("n_events")),
+            "total_value": (F.sum("value"), F.sum("total_value")),
+            "max_value": (F.max("value"), F.max("max_value")),
+        },
     )

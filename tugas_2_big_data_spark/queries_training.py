@@ -1285,6 +1285,59 @@ GROUP BY doc_id
 """
 
 
+def _hex24_sql(expr: str) -> str:
+    """DuckDB integer value of the first 6 hex chars of `expr` (the
+    portable-hash counterpart of sampling.hash_unit24)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i}, 1)) - 1)"
+        f" * {16 ** (6 - i)}"
+        for i in range(1, 7)
+    )
+
+
+_MIX_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+    sum(n_chars) OVER (PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars
+      AS before
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM ranked WHERE before < 20000
+"""
+
+
+@register("mix_language_budget", _MIX_SQL)
+def mix_language_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing: cap every language at ~20k chars,
+    keeping a seeded-hash-ranked subset (sampling.mixture_rebalance).
+    One shuffle by lang; deterministic, so the oracle window
+    reproduces the exact keep set."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars"
+    )
+    return sampling.mixture_rebalance(docs, budget=20000)
+
+
+_WEIGHTED_SQL = f"""
+SELECT doc_id, n_chars
+FROM documents
+WHERE ({_hex24_sql("md5(CAST(doc_id AS VARCHAR) || ':7')")}) * 500
+      < least(n_chars, 500) * 16777216
+"""
+
+
+@register("sample_weighted_by_length", _WEIGHTED_SQL)
+def sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional deterministic thinning: each doc kept with
+    probability min(1, n_chars/500) decided by integer-exact seeded
+    hash comparison (sampling.weighted_keep) — map-only, rerun-stable,
+    no RNG."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    return sampling.weighted_keep(docs, "n_chars", 500)
+
+
 @register("txt_contamination", _CONTAMINATION_SQL)
 def txt_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination rates: every 97th doc plays the held-out
