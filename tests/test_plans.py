@@ -204,3 +204,56 @@ def test_gapfill_spine_is_generated_not_cartesian(dfs):
     assert pi.read_schema_columns(df, "events") == {"ts", "event_type", "value"}
     assert not pi.uses_cartesian_or_bnl(df)
     assert pi.uses_broadcast_join(df)
+
+
+def _n_exchanges(plan: str) -> int:
+    """Count physical Exchange NODES in a formatted plan (each node
+    appears twice in the text: once in the tree, once in the detail
+    listing — count the detail headers only)."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_weighted_keep_is_map_only(dfs):
+    """Deterministic Bernoulli thinning is a filter — an Exchange here
+    means the integer-hash keep rule grew a shuffle."""
+    assert "Exchange" not in pi.explain_formatted(dfs["sample_weighted_by_length"])
+
+
+def test_mixture_rebalance_single_stratum_shuffle(dfs):
+    """Mixture rebalancing pays exactly one hash partitioning by the
+    strata columns (the per-stratum ranked running sum)."""
+    plan = pi.explain_formatted(dfs["mix_language_budget"])
+    assert _n_exchanges(plan) == 1
+
+
+def test_contamination_benchmark_rides_a_broadcast(dfs):
+    """The benchmark shingle vocabulary must reach the training side as
+    a one-row broadcast — a shuffle join here would shuffle the 100 TB
+    training corpus against a kilobyte-scale benchmark."""
+    df = dfs["txt_contamination"]
+    plan = pi.explain_formatted(df)
+    assert "BroadcastExchange" in plan
+
+
+def test_grouping_sets_one_expand_one_shuffle(dfs):
+    """groupingSets must plan Expand -> single HashAggregate pair: one
+    fact scan and one shuffle for all three grains (the UNION ALL
+    formulation would scan three times)."""
+    plan = pi.explain_formatted(dfs["grouping_sets_pricing"])
+    assert "Expand" in plan
+    assert _n_exchanges(plan) == 1
+
+
+def test_q11_threshold_is_broadcast_not_collect(dfs):
+    """The global-total threshold joins back as a one-row broadcast."""
+    assert pi.uses_broadcast_join(dfs["tpch_q11_important_parts"])
+
+
+def test_salted_agg_two_phase_shuffles(dfs):
+    """Salted aggregation = partial on (key, salt) + merge on key: two
+    hash exchanges, no more (a third would mean the salt leaked into
+    the output grouping)."""
+    plan = pi.explain_formatted(dfs["skew_salted_user_totals"])
+    assert _n_exchanges(plan) == 2

@@ -78,3 +78,49 @@ def test_pack_shards_contiguous_monotone(spark):
         assert rows[0] == 0, lang
         assert all(b - a in (0, 1) or b >= a for a, b in zip(rows, rows[1:])), lang
         assert sorted(set(rows)) == list(range(max(rows) + 1)), lang
+
+
+def test_weighted_keep_full_weight_always_kept(spark):
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    out = sampling.weighted_keep(docs, "n_chars", 500)
+    heavy_total = docs.filter(F.col("n_chars") >= 500).count()
+    heavy_kept = out.filter(F.col("n_chars") >= 500).count()
+    assert heavy_kept == heavy_total  # weight >= 1 is a certain keep
+    # thinning actually thins the light tail
+    assert out.count() < docs.count()
+
+
+def test_weighted_keep_deterministic_subset(spark):
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    a = sorted(r["doc_id"] for r in sampling.weighted_keep(docs, "n_chars", 500).collect())
+    b = sorted(r["doc_id"] for r in sampling.weighted_keep(docs, "n_chars", 500).collect())
+    assert a == b
+    all_ids = {r["doc_id"] for r in docs.collect()}
+    assert set(a) <= all_ids
+
+
+def test_mixture_rebalance_budget_contract(spark):
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    budget = 20000
+    out = sampling.mixture_rebalance(docs, budget=budget)
+    kept = {
+        r["lang"]: (r["total"], r["mx"])
+        for r in out.groupBy("lang")
+        .agg(F.sum("n_chars").alias("total"), F.max("n_chars").alias("mx"))
+        .collect()
+    }
+    totals = {
+        r["lang"]: r["total"]
+        for r in docs.groupBy("lang").agg(F.sum("n_chars").alias("total")).collect()
+    }
+    for lang, (total, mx) in kept.items():
+        # greedy contract: overflow bounded by one document
+        assert total - mx < budget, lang
+        if totals[lang] < budget:  # under-budget strata keep everything
+            assert total == totals[lang], lang
