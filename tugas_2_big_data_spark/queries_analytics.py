@@ -410,3 +410,164 @@ def skew_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value": (F.max("value"), F.max("max_value")),
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC candlestick resample: argmin/argmax aggregate family. The
+# reference's domain is OHLCV bars it receives pre-computed
+# (yfinance_transform.py:54-88); this derives them from ticks in one
+# hash aggregate — a single fact shuffle, no per-key sort.
+# ---------------------------------------------------------------------------
+
+_OHLC_SQL = """
+SELECT
+  strftime(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+           '%Y-%m-%d %H:%M:%S')       AS bar_start,
+  event_type,
+  min_by(value, ts)                   AS open,
+  max(value)                          AS high,
+  min(value)                          AS low,
+  max_by(value, ts)                   AS close,
+  CAST(count(*) AS BIGINT)            AS n_ticks,
+  sum(value)                          AS total_value
+FROM events
+GROUP BY bar_start, event_type
+"""
+
+
+@register("evt_ohlc_bars_5min", _OHLC_SQL)
+def evt_ohlc_bars_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute OHLC bars per event_type from raw ticks (ts is unique
+    in the testdata, so min_by/max_by open/close are deterministic)."""
+    ev = load_table(spark, "events", sf_dir)
+    bars = timeseries.ohlc_bars(ev, "ts", "value", ["event_type"], width_s=300)
+    return bars.select(
+        F.date_format("bar_start", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+        "event_type",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_ticks",
+        "total_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width value histogram: bin id is a pure projection (no global
+# min/max pre-pass), so the plan is scan → partial agg → ONE shuffle —
+# the shape that survives 100 TB. A quantile-bucketed histogram would
+# need a global pre-pass; this is the streaming-friendly fixed grid.
+# ---------------------------------------------------------------------------
+
+_HISTOGRAM_SQL = """
+SELECT event_type,
+       CAST(floor(value / 25.0) AS BIGINT)        AS bin_id,
+       CAST(floor(value / 25.0) * 25.0 AS DOUBLE) AS bin_low,
+       CAST(count(*) AS BIGINT)                   AS n,
+       sum(value)                                 AS bin_value_sum
+FROM events
+GROUP BY event_type, bin_id, bin_low
+"""
+
+
+@register("evt_value_histogram", _HISTOGRAM_SQL)
+def evt_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type histogram of `value` on a fixed 25-unit grid."""
+    ev = load_table(spark, "events", sf_dir)
+    bin_id = F.floor(F.col("value") / F.lit(25.0))
+    return (
+        ev.select(
+            "event_type",
+            bin_id.alias("bin_id"),
+            (bin_id * F.lit(25.0)).cast("double").alias("bin_low"),
+            "value",
+        )
+        .groupBy("event_type", "bin_id", "bin_low")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("bin_value_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear-regression trend per group: the built-in regr_* aggregate
+# family (Spark 3.4+/DuckDB both implement the SQL:2003 set). One hash
+# aggregate — the moment-sum partials (n, Σx, Σy, Σxy, Σx²) combine
+# associatively, so map-side partial agg works and the fact shuffles
+# once. x is epoch DAYS (cast timestamp → double seconds / 86400,
+# keeping sub-second precision on both engines).
+# ---------------------------------------------------------------------------
+
+_TREND_SQL = """
+SELECT event_type,
+       regr_slope(value, epoch(ts) / 86400.0)                  AS slope_per_day,
+       regr_intercept(value, epoch(ts) / 86400.0)              AS intercept,
+       regr_r2(value, epoch(ts) / 86400.0)                     AS r2,
+       CAST(regr_count(value, epoch(ts) / 86400.0) AS BIGINT)  AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("evt_trend_by_type", _TREND_SQL)
+def evt_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS value-vs-time trend per event_type (slope per day,
+    intercept, R²) via the built-in regr_* aggregates."""
+    ev = load_table(spark, "events", sf_dir)
+    x = (F.col("ts").cast("double") / F.lit(86400.0)).alias("x")
+    return (
+        ev.select("event_type", F.col("value").alias("y"), x)
+        .groupBy("event_type")
+        .agg(
+            F.regr_slope("y", "x").alias("slope_per_day"),
+            F.regr_intercept("y", "x").alias("intercept"),
+            F.regr_r2("y", "x").alias("r2"),
+            F.regr_count("y", "x").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group mode. Neither engine's native mode() defines
+# tie order, so the portable formulation is count + row_number with an
+# explicit total tie-break (count DESC, value ASC) — count shuffle then
+# a per-group window, and the window input is already the DISTINCT
+# (group, value) pairs, tiny relative to the fact.
+# ---------------------------------------------------------------------------
+
+_MODE_SQL = """
+SELECT event_type,
+       value          AS mode_value,
+       CAST(n AS BIGINT) AS n_occurrences
+FROM (
+  SELECT event_type, value, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, value ASC) AS rn
+  FROM (
+    SELECT event_type, value, count(*) AS n
+    FROM events
+    GROUP BY event_type, value
+  ) counts
+) ranked
+WHERE rn = 1
+"""
+
+
+@register("evt_mode_per_type", _MODE_SQL)
+def evt_mode_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent `value` per event_type with a pinned tie-break
+    (highest count, then smallest value)."""
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("value"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("value").alias("mode_value"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )
