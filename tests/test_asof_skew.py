@@ -44,6 +44,32 @@ def test_asof_backward_inclusive(spark):
     assert len(out) == 5  # no row duplication or loss
 
 
+def test_asof_duplicate_right_ts_tiebreak(spark):
+    """With duplicate right-side (by, on), the tiebreak column makes the
+    carried row deterministic: greatest tiebreak wins."""
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01T12:00:00"))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T11:00:00"), 10.0, 100),
+            ("u1", _ts("2024-01-01T11:00:00"), 20.0, 300),  # max rid -> carried
+            ("u1", _ts("2024-01-01T11:00:00"), 15.0, 200),
+        ],
+        ["user_id", "ts", "value", "rid"],
+    )
+    out = asof.asof_join(left, right, tiebreak="rid").collect()
+    assert len(out) == 1
+    assert out[0].value_r == 20.0
+    assert "rid" not in out[0].asDict() and "_tb" not in out[0].asDict()
+    # tiebreak on the query's own path: equal left/right ts stays inclusive
+    left2 = spark.createDataFrame(
+        [(9, "u1", _ts("2024-01-01T11:00:00"))], ["event_id", "user_id", "ts"]
+    )
+    out2 = asof.asof_join(left2, right, tiebreak="rid").collect()
+    assert out2[0].value_r == 20.0
+
+
 def test_asof_preserves_left_columns(spark):
     left = spark.createDataFrame(
         [(1, "u1", _ts("2024-01-01T12:00:00"), "extra")],

@@ -35,18 +35,25 @@ def asof_join(
     by: Sequence[str] = ("user_id",),
     suffix: str = "_r",
     include_right_time: bool = True,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Backward inclusive as-of LEFT join: each left row gains the
     payload of the latest right row with right.on <= left.on within the
     same `by` group (NULLs when no prior right row exists).
 
     Matches DuckDB ``l ASOF LEFT JOIN r ON l.by = r.by AND l.on >= r.on``
-    when (by, on) is unique on the right side; with duplicate right
-    timestamps the carried row is the last in (on, payload) order —
-    define a total order upstream if that matters.
+    when (by, on) is unique on the right side. With duplicate right
+    timestamps, pass ``tiebreak`` (a right-side column forming a total
+    order, e.g. an event id): the row with the GREATEST tiebreak value
+    among equal timestamps is carried, making the output deterministic
+    by construction instead of by data. The tiebreak column is used only
+    for ordering and is not emitted. Without it, the carried row among
+    equal timestamps is the last in (on, payload) order.
     """
     by = list(by)
-    payload_cols = [c for c in right.columns if c not in {*by, on}]
+    payload_cols = [
+        c for c in right.columns if c not in {*by, on} and c != tiebreak
+    ]
 
     l2 = left.withColumn("_side", F.lit(1))
     for c in payload_cols:
@@ -54,9 +61,13 @@ def asof_join(
     if include_right_time:
         l2 = l2.withColumn(f"{on}{suffix}", F.lit(None).cast(right.schema[on].dataType))
 
+    if tiebreak is not None:
+        l2 = l2.withColumn("_tb", F.lit(None).cast(right.schema[tiebreak].dataType))
+
     r2 = right.select(
         *by,
         F.col(on),
+        *([F.col(tiebreak).alias("_tb")] if tiebreak is not None else []),
         *[F.col(c).alias(f"{c}{suffix}") for c in payload_cols],
     ).withColumn("_side", F.lit(0))
     if include_right_time:
@@ -67,10 +78,14 @@ def asof_join(
 
     unioned = l2.unionByName(r2)
     # right rows (side 0) sort before left rows at equal timestamps →
-    # backward INCLUSIVE semantics
+    # backward INCLUSIVE semantics; among equal right timestamps the
+    # greatest tiebreak sorts last and is the row carried forward
+    order = [F.col(on).asc(), F.col("_side").asc()]
+    if tiebreak is not None:
+        order.append(F.col("_tb").asc_nulls_first())
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [f"{c}{suffix}" for c in payload_cols] + (
@@ -78,4 +93,4 @@ def asof_join(
     )
     for c in carried:
         unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return unioned.filter(F.col("_side") == 1).drop("_side")
+    return unioned.filter(F.col("_side") == 1).drop("_side", "_tb")

@@ -1042,9 +1042,13 @@ def evt_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts"
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
+        "user_id", "ts", "value", "event_id"
     )
-    j = asof.asof_join(clicks, purchases, on="ts", by=["user_id"])
+    # event_id tiebreak: deterministic carried row even if two purchases
+    # ever share (user_id, ts) — hash-stable by construction
+    j = asof.asof_join(
+        clicks, purchases, on="ts", by=["user_id"], tiebreak="event_id"
+    )
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     return j.select(
         "event_id",

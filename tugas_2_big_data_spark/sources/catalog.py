@@ -51,12 +51,12 @@ TABLES: dict[str, T.StructType] = {
         ("l_discount", _D), ("l_tax", _D), ("l_returnflag", _S),
         ("l_linestatus", _S), ("l_shipdate", _TS),
     ),
-    # ts is parquet TIMESTAMP(NANOS) — Spark rejects it as a timestamp
-    # type; read as raw long ns (legacy.parquet.nanosAsLong) and convert
-    # to a µs timestamp in load_table. DuckDB's CAST(ts AS TIMESTAMP)
-    # truncates identically, so oracles stay exact.
+    # ts is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) at every
+    # scale factor (verified via parquet metadata). With the session
+    # timezone pinned to UTC, reading it as TimestampType yields the
+    # same wall-clock instants DuckDB sees, so oracles stay exact.
     "events": _st(
-        ("event_id", _L), ("ts", _L), ("user_id", _L),
+        ("event_id", _L), ("ts", _TS), ("user_id", _L),
         ("event_type", _S), ("value", _D), ("props", _S),
     ),
     "documents": _st(
@@ -73,13 +73,6 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one testdata table with its explicit schema."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        from pyspark.sql import functions as F
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.schema(TABLES[name]).parquet(path)
-        # ns → µs truncation, matching DuckDB CAST(ts AS TIMESTAMP)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.schema(TABLES[name]).parquet(path)
 
 

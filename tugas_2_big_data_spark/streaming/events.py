@@ -25,18 +25,16 @@ from tugas_2_big_data_spark.sources.catalog import TABLES
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-source stream over the events parquet (ns→µs conversion as in
-    the batch catalog loader)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over the events parquet (same explicit schema
+    as the batch catalog loader; ts is parquet TIMESTAMP_MICROS)."""
     # the file-stream source requires a DIRECTORY; select just the events
     # parquet out of the sf dir with a glob filter
-    raw = (
+    return (
         spark.readStream.schema(TABLES["events"])
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def tumbling_agg(
