@@ -64,6 +64,9 @@ def main():
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    if len(sys.argv) > 1:  # substring filters for fast iteration
+        pats = sys.argv[1:]
+        qs = {n: f for n, f in qs.items() if any(p in n for p in pats)}
     failures = []
     for name, fn in qs.items():
         try:

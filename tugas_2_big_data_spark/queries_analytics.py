@@ -197,36 +197,85 @@ def win_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Sketch aggregates — the 100 TB path for distinct counts and quantiles.
-# Estimates are engine-specific (Spark HLL++ / GK vs DuckDB's sketches),
-# so there is no value-equal oracle; the driver records a rows-only
-# check and tests/test_sketches.py bounds the error against the exact
-# answers instead.
+# Sketch ESTIMATES are engine-specific (Spark HLL++ / GK have no DuckDB
+# twin), so the oracle contract is: emit the EXACT answer (value-compared
+# against DuckDB) plus a `within_bound` flag asserting the sketch's
+# documented error bound against that exact answer. A sketch drifting
+# out of bound flips the flag and fails the hash compare — a real
+# pass/fail criterion, not a rows-only count.
 # ---------------------------------------------------------------------------
 
-@register("sketch_distinct_users", None)
+_SKETCH_DISTINCT_SQL = """
+SELECT event_type,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+  true AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
+@register("sketch_distinct_users", _SKETCH_DISTINCT_SQL)
 def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event type at rsd=0.01.
     Mergeable sketch => one map-side-partial shuffle at any scale,
     constant memory per group — countDistinct's exact expand+dedup
-    shuffles every distinct (group, user) pair instead."""
+    shuffles every distinct (group, user) pair instead. within_bound
+    asserts |est - exact| <= 5·rsd·exact (5σ of the documented rsd)."""
     ev = load_table(spark, "events", sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("est"),
+            F.countDistinct("user_id").cast("long").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_bound"),
+        )
     )
 
 
-@register("sketch_value_quantiles", None)
+_SKETCH_QUANTILES_SQL = """
+SELECT event_type,
+  quantile_cont(value, 0.5) AS p50_exact,
+  quantile_cont(value, 0.9) AS p90_exact,
+  quantile_cont(value, 0.99) AS p99_exact,
+  true AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
+@register("sketch_value_quantiles", _SKETCH_QUANTILES_SQL)
 def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p90/p99 of event value per type
     (Greenwald-Khanna, accuracy 1e4 ≈ 0.01% rank error). Exact
     percentile sorts every group; the GK sketch is single-pass,
-    mergeable, bounded-memory — the only viable shape at 100 TB."""
+    mergeable, bounded-memory — the only viable shape at 100 TB.
+    Exact quantiles are value-compared against DuckDB quantile_cont;
+    within_bound pins each GK estimate inside the exact quantiles at
+    rank p ± 0.01 (100× the sketch's rank-error guarantee)."""
     ev = load_table(spark, "events", sf_dir)
-    q = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
-    return ev.groupBy("event_type").agg(
-        q.getItem(0).alias("p50"),
-        q.getItem(1).alias("p90"),
-        q.getItem(2).alias("p99"),
+    approx = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+    exact = F.percentile("value", F.lit([0.5, 0.9, 0.99]))
+    lo = F.percentile("value", F.lit([0.49, 0.89, 0.98]))
+    hi = F.percentile("value", F.lit([0.51, 0.91, 1.0]))
+    agg = ev.groupBy("event_type").agg(
+        approx.alias("a"), exact.alias("e"), lo.alias("lo"), hi.alias("hi")
+    )
+    in_bound = [
+        (F.col("a").getItem(i) >= F.col("lo").getItem(i))
+        & (F.col("a").getItem(i) <= F.col("hi").getItem(i))
+        for i in range(3)
+    ]
+    return agg.select(
+        "event_type",
+        F.col("e").getItem(0).alias("p50_exact"),
+        F.col("e").getItem(1).alias("p90_exact"),
+        F.col("e").getItem(2).alias("p99_exact"),
+        (in_bound[0] & in_bound[1] & in_bound[2]).alias("within_bound"),
     )
 
 

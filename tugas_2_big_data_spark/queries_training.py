@@ -1118,12 +1118,68 @@ def iqplus_summarize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("index", "doc_id", "konten", "rangkuman")
 
 
-@register("iqplus_summarize_longdoc", None)  # rows-only: split-merge path
+# Value oracle for the split-merge path. The greedy chunk packing is
+# loop-carried in general, but the FIRST chunk is a pure prefix-sum
+# condition (tokens accumulate with no reset until the first overflow),
+# and with the extractive stub the final summary is the first
+# 250//5 = 50 words of chunk 1's 512//5 = 102-word summary — i.e. the
+# first 50 words of chunk 1 itself whenever chunk 1 carries >= 50 words.
+# The oracle derives exactly that (plus the reference's empty-leading-
+# chunk quirk when sentence 1 alone overflows, and the short path for
+# <= 1024-token docs). If the >=50-word precondition ever failed, the
+# oracle would MISmatch (never silently pass), so the check stays exact.
+_LONGDOC_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, repeat(text || '. ', 29) || text AS konten FROM documents
+),
+sent AS (
+  SELECT doc_id, unnest(l) AS sentence, generate_subscripts(l, 1) AS idx
+  FROM (
+    SELECT doc_id,
+      list_transform(
+        list_filter(string_split(konten, '.'), x -> trim(x) <> ''),
+        x -> trim(x) || '.') AS l
+    FROM docs)
+),
+tok AS (
+  SELECT doc_id, sentence, idx,
+    len(string_split_regex(sentence, '\s+')) AS n,
+    sum(len(string_split_regex(sentence, '\s+')))
+      OVER (PARTITION BY doc_id ORDER BY idx) AS cum
+  FROM sent
+),
+total AS (SELECT doc_id, sum(n) AS total_tokens FROM tok GROUP BY doc_id),
+chunk1 AS (
+  SELECT doc_id, array_to_string(list(sentence ORDER BY idx), ' ') AS chunk
+  FROM tok WHERE cum <= 1024 GROUP BY doc_id
+),
+first_sent AS (SELECT doc_id, n AS n0, sentence AS s0 FROM tok WHERE idx = 1)
+SELECT
+  CAST(row_number() OVER (ORDER BY d.doc_id) AS BIGINT) AS index,
+  d.doc_id,
+  CASE
+    WHEN length(trim(d.konten)) = 0 THEN ''
+    WHEN tt.total_tokens <= 1024 THEN array_to_string(
+      list_slice(string_split_regex(trim(d.konten), '\s+'), 1, 50), ' ')
+    WHEN fs.n0 > 1024 THEN array_to_string(
+      list_slice(string_split_regex(fs.s0, '\s+'), 1, 50), ' ')
+    ELSE array_to_string(
+      list_slice(string_split_regex(c.chunk, '\s+'), 1, 50), ' ')
+  END AS rangkuman
+FROM docs d
+LEFT JOIN total tt USING (doc_id)
+LEFT JOIN chunk1 c USING (doc_id)
+LEFT JOIN first_sent fs USING (doc_id)
+"""
+
+
+@register("iqplus_summarize_longdoc", _LONGDOC_SQL)
 def iqplus_summarize_longdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents repeated ×30 exceed the 1024-token chunk budget, forcing
-    the hierarchical split-merge path of summarize_long_text. No SQL
-    oracle (loop-carried chunk packing); unit tests pin the control flow
-    exactly (tests/test_text.py)."""
+    the hierarchical split-merge path of summarize_long_text. Value-
+    checked against a DuckDB derivation of the stub's closed form (see
+    _LONGDOC_SQL); unit tests additionally pin the control flow exactly
+    (tests/test_text.py)."""
     from tugas_2_big_data_spark.pipelines import iqplus
 
     docs = load_table(spark, "documents", sf_dir).select(
