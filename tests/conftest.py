@@ -20,3 +20,9 @@ def spark():
     s = get_spark(app_name="tests", master="local[8]", shuffle_partitions=8)
     yield s
     s.stop()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: needs optional heavyweight deps (BART weights); deselect with -m 'not slow'"
+    )
