@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
+from tugas_2_big_data_spark.operators.partitioning import fan_out
+
 MEDIA_META_SCHEMA = T.StructType(
     [
         T.StructField("mime", T.StringType()),
@@ -45,10 +47,22 @@ DECODED_SCHEMA = T.StructType(
 
 
 def attach_binary_payload(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    widen: bool = False,
 ) -> DataFrame:
     """Demo payload builder: UTF-8 bytes of the text column stand in for
-    media bytes (the container ships no real media fixtures)."""
+    media bytes (the container ships no real media fixtures).
+
+    ``widen=True`` fans the scan out to executor width before the Arrow
+    UDF stages — use it when the decode step is REAL (Pillow/ffmpeg,
+    ~ms-per-row). With the deterministic stub the decode is µs-per-row
+    and the fan-out shuffle + per-task Python worker spin-up cost more
+    than they recover (measured 0.6 s → 3.9 s cold at sf0.1), so the
+    default stays narrow."""
+    if widen:
+        df = fan_out(df)
     payload = F.encode(F.col(text_col), "UTF-8")
     mime = F.when(F.col(id_col) % 2 == 0, F.lit("image/png")).otherwise(
         F.lit("audio/wav")

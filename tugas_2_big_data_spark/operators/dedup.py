@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from tugas_2_big_data_spark.functions import hashing
+from tugas_2_big_data_spark.operators.partitioning import fan_out
 
 
 def exact_dedup_groups(
@@ -55,7 +56,11 @@ def fingerprint_groups(
 
 
 def shingle_sets(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    widen: bool = True,
 ) -> DataFrame:
     """(id, shingles: array<string>) — each doc's DISTINCT shingle set.
 
@@ -77,7 +82,14 @@ def shingle_sets(
     predicate-pushed below the project, substituting the whole shingle
     expression (inline split included) into the condition and
     re-triggering the quadratic re-evaluation.
+
+    ``widen=True`` (default) repairs scan parallelism first (fan_out —
+    conditional, no-op on already-wide inputs); pass ``widen=False``
+    for post-shuffle inputs whose width AQE already governs, since the
+    fan-out probe would materialize upstream query stages.
     """
+    if widen:
+        df = fan_out(df)
     return (
         df.select(F.col(id_col), hashing.words(text_col).alias("_words"))
         .filter(F.size("_words") >= n)
@@ -98,16 +110,12 @@ def doc_shingles(
     Inverted-index representation used by the exhaustive n-gram Jaccard
     operator. Per-doc distinctness is established by ``array_distinct``
     BEFORE the explode (narrow), so no distinct-shuffle is needed after
-    row amplification. Repartitions to full parallelism first: the
-    upstream scan may have few input splits (locally a single parquet
-    file), and the pre-explode shuffle moves only the small un-exploded
-    rows.
+    row amplification. Scan parallelism is repaired inside
+    ``shingle_sets`` (conditional fan_out moving only the small
+    un-exploded rows), so the explode itself is already wide.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        shingle_sets(df, text_col, id_col, n)
-        .repartition(par, id_col)
-        .select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    return shingle_sets(df, text_col, id_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
     )
 
 
@@ -254,6 +262,60 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_from_sets(
+    sets: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exhaustive length-filtered inverted-index Jaccard, derived from
+    the (id, shingles) SET relation in one pass.
+
+    Same results as ``jaccard_pairs`` without candidates, but the set
+    size rides along from ``size(shingles)`` in the same projection as
+    the explode — no separate sizes aggregate joined back, so each
+    self-join branch is a single projection and the branches' identical
+    pre-join exchanges collapse into one via ReusedExchange.
+
+    Requires the InferFiltersFromGenerate exclusion pinned in
+    session.py: that rule would push a ``size(<full shingle expr>) > 0``
+    filter below this projection and re-evaluate the shingle HOF chain
+    per filter check on the narrow scan stage (measured 10.5 s → 2.9 s
+    at sf0.1 for this operator alone).
+    """
+    ex = sets.select(
+        F.col(id_col),
+        F.size("shingles").alias("sz"),
+        F.explode("shingles").alias("shingle"),
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        scored.withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
 def jaccard_pairs_prefix(
     df: DataFrame,
     text_col: str = "text",
@@ -376,7 +438,8 @@ def simhash16(
     # words projected to a column before the transform: higher-order
     # lambdas re-evaluate inline outer expressions per element
     hashes = (
-        df.select(F.col(id_col), hashing.words(text_col).alias("_words"))
+        fan_out(df)
+        .select(F.col(id_col), hashing.words(text_col).alias("_words"))
         .select(
             F.col(id_col),
             F.array_distinct(

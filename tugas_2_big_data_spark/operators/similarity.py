@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
+from tugas_2_big_data_spark.operators.partitioning import fan_out
+
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns (NULL on zero norm)."""
@@ -40,7 +42,7 @@ def cosine_topk(
     """Exact top-k neighbors per query vector (excluding self)."""
     from pyspark.sql import Window
 
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).cast("array<double>").alias("nbr_vec"),
     )
@@ -167,7 +169,7 @@ def ivf_topk(
         )
 
     c = assign(
-        corpus.select(
+        fan_out(corpus).select(
             F.col(id_col).alias("nbr_id"),
             F.col(vec_col).cast("array<double>").alias("nbr_vec"),
         ),
@@ -232,7 +234,7 @@ def _kmeans_state(
     coalesce against the prior state. Lineage nests across rounds —
     bounded here (iters is small); checkpoint per round on a cluster.
     """
-    pts = vecs.select(
+    pts = fan_out(vecs).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
 
@@ -419,7 +421,7 @@ def lsh_near_dup_pairs(
     """Near-duplicate vector pairs via hyperplane-LSH bucketing + exact
     cosine within buckets (id_a < id_b)."""
     planes = hyperplanes(n_planes, dim, seed)
-    v = corpus.select(
+    v = fan_out(corpus).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("vec"),
     ).withColumn("bucket", lsh_bucket(F.col("vec"), planes))

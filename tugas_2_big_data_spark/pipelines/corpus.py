@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from tugas_2_big_data_spark.operators import dedup, text_analysis
+from tugas_2_big_data_spark.operators.partitioning import fan_out
 
 
 def clean_corpus(
@@ -46,7 +47,10 @@ def clean_corpus(
     """Returns the cleaned corpus: one row per surviving doc with
     (doc_id, text, lang_pred, quality_score, n_tokens_ws, n_tokens_bpe).
     """
-    # 1. exact dedup (min id per normalized fingerprint)
+    # 1. exact dedup (min id per normalized fingerprint). fan_out first:
+    # the local single-split scan would otherwise run every map-side
+    # expression in the whole pipeline on one core (no-op on wide scans)
+    docs = fan_out(docs)
     fp = docs.withColumn("_fp", F.md5(dedup.normalized(text_col)))
     keep_exact = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     survivors = fp.join(keep_exact, [id_col, "_fp"], "left_semi").drop("_fp")
@@ -58,7 +62,12 @@ def clean_corpus(
     # cache() of array<string> measured slower than recompute, see
     # dedup_minhash_lsh_pairs). On a cluster prefer persist(DISK_ONLY)
     # or a reliable checkpoint.
-    sets = dedup.shingle_sets(survivors, text_col, id_col).localCheckpoint()
+    # widen=False: survivors is post-shuffle (width already repaired by
+    # the entry fan_out + AQE minPartitionSize; a fan_out probe here
+    # would materialize the semi-join stages early)
+    sets = dedup.shingle_sets(
+        survivors, text_col, id_col, widen=False
+    ).localCheckpoint()
     sig = dedup.minhash_signatures_from_sets(sets, k=8, id_col=id_col)
     cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4, id_col=id_col)
     pairs = dedup.jaccard_verify_sets(

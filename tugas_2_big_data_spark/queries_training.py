@@ -195,14 +195,16 @@ WHERE c.n_common / (sa.sz + sb.sz - c.n_common) >= 0.5
 
 @register("dedup_ngram_jaccard_pairs", _JACCARD_SQL)
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # exact all-pairs Jaccard via the length-filtered inverted index.
-    # The prefix-filtered variant (dedup.jaccard_pairs_prefix) computes
-    # identical results and wins on heavy-tailed real-world corpora/high
-    # thresholds, but measured SLOWER here: the synthetic corpus has a
-    # small vocabulary, so no shingle is rare and the prefix can't prune
-    # (456k candidates for 1686 true pairs at sf0.1).
-    sh = dedup.doc_shingles(corpus(spark, sf_dir))
-    return dedup.jaccard_pairs(sh, threshold=0.5)
+    # exact all-pairs Jaccard via the length-filtered inverted index,
+    # derived in one pass from the shingle-set relation (sizes ride
+    # along — no sizes-aggregate join). The prefix-filtered variant
+    # (dedup.jaccard_pairs_prefix) computes identical results and wins
+    # on heavy-tailed real-world corpora/high thresholds, but measured
+    # SLOWER here: the synthetic corpus has a small vocabulary, so no
+    # shingle is rare and the prefix can't prune (456k candidates for
+    # 1686 true pairs at sf0.1).
+    sets = dedup.shingle_sets(corpus(spark, sf_dir))
+    return dedup.jaccard_pairs_from_sets(sets, threshold=0.5)
 
 
 def _simhash_sql() -> str:
