@@ -79,6 +79,12 @@ HEADLINE = [
     "win_balance_distribution",
     "sketch_distinct_users",
     "sketch_value_quantiles",
+    "txt_chunk_windows",
+    "curate_top_by_source",
+    "iqplus_summarize_longdoc",
+    "txt_contamination",
+    "mix_language_budget",
+    "dedup_embedding_components",
 ]
 
 

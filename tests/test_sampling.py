@@ -124,3 +124,27 @@ def test_mixture_rebalance_budget_contract(spark):
         assert total - mx < budget, lang
         if totals[lang] < budget:  # under-budget strata keep everything
             assert total == totals[lang], lang
+
+
+def test_top_fraction_by_group_quota_and_determinism(spark):
+    from tugas_2_big_data_spark.operators.sampling import top_fraction_by_group
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 10 else "b", float(i % 7)) for i in range(15)],
+        ["id", "g", "score"],
+    )
+    kept = top_fraction_by_group(df, ["g"], "score", "id", 0.3).collect()
+    by_g = {}
+    for r in kept:
+        by_g.setdefault(r.g, []).append(r.id)
+    # quotas: ceil(0.3*10)=3, ceil(0.3*5)=2
+    assert len(by_g["a"]) == 3 and len(by_g["b"]) == 2
+    # determinism incl. tie ranks: score desc, id asc
+    ranked_a = sorted(
+        ((i % 7, -i) for i in range(10)), key=lambda t: (-t[0], -t[1])
+    )
+    expect_a = sorted(-t[1] for t in ranked_a[:3])
+    assert sorted(by_g["a"]) == expect_a
+    # every non-empty group keeps at least one row
+    one = spark.createDataFrame([(1, "z", 0.0)], ["id", "g", "score"])
+    assert top_fraction_by_group(one, ["g"], "score", "id", 0.01).count() == 1

@@ -132,3 +132,32 @@ def test_bart_backend_smoke(spark):
         "rangkuman", summarize_udf(backend_factory=bart_backend)(F.col("konten"))
     ).collect()
     assert len(out) == 1 and len(out[0].rangkuman) > 0
+
+
+def test_chunk_windows_coverage_and_overlap(spark):
+    from tugas_2_big_data_spark.operators.text_analysis import chunk_windows
+
+    words = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, "   "), (4, "")],
+        ["doc_id", "text"],
+    )
+    out = chunk_windows(df, max_tokens=64, overlap=8)
+    rows = {r.doc_id: [] for r in out.collect()}
+    for r in out.collect():
+        rows[r.doc_id].append(r)
+    # blank docs emit nothing
+    assert 3 not in rows and 4 not in rows
+    # short doc: one chunk, whole text
+    assert len(rows[2]) == 1 and rows[2][0].chunk_text == "short doc"
+    # 150 words, stride 56: starts 0,56,112 -> 3 chunks
+    c = sorted(rows[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_idx for r in c] == [0, 1, 2]
+    assert c[0].n_tokens == 64 and c[1].n_tokens == 64 and c[2].n_tokens == 38
+    # overlap: last 8 tokens of chunk0 == first 8 of chunk1
+    assert c[0].chunk_text.split()[-8:] == c[1].chunk_text.split()[:8]
+    # full coverage: every word appears in some chunk
+    covered = set()
+    for r in c:
+        covered.update(r.chunk_text.split())
+    assert covered == set(words.split())

@@ -206,3 +206,37 @@ def stratified_split(
         .when(pos <= F.floor(F.lit(fracs[1]) * n), F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def top_fraction_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    id_col: str,
+    fraction: float,
+) -> DataFrame:
+    """Keep the top ``fraction`` of rows per group, ranked by
+    ``order_col`` descending (id ascending tiebreak — fully
+    deterministic, no percent_rank tie ambiguity). The quota is
+    ceil(fraction · |group|), so every non-empty group keeps ≥1 row.
+
+    The curation workhorse: "keep the best 30% of documents per source
+    by quality score". Scale shape: ONE shuffle (hash by the group
+    columns) feeding a ranked window; WindowGroupLimit prunes rank >
+    quota map-side when the filter is on row_number, and the per-group
+    count rides the same window frame — no second aggregate join.
+    Skewed groups behave like any window: salt upstream if one group
+    dominates.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc(order_col), F.asc(id_col)
+    )
+    wc = Window.partitionBy(*group_cols)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .filter(
+            F.col("_rk") <= F.ceil(F.lit(fraction) * F.col("_n")).cast("int")
+        )
+        .drop("_rk", "_n")
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from tugas_2_big_data_spark.functions import hashing
+from tugas_2_big_data_spark.operators.partitioning import fan_out
 
 # tiny per-language stopword lists for the voting heuristic; order and
 # contents are part of the spec (the oracle embeds the same lists)
@@ -349,3 +350,69 @@ def pii_scrub(text_col: F.Column | str) -> F.Column:
     for pat, tag in PII_PATTERNS:
         col = F.regexp_replace(col, pat, tag)
     return col
+
+
+def chunk_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Context-window chunking: split each document into whitespace-token
+    windows of ``max_tokens`` with ``overlap`` tokens carried between
+    consecutive chunks — the standard prep for fixed-context training /
+    embedding corpora (generalizes the reference's greedy 1024-token
+    packing, iqplus_market_transform.py:28-47, from per-doc sentences to
+    corpus scale).
+
+    Chunk i covers words [i·stride, i·stride + max_tokens) with
+    stride = max_tokens − overlap; starts run while start < n so the
+    final partial window is kept and every token lands in ≥1 chunk.
+    Empty/blank docs produce no rows (same policy as shingle_sets).
+
+    Scale shape: one fan_out-repaired narrow projection (split once into
+    a real column — SCALE.md pitfall 1), then sequence+explode; the
+    ~(1 + overlap/stride)× row amplification happens AFTER the split,
+    map-only, no shuffle. Output: (id, chunk_idx, chunk_text, n_tokens).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = fan_out(df).select(
+        F.col(id_col),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>"))
+        .otherwise(words)
+        .alias("_w"),
+    )
+    n = F.size("_w")
+    n_chunks = F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("int")
+    t = t.select(
+        F.col(id_col),
+        F.col("_w"),
+        F.greatest(F.when(n > 0, n_chunks).otherwise(F.lit(0)), F.when(n > 0, F.lit(1))).alias("_nc"),
+    )
+    return (
+        t.select(
+            F.col(id_col),
+            F.col("_w"),
+            # guard: explode(NULL) emits nothing; bare sequence(0, -1)
+            # would DESCEND and emit phantom chunks for empty docs
+            F.explode(
+                F.when(
+                    F.col("_nc") > 0, F.sequence(F.lit(0), F.col("_nc") - 1)
+                )
+            ).alias("chunk_idx"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            F.array_join(
+                F.slice(F.col("_w"), F.col("chunk_idx") * stride + 1, max_tokens), " "
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(F.col("_w"), F.col("chunk_idx") * stride + 1, max_tokens)
+            ).cast("long").alias("n_tokens"),
+        )
+    )

@@ -65,6 +65,7 @@ _SWEEP_FIRST: tuple[str, ...] = (
     "txt_repetition", "txt_pii_scrub", "txt_contamination",
     "mm_resize_dims", "mm_frame_sample",
     "mix_language_budget", "sample_weighted_by_length",
+    "txt_chunk_windows", "curate_top_by_source",
     "evt_tumbling_5min", "evt_sessionize_30min", "evt_asof_last_purchase",
     "stream_dedup_keys", "stream_running_user_totals",
     "stream_tumbling_5min", "stream_sessionize_30min",

@@ -1410,3 +1410,84 @@ def txt_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 97 != 0)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return dedup.contamination_rates(train, bench)
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking (fixed-context training / embedding prep;
+# generalizes the reference's greedy 1024-token packing to corpus scale)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         ELSE string_split_regex(trim(text), '\s+') END AS words
+  FROM documents
+),
+n AS (
+  SELECT doc_id, words, len(words) AS n,
+    CASE WHEN len(words) = 0 THEN 0
+         ELSE greatest(CAST(ceil((len(words) - 8) / 56.0) AS INT), 1)
+    END AS n_chunks
+  FROM w
+),
+ex AS (
+  SELECT doc_id, words, unnest(range(0, n_chunks)) AS i
+  FROM n WHERE n_chunks > 0
+)
+SELECT doc_id,
+  CAST(i AS BIGINT) AS chunk_idx,
+  array_to_string(list_slice(words, i * 56 + 1, i * 56 + 64), ' ') AS chunk_text,
+  CAST(len(list_slice(words, i * 56 + 1, i * 56 + 64)) AS BIGINT) AS n_tokens
+FROM ex
+"""
+
+
+@register("txt_chunk_windows", _CHUNK_SQL)
+def txt_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token context windows with 8-token overlap over every
+    document: one row per chunk with its text and token count
+    (text_analysis.chunk_windows — split-once projection + sequence/
+    explode, map-only; the final partial window is kept)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    out = text_analysis.chunk_windows(
+        docs, max_tokens=64, overlap=8
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        "n_tokens",
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality-quantile curation (keep the best fraction per source)
+# ---------------------------------------------------------------------------
+
+_CURATE_SQL = """
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+    row_number() OVER (
+      PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rk,
+    count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM scored WHERE rk <= CAST(ceil(0.3 * n) AS INT)
+"""
+
+
+@register("curate_top_by_source", _CURATE_SQL)
+def curate_top_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation: keep the top 30% of documents per source
+    ranked by n_chars (deterministic doc_id tiebreak) —
+    sampling.top_fraction_by_group, the 'best fraction per bucket'
+    curation op. One shuffle by source; quota = ceil(0.3·|group|)."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "n_chars"
+    )
+    kept = sampling.top_fraction_by_group(
+        docs, ["source"], "n_chars", "doc_id", 0.3
+    )
+    return kept.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
