@@ -78,6 +78,17 @@ def test_q1_codegen_live(dfs):
     assert pi.wholestage_codegen_ids(dfs["tpch_q1"]) >= 1
 
 
+def test_curate_single_group_shuffle(dfs):
+    """top_fraction_by_group: ONE hash shuffle by the group key feeds
+    both windows (rank + count share the partition — no second
+    aggregate join). The dynamic ceil(f*n) quota rules out
+    WindowGroupLimit (needs a constant bound) — documented trade."""
+    plan = pi.explain_formatted(dfs["curate_top_by_source"])
+    assert plan.count("hashpartitioning") <= 2  # tree node + detail line
+    assert plan.count("Exchange") <= 2
+    assert not pi.uses_cartesian_or_bnl(dfs["curate_top_by_source"])
+
+
 @pytest.mark.parametrize(
     "name",
     [
@@ -88,6 +99,7 @@ def test_q1_codegen_live(dfs):
         "mm_binary_meta",
         "mm_frame_sample",
         "mm_resize_dims",
+        "txt_chunk_windows",
     ],
 )
 def test_map_only_operators_have_zero_shuffles(dfs, name):

@@ -222,11 +222,14 @@ def top_fraction_by_group(
 
     The curation workhorse: "keep the best 30% of documents per source
     by quality score". Scale shape: ONE shuffle (hash by the group
-    columns) feeding a ranked window; WindowGroupLimit prunes rank >
-    quota map-side when the filter is on row_number, and the per-group
-    count rides the same window frame — no second aggregate join.
-    Skewed groups behave like any window: salt upstream if one group
-    dominates.
+    columns) feeding both windows — the rank and the per-group count
+    share the partitioning, so there is no second aggregate join. The
+    quota is data-dependent (ceil(fraction·|group|)), which rules out
+    WindowGroupLimit's map-side rank pruning (that optimization needs a
+    CONSTANT rank bound) — each group pays its full sort; if the keep
+    count is a known constant, filter on row_number <= k instead and
+    the group-limit pruning applies. Skewed groups behave like any
+    window: salt upstream if one group dominates.
     """
     w = Window.partitionBy(*group_cols).orderBy(
         F.desc(order_col), F.asc(id_col)
