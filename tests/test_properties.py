@@ -98,3 +98,81 @@ def test_pack_chunks_budget_and_preservation(text, limit):
         members = chunking.naive_sentences(ch)
         if len(members) > 1:
             assert count(ch) <= limit
+
+
+_word = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(
+    words=st.lists(_word, min_size=0, max_size=200),
+    max_tokens=st.integers(min_value=2, max_value=40),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+@settings(**_SETTINGS)
+def test_chunk_windows_properties(spark, words, max_tokens, overlap_frac):
+    """For ANY document and (max_tokens, overlap): chunks cover every
+    token in order, each chunk holds <= max_tokens tokens, consecutive
+    chunks agree on their overlap, and reassembling chunk tokens at
+    stride offsets reproduces the document exactly."""
+    from tugas_2_big_data_spark.operators.text_analysis import chunk_windows
+
+    overlap = min(int(max_tokens * overlap_frac), max_tokens - 1)
+    stride = max_tokens - overlap
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = sorted(
+        chunk_windows(df, max_tokens=max_tokens, overlap=overlap).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    if not words:
+        assert out == []
+        return
+    assert [r.chunk_idx for r in out] == list(range(len(out)))
+    rebuilt = []
+    for r in out:
+        toks = r.chunk_text.split()
+        assert 1 <= len(toks) <= max_tokens
+        assert len(toks) == r.n_tokens
+        start = r.chunk_idx * stride
+        assert toks == words[start : start + max_tokens]
+        rebuilt = rebuilt[:start] + toks
+    assert rebuilt == words
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    fraction=st.floats(min_value=0.05, max_value=1.0),
+)
+@settings(**_SETTINGS)
+def test_top_fraction_quota_property(spark, rows, fraction):
+    """For ANY grouped input and fraction: each group keeps exactly
+    ceil(fraction * |group|) rows, and they are the score-maximal rows
+    under the deterministic (score desc, id asc) order."""
+    from tugas_2_big_data_spark.operators.sampling import top_fraction_by_group
+
+    data = [(i, g, float(s)) for i, (g, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["id", "g", "score"])
+    kept = top_fraction_by_group(df, ["g"], "score", "id", fraction).collect()
+    by_g: dict = {}
+    for i, g, s in data:
+        by_g.setdefault(g, []).append((s, i))
+    kept_by_g: dict = {}
+    for r in kept:
+        kept_by_g.setdefault(r.g, set()).add(r.id)
+    for g, members in by_g.items():
+        quota = math.ceil(fraction * len(members))
+        expect = {
+            i for _, i in sorted(members, key=lambda t: (-t[0], t[1]))[:quota]
+        }
+        assert kept_by_g.get(g, set()) == expect, g
