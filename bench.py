@@ -81,6 +81,9 @@ HEADLINE = [
     "sketch_value_quantiles",
     "txt_chunk_windows",
     "curate_top_by_source",
+    "txt_normalize",
+    "dedup_incremental_batch",
+    "dedup_semantic_clusters",
     "iqplus_summarize_longdoc",
     "txt_contamination",
     "mix_language_budget",

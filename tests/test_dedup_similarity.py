@@ -225,3 +225,71 @@ def test_ivf_with_kmeans_centroids(spark):
     assert set(per_query) == {0, 1, 2}
     for rks in per_query.values():
         assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+def test_incremental_new_docs_drops_seen_and_intra_batch(spark):
+    from tugas_2_big_data_spark.operators.dedup import (
+        fingerprint_groups,
+        incremental_new_docs,
+    )
+
+    seen_docs = spark.createDataFrame(
+        [(1, "already ingested"), (2, "old news")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Already   INGESTED"),   # normalizes to a seen fp -> dropped
+            (11, "brand new"),
+            (12, "brand  NEW"),           # intra-batch dup of 11 -> dropped
+            (13, "another fresh one"),
+        ],
+        ["doc_id", "text"],
+    )
+    seen = fingerprint_groups(seen_docs).select("fp")
+    kept = sorted(r.doc_id for r in incremental_new_docs(batch, seen).collect())
+    assert kept == [11, 13]
+
+
+def test_semdedup_removes_planted_duplicates(spark):
+    from pyspark.sql import functions as F
+    from tugas_2_big_data_spark.operators.similarity import semdedup
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((40, 8))
+    # self-check the fixture: no accidental near-dups among the base
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = unit @ unit.T
+    np.fill_diagonal(cos, 0.0)
+    assert cos.max() < 0.999
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    rows += [
+        (i + 1000, [float(x) * 3.0 for x in vecs[i]]) for i in (0, 10, 20, 30)
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = semdedup(corpus, k=2, iters=1, threshold=0.999, dim=8)
+    ids = {r.vec_id for r in kept.collect()}
+    # every planted scaled copy (cosine 1.0 to its original; identical
+    # after unit normalization, so guaranteed same cell) must lose to
+    # the lower original id — and nothing else may be dropped
+    assert ids == set(range(40))
+
+
+def test_normalize_text_strips_and_collapses(spark):
+    from tugas_2_big_data_spark.operators.text_analysis import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain text"),
+            (2, "a <b>bold</b>\tmove\x07 here"),
+            (3, "  spaced   out  "),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in normalize_text(df).collect()}
+    assert out[1].text_norm == "plain text" and not out[1].changed
+    assert out[2].text_norm == "a bold move here" and out[2].changed
+    assert out[3].text_norm == "spaced out" and out[3].changed
+    assert out[4].text_norm == "" and not out[4].changed

@@ -539,3 +539,27 @@ def contamination_rates(
             "contamination_rate", F.col("n_contaminated") / F.col("n_shingles")
         )
     )
+
+
+def incremental_new_docs(
+    batch: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingest dedup: keep only batch docs whose normalized
+    fingerprint is NOT already in the seen-corpus fingerprint set, then
+    dedup within the batch itself (min id per fingerprint).
+
+    The shape every continuously-ingesting corpus needs: the historical
+    corpus is represented ONLY by its fingerprint column (16-byte md5
+    per doc — ~2 TB of state for 100 TB of text, joinable), never
+    rescanned. One left-anti equi-join on the fingerprint + one hash
+    agg for the intra-batch dedup; both shuffle the (fingerprint, id)
+    pairs only. ``seen_fingerprints`` must have a ``fp`` column (build
+    it with ``fingerprint_groups(...).select(col("fp"))``).
+    """
+    b = batch.withColumn("fp", F.md5(normalized(text_col)))
+    fresh = b.join(seen_fingerprints.select("fp"), "fp", "left_anti")
+    keep = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return fresh.join(keep, [id_col, "fp"], "left_semi").drop("fp")

@@ -441,3 +441,99 @@ def lsh_near_dup_pairs(
             F.round("cosine", 9).alias("cosine"),
         )
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means-cluster the embeddings,
+    then WITHIN each cluster drop every vector whose cosine to a
+    lower-id cluster member is >= threshold. Returns the kept rows as
+    (id, cluster).
+
+    This is the semantic-dedup recipe for corpora where pairwise cosine
+    over everything is impossible: the quadratic compare is confined to
+    cluster cells (an equi-join on the cluster id), so cost is
+    sum(|cell|²) instead of |corpus|² — the same cell-bucketing bet IVF
+    makes for search, reused for dedup. The cluster assignment itself
+    is the map-only broadcast-state k-means of `_kmeans_state`.
+
+    Embeddings are unit-L2-normalized BEFORE clustering (zero vectors
+    pass through unscaled): k-means cells are built by squared L2, and
+    only on the unit sphere does L2 proximity coincide with the cosine
+    geometry the dedup compares with — unnormalized, a scaled copy
+    (cosine 1.0) can land cells away from its original and never be
+    compared. Cosine itself is normalization-invariant, so thresholds
+    keep their meaning.
+
+    Caveat (inherent to SemDeDup, worth stating): near-duplicates that
+    k-means splits across cell boundaries are NOT compared — recall is
+    traded for the quadratic confinement; raise k for tighter cells
+    (cheaper pairs, more boundary misses) or run the LSH-bucketed
+    `lsh_near_dup_pairs` when boundary recall matters.
+    """
+    # norm projected to a real column before the division transform —
+    # an inline outer expression re-evaluates per element (SCALE.md
+    # pitfall 1: O(dim²) per row)
+    v = F.col(vec_col).cast("array<double>")
+    unit = (
+        corpus.select(F.col(id_col), v.alias("_v0"))
+        .select(
+            F.col(id_col),
+            F.col("_v0"),
+            F.sqrt(
+                F.aggregate("_v0", F.lit(0.0), lambda acc, x: acc + x * x)
+            ).alias("_n"),
+        )
+        .select(
+            F.col(id_col),
+            F.when(F.col("_n") == 0, F.col("_v0"))
+            .otherwise(F.transform("_v0", lambda x: x / F.col("_n")))
+            .alias(vec_col),
+        )
+    )
+    pts, state, assign_col = _kmeans_state(
+        unit, k, iters, id_col, vec_col, dim
+    )
+    # materialize the assignment once: it feeds BOTH self-join branches
+    # and the final anti-join — three consumers that would otherwise
+    # re-run the Lloyd chain each (localCheckpoint here; reliable
+    # checkpoint / DISK persist on a cluster). ALSO the parallelism
+    # floor: the pairwise join keys on cid, so k bounds its
+    # parallelism — size k to the cluster (thousands of cells at
+    # 100 TB), never a handful.
+    assigned = (
+        pts.crossJoin(F.broadcast(state))
+        .select(F.col(id_col), F.col("_v"), assign_col.alias("cid"))
+        .localCheckpoint()
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    # vectors are unit-normalized above, so cosine degenerates to the
+    # bare dot product: one fold per pair instead of three + a divide
+    # (zero vectors pass through unscaled → dot 0 → never a dup)
+    dot = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    losers = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+        )
+        .withColumn("cos", dot)
+        .filter(F.col("cos") >= threshold)
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(losers, id_col, "left_anti").select(
+        F.col(id_col), F.col("cid").cast("long").alias("cluster")
+    )

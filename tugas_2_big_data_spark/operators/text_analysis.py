@@ -416,3 +416,31 @@ def chunk_windows(
             ).cast("long").alias("n_tokens"),
         )
     )
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus text normalization — the standard pre-tokenization clean:
+
+    1. strip HTML-ish tags (``<...>`` spans),
+    2. strip C0/C1 control characters,
+    3. collapse all whitespace runs to single spaces,
+    4. trim.
+
+    Emits (id, text_norm, n_chars_norm, changed). Pure regexp
+    projection — JVM codegen'd, map-only, zero shuffles; at 100 TB this
+    is a free rider on the first scan of the corpus. Regex patterns use
+    only class/quantifier syntax that RE2/Java/DuckDB agree on, so the
+    oracle replays them verbatim.
+    """
+    t = F.col(text_col)
+    no_tags = F.regexp_replace(t, r"<[^>]*>", " ")
+    no_ctl = F.regexp_replace(no_tags, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", " ")
+    norm = F.trim(F.regexp_replace(no_ctl, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        norm.alias("text_norm"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        (norm != F.coalesce(t, F.lit(""))).alias("changed"),
+    )

@@ -66,6 +66,7 @@ _SWEEP_FIRST: tuple[str, ...] = (
     "mm_resize_dims", "mm_frame_sample",
     "mix_language_budget", "sample_weighted_by_length",
     "txt_chunk_windows", "curate_top_by_source",
+    "txt_normalize", "dedup_incremental_batch", "dedup_semantic_clusters",
     "evt_tumbling_5min", "evt_sessionize_30min", "evt_asof_last_purchase",
     "stream_dedup_keys", "stream_running_user_totals",
     "stream_tumbling_5min", "stream_sessionize_30min",

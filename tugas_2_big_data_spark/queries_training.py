@@ -657,11 +657,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_cents_ctes(k: int = 4, iters: int = 2, dim: int = 64) -> list[str]:
+def _kmeans_cents_ctes(
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    pts_sql: str = "SELECT vec_id, embedding FROM embeddings",
+) -> list[str]:
     """CTE chain mirroring similarity._kmeans_state: each Lloyd round
     is one assignment CTE + one update CTE; squared-L2 accumulates
     left-to-right in DOUBLE as (a-b)*(a-b) on both engines so the
-    argmin ordering is bit-identical. Final centroids CTE = c{iters}."""
+    argmin ordering is bit-identical. Final centroids CTE = c{iters};
+    ``pts_sql`` overrides the corpus CTE (must yield vec_id, embedding)."""
 
     def d2(vec: str, cvec: str) -> str:
         return (
@@ -671,7 +677,7 @@ def _kmeans_cents_ctes(k: int = 4, iters: int = 2, dim: int = 64) -> list[str]:
         )
 
     parts = [
-        "pts AS (SELECT vec_id, embedding FROM embeddings)",
+        f"pts AS ({pts_sql})",
         f"""c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
@@ -1491,3 +1497,133 @@ def curate_top_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ["source"], "n_chars", "doc_id", 0.3
     )
     return kept.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# text normalization (pre-tokenization clean: tags, control chars,
+# whitespace collapse) — map-only regexp projection
+# ---------------------------------------------------------------------------
+
+_NORMALIZE_SQL = r"""
+WITH n AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '<[^>]*>', ' ', 'g'),
+        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', ' ', 'g'),
+      '\s+', ' ', 'g')) AS text_norm
+  FROM documents
+)
+SELECT doc_id, text_norm,
+  CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
+  text_norm <> coalesce(text, '') AS changed
+FROM n
+"""
+
+
+@register("txt_normalize", _NORMALIZE_SQL)
+def txt_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization (text_analysis.normalize_text): strip
+    HTML-ish tags and control characters, collapse whitespace, trim —
+    a zero-shuffle regexp projection replayed verbatim by the oracle."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return text_analysis.normalize_text(docs)
+
+
+# ---------------------------------------------------------------------------
+# incremental ingest dedup: new batch vs seen-corpus fingerprints
+# ---------------------------------------------------------------------------
+
+_INCR_DEDUP_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+seen AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 = 0),
+batch AS (SELECT * FROM fp WHERE doc_id % 3 <> 0),
+fresh AS (
+  SELECT b.doc_id, b.fp FROM batch b
+  LEFT JOIN seen s ON b.fp = s.fp WHERE s.fp IS NULL
+),
+keep AS (SELECT fp, min(doc_id) AS doc_id FROM fresh GROUP BY fp)
+SELECT f.doc_id FROM fresh f
+JOIN keep k ON f.doc_id = k.doc_id AND f.fp = k.fp
+"""
+
+
+@register("dedup_incremental_batch", _INCR_DEDUP_SQL)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (dedup.incremental_new_docs): docs with
+    doc_id % 3 == 0 play the already-ingested corpus (represented ONLY
+    by its fingerprint set — never rescanned); the rest arrive as the
+    new batch. Fingerprint anti-join drops already-seen docs, then
+    intra-batch fingerprint dedup keeps the min id."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    seen = dedup.fingerprint_groups(
+        docs.filter(F.col("doc_id") % 3 == 0)
+    ).select("fp")
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return dedup.incremental_new_docs(batch, seen).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: k-means cluster, then pairwise cosine dedup WITHIN cells
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_PTS = """
+SELECT vec_id,
+  CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS embedding
+FROM (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+  FROM (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000,
+      list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)
+    FROM embeddings WHERE vec_id % 20 = 0
+  )
+)
+"""
+
+
+def _semdedup_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    parts = _kmeans_cents_ctes(k, iters, dim, pts_sql=_SEMDEDUP_PTS)
+    n = iters + 1
+    parts.append(f"""losers AS (
+  SELECT DISTINCT a.vec_id FROM a{n} a JOIN a{n} b
+    ON a.cid = b.cid AND a.vec_id > b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+)""")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster
+FROM a{n} a LEFT JOIN losers l ON a.vec_id = l.vec_id
+WHERE l.vec_id IS NULL
+"""
+
+
+@register("dedup_semantic_clusters", _semdedup_sql(k=16, iters=1))
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.semdedup): k-means cells confine the
+    quadratic cosine compare; within each cell every vector that is
+    near-identical (cosine >= 0.999) to a lower-id member is dropped.
+    Same scaled-copy augmentation as the other embedding-dedup queries
+    so the operator provably removes the planted duplicates. k=16: the
+    pairwise join keys on the cell id, so k is its parallelism ceiling
+    AND the sum(|cell|²) cost knob; iters=1 — the quantizer is a
+    bucketing device here, not a search index, so one Lloyd round is
+    plenty and each extra round pays a full plan-deep aggregate."""
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 2.0
+        ).alias("embedding"),
+    )
+    c = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(dups)
+    return similarity.semdedup(c, k=16, iters=1, threshold=0.999)
