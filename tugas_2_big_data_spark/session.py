@@ -68,7 +68,7 @@ def get_spark(
         # local mode; set spark.executor.extraJavaOptions too on a real
         # cluster.
         .config(
-            "spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g"
+            "spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=2g"
         )
     )
     spark = builder.getOrCreate()
