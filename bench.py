@@ -88,6 +88,43 @@ HEADLINE = [
     "txt_contamination",
     "mix_language_budget",
     "dedup_embedding_components",
+    # full batch surface — every remaining registered non-streaming
+    # query. Streaming drains are excluded: their wall time measures
+    # the micro-batch drain loop (processAllAvailable), not plan cost.
+    "tpch_q2_min_cost",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_lines",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q19_disjunctive",
+    "tpch_q20_promo_suppliers",
+    "tpch_q22_wealthy_inactive",
+    "unpivot_lineitem_totals",
+    "grouping_sets_pricing",
+    "skew_salted_user_totals",
+    "evt_ohlc_bars_5min",
+    "evt_value_histogram",
+    "evt_trend_by_type",
+    "evt_mode_per_type",
+    "txt_repetition",
+    "txt_pii_scrub",
+    "mm_resize_dims",
+    "sample_weighted_by_length",
+    "yf_agg_year",
+    "order_priority_semijoin",
+    "win_rownum_events",
+    "set_ops_users",
+    "distinct_user_stats",
+    "region_priority_cube",
+    "sql_surface_pricing",
+    "dedup_minhash_signature",
+    "txt_canonical_fingerprint",
+    "split_hash",
+    "txt_rolling_fingerprints",
+    "ann_lsh_near_dup",
 ]
 
 

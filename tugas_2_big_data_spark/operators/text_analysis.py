@@ -272,7 +272,10 @@ def rolling_fingerprints(
         return (acc % F.lit(ROLLING_MOD)).cast("long")
 
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    with_text = df.select(F.col(id_col), normalized.alias("_t")).filter(
+    # fan_out first: the O(len·k) per-char hash chain below is the most
+    # compute-dense projection in the text family — a single-split scan
+    # would run it serially (conditional; no-op on wide inputs)
+    with_text = fan_out(df).select(F.col(id_col), normalized.alias("_t")).filter(
         F.length("_t") >= k
     )
     hseq = with_text.select(
