@@ -43,11 +43,27 @@ def register(name: str, oracle: str | None):
 
 
 # Round-1's correctness sweep covered only the first 50 registry keys
-# (registration order). Surface the queries that still lack a driver
-# CORRECTNESS row first — the 45 unchecked in round 1, then the 3 that
-# failed there (since fixed) — so a budget- or count-capped sweep
-# reaches them before re-verifying already-green entries.
+# (registration order). Surface queries by how much a driver
+# CORRECTNESS row is worth, in case the sweep is budget- or
+# count-capped: (1) the 11 queries that FAILED in round 1 (the
+# events-timestamp bug, since fixed) need green rows most; (2) the
+# formerly rows-only queries whose oracles were upgraded to value
+# checks; (3) queries new this round; (4) the round-1-unchecked
+# remainder; previously-green entries re-verify last.
 _SWEEP_FIRST: tuple[str, ...] = (
+    # (1) round-1 failures, fixed
+    "evt_tumbling_5min", "evt_sessionize_30min", "evt_asof_last_purchase",
+    "evt_gapfill_5min", "evt_hypertable_rollup", "evt_ohlc_bars_5min",
+    "evt_range_join_30min", "evt_trend_by_type",
+    "stream_tumbling_5min", "stream_sessionize_30min",
+    "stream_join_purchase_clicks",
+    # (2) upgraded rows-only -> value oracles
+    "sketch_distinct_users", "sketch_value_quantiles",
+    "iqplus_summarize_longdoc",
+    # (3) new this round
+    "txt_chunk_windows", "curate_top_by_source",
+    "txt_normalize", "dedup_incremental_batch", "dedup_semantic_clusters",
+    # (4) round-1 unchecked
     "tpch_q2_min_cost", "tpch_q7_volume_shipping", "tpch_q8_market_share",
     "tpch_q9_profit", "tpch_q10_returned_items", "tpch_q11_important_parts",
     "tpch_q12_priority_lines", "tpch_q13_order_distribution",
@@ -56,21 +72,12 @@ _SWEEP_FIRST: tuple[str, ...] = (
     "tpch_q20_promo_suppliers", "tpch_q21_sole_fault",
     "tpch_q22_wealthy_inactive",
     "unpivot_lineitem_totals", "win_balance_distribution",
-    "grouping_sets_pricing", "sketch_distinct_users", "sketch_value_quantiles",
-    "skew_salted_user_totals",
-    "evt_json_props", "evt_gapfill_5min", "evt_ohlc_bars_5min",
-    "evt_value_histogram", "evt_trend_by_type", "evt_mode_per_type",
-    "evt_range_join_30min", "evt_hypertable_rollup",
-    "iqplus_summarize_stub", "iqplus_summarize_longdoc",
-    "txt_repetition", "txt_pii_scrub", "txt_contamination",
-    "mm_resize_dims", "mm_frame_sample",
-    "mix_language_budget", "sample_weighted_by_length",
-    "txt_chunk_windows", "curate_top_by_source",
-    "txt_normalize", "dedup_incremental_batch", "dedup_semantic_clusters",
-    "evt_tumbling_5min", "evt_sessionize_30min", "evt_asof_last_purchase",
+    "grouping_sets_pricing", "skew_salted_user_totals",
+    "evt_json_props", "evt_value_histogram", "evt_mode_per_type",
     "stream_dedup_keys", "stream_running_user_totals",
-    "stream_tumbling_5min", "stream_sessionize_30min",
-    "stream_join_purchase_clicks",
+    "txt_repetition", "txt_pii_scrub", "txt_contamination",
+    "mix_language_budget", "sample_weighted_by_length",
+    "iqplus_summarize_stub", "mm_resize_dims", "mm_frame_sample",
 )
 
 
