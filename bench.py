@@ -125,6 +125,8 @@ HEADLINE = [
     "split_hash",
     "txt_rolling_fingerprints",
     "ann_lsh_near_dup",
+    "txt_unigram_logprob",
+    "txt_boilerplate_sentences",
 ]
 
 

@@ -161,3 +161,35 @@ def test_chunk_windows_coverage_and_overlap(spark):
     for r in c:
         covered.update(r.chunk_text.split())
     assert covered == set(words.split())
+
+
+def test_unigram_logprob_values(spark):
+    import math
+
+    from tugas_2_big_data_spark.operators.text_analysis import unigram_logprob
+
+    # corpus: 4 total words, p(a)=2/4, p(b)=1/4, p(c)=1/4
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "  ")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert 3 not in out  # blank doc: no words, no row
+    exp1 = (-math.log2(2 / 4) + -math.log2(1 / 4)) / 2
+    assert abs(out[1].mean_logprob - exp1) < 1e-12 and out[1].n_words == 2
+    assert abs(out[2].mean_logprob - exp1) < 1e-12  # same shape (one a, one rare)
+
+
+def test_boilerplate_sentences_df_threshold(spark):
+    from tugas_2_big_data_spark.operators.text_analysis import (
+        boilerplate_sentences,
+    )
+
+    common = "subscribe to our newsletter"
+    rows = [(i, f"unique thought {i}. {common}.") for i in range(4)]
+    rows.append((99, "entirely original essay. no shared lines here."))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in boilerplate_sentences(df, min_docs=3).collect()}
+    for i in range(4):
+        assert out[i].n_sentences == 2 and out[i].n_boilerplate == 1
+        assert abs(out[i].boilerplate_frac - 0.5) < 1e-12
+    assert out[99].n_boilerplate == 0

@@ -447,3 +447,91 @@ def normalize_text(
         F.length(norm).cast("long").alias("n_chars_norm"),
         (norm != F.coalesce(t, F.lit(""))).alias("changed"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perplexity-proxy quality signal: mean unigram −log₂ p(word) per
+    document, where p is the corpus's own unigram distribution
+    (count(word) / total words, over lowercased whitespace tokens).
+    Low mean surprise ⇒ stopword-heavy/repetitive text; high ⇒ rare-
+    token soup (OCR noise, code, lorem) — both ends are what a real
+    perplexity filter trims, without shipping a language model.
+
+    Scale shape: ONE explode+agg shuffle builds the (word, count)
+    vocabulary; totals ride along via a window-free one-row broadcast
+    cross join; the per-doc score is the exploded word stream hash-
+    joined to the vocabulary and re-aggregated by id (shuffle 2).
+    Vocabulary is Zipf-bounded (≪ corpus size), so the join's build
+    side stays broadcastable far longer than the corpus stays small.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "word"
+        ),
+    ).filter(F.col("word") != "")
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    total = vocab.groupBy().agg(F.sum("wc").alias("tw"))
+    return (
+        words.join(F.broadcast(vocab.crossJoin(F.broadcast(total))), "word")
+        .groupBy(id_col)
+        .agg(
+            F.avg(-F.log2(F.col("wc") / F.col("tw"))).alias("mean_logprob"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+    )
+
+
+def boilerplate_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+) -> DataFrame:
+    """C4-style boilerplate detection at the sentence level: a sentence
+    appearing in ≥ min_docs DISTINCT documents is boilerplate (nav
+    text, disclaimers, templated headers); emit per-doc counts and the
+    boilerplate fraction.
+
+    Scale shape: sentences are normalized in-row ('.'-split, trimmed,
+    lowercased), exploded DISTINCT per doc, and aggregated to document
+    frequency (shuffle 1 with map-side combine); the per-doc fraction
+    re-joins the doc's distinct sentences to the frequency relation on
+    the sentence hash (shuffle 2). No pairwise comparisons anywhere —
+    document frequency is the whole signal.
+    """
+    sents = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.filter(
+                    F.transform(
+                        F.split(F.lower(F.col(text_col)), r"\."),
+                        lambda s: F.trim(s),
+                    ),
+                    lambda s: s != "",
+                )
+            ).alias("_s"),
+        )
+        .filter(F.size("_s") > 0)
+    )
+    ex = sents.select(F.col(id_col), F.explode("_s").alias("sentence"))
+    freq = ex.groupBy("sentence").agg(
+        F.countDistinct(id_col).cast("long").alias("df")
+    )
+    per_doc = (
+        ex.join(freq, "sentence")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            F.sum((F.col("df") >= min_docs).cast("long"))
+            .cast("long")
+            .alias("n_boilerplate"),
+        )
+    )
+    return per_doc.withColumn(
+        "boilerplate_frac", F.col("n_boilerplate") / F.col("n_sentences")
+    )

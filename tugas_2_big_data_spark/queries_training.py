@@ -1627,3 +1627,73 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     ).unionByName(dups)
     return similarity.semdedup(c, k=16, iters=1, threshold=0.999)
+
+
+# ---------------------------------------------------------------------------
+# perplexity-proxy quality: corpus-unigram mean surprise per doc
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  FROM documents
+),
+w2 AS (SELECT * FROM w WHERE word <> ''),
+vocab AS (SELECT word, count(*) AS wc FROM w2 GROUP BY word),
+tot AS (SELECT sum(wc) AS tw FROM vocab)
+SELECT doc_id,
+  avg(-log2(wc / tw)) AS mean_logprob,
+  CAST(count(*) AS BIGINT) AS n_words
+FROM w2 JOIN vocab USING (word) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+@register("txt_unigram_logprob", _UNIGRAM_SQL)
+def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy filter signal (text_analysis.unigram_logprob):
+    mean −log₂ p(word) per doc under the corpus's own unigram
+    distribution — low = repetitive/stopword-heavy, high = rare-token
+    noise; both tails are what a perplexity filter trims."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return text_analysis.unigram_logprob(docs)
+
+
+# ---------------------------------------------------------------------------
+# C4-style boilerplate sentences (document-frequency >= 3)
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_SQL = """
+WITH s AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_filter(
+      list_transform(string_split(lower(text), '.'), x -> trim(x)),
+      x -> x <> ''))) AS sentence
+  FROM documents
+),
+freq AS (
+  SELECT sentence, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM s GROUP BY sentence
+),
+pd AS (
+  SELECT s.doc_id,
+    CAST(count(*) AS BIGINT) AS n_sentences,
+    CAST(sum(CASE WHEN f.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_boilerplate
+  FROM s JOIN freq f USING (sentence) GROUP BY s.doc_id
+)
+SELECT doc_id, n_sentences, n_boilerplate,
+  n_boilerplate / CAST(n_sentences AS DOUBLE) AS boilerplate_frac
+FROM pd
+"""
+
+
+@register("txt_boilerplate_sentences", _BOILERPLATE_SQL)
+def txt_boilerplate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate detection
+    (text_analysis.boilerplate_sentences): sentences appearing in >= 3
+    distinct docs are boilerplate; per-doc counts + fraction. Document
+    frequency is the whole signal — no pairwise comparisons."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return text_analysis.boilerplate_sentences(docs, min_docs=3)
