@@ -127,6 +127,7 @@ HEADLINE = [
     "ann_lsh_near_dup",
     "txt_unigram_logprob",
     "txt_boilerplate_sentences",
+    "evt_value_zscore",
 ]
 
 

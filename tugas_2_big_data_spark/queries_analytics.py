@@ -620,3 +620,48 @@ def evt_mode_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_occurrences"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group z-score anomaly flags — the streaming-adjacent monitoring
+# query every event pipeline runs in batch form
+# ---------------------------------------------------------------------------
+
+_ZSCORE_SQL = """
+WITH stats AS (
+  SELECT event_type,
+    avg(value) AS mu,
+    stddev_samp(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+  round((e.value - s.mu) / s.sigma, 9) AS z,
+  abs((e.value - s.mu) / s.sigma) > 2.0 AS is_outlier
+FROM events e JOIN stats s USING (event_type)
+WHERE e.value IS NOT NULL
+"""
+
+
+@register("evt_value_zscore", _ZSCORE_SQL)
+def evt_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomaly flags: one hash aggregate builds
+    the (mu, sigma) stats relation (5 rows), broadcast back onto the
+    event stream — the scan never shuffles. The same plan shape at
+    100 TB: stats are |event types| rows regardless of corpus size.
+    A partition-by-type window would shuffle the whole fact instead."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 9).alias("z"),
+            (F.abs(z) > 2.0).alias("is_outlier"),
+        )
+    )

@@ -189,3 +189,36 @@ def stream_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max("total_value").alias("total_value"),
     )
+
+
+_STREAM_STATIC_SQL = """
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment,
+  e.value AS purchase_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+"""
+
+
+@register("stream_static_enrich", _STREAM_STATIC_SQL)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join (the third streaming join shape, alongside
+    the stream-stream interval join and broadcast literals): streaming
+    purchases enriched with the static customer dimension. The static
+    side is re-planned per micro-batch, holds no state, and needs no
+    watermark; broadcast at scale exactly as in batch."""
+    from tugas_2_big_data_spark.sources.catalog import load_table
+
+    stream = se.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    dim = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    joined = se.enrich_with_static_dim(stream, dim).select(
+        "event_id",
+        "user_id",
+        "c_name",
+        "c_mktsegment",
+        F.col("value").alias("purchase_value"),
+    )
+    return se.run_to_memory(joined, _sink_name("q_stream_static"), "append")

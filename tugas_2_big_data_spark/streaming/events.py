@@ -237,3 +237,22 @@ def run_to_memory(
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def enrich_with_static_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on_left: str = "user_id",
+    on_right: str = "c_custkey",
+) -> DataFrame:
+    """Stream-STATIC join: each streaming event picks up the matching
+    row of a batch dimension table (inner join on the key).
+
+    The third join shape Structured Streaming supports (besides
+    stream-stream and joins to broadcast literals): the static side is
+    re-planned per micro-batch, needs NO watermark and holds NO state —
+    at scale, broadcast the dim (or bucket both sides) exactly as in
+    batch; the stream side never shuffles for a broadcast join."""
+    return events.join(
+        F.broadcast(dim), events[on_left] == dim[on_right], "inner"
+    )
