@@ -176,3 +176,19 @@ def test_top_fraction_quota_property(spark, rows, fraction):
             i for _, i in sorted(members, key=lambda t: (-t[0], t[1]))[:quota]
         }
         assert kept_by_g.get(g, set()) == expect, g
+
+
+@given(text=st.text(max_size=300))
+@settings(**_SETTINGS)
+def test_normalize_text_idempotent(spark, text):
+    """normalize(normalize(x)) == normalize(x) for ANY input — the
+    clean form is a fixed point, so re-running the hygiene pipeline
+    never churns bytes (idempotent ingest)."""
+    from tugas_2_big_data_spark.operators.text_analysis import normalize_text
+
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    once = normalize_text(df).collect()[0].text_norm
+    df2 = spark.createDataFrame([(1, once)], ["doc_id", "text"])
+    again = normalize_text(df2).collect()[0]
+    assert again.text_norm == once
+    assert not again.changed
