@@ -128,6 +128,8 @@ HEADLINE = [
     "txt_unigram_logprob",
     "txt_boilerplate_sentences",
     "evt_value_zscore",
+    "evt_funnel_conversion",
+    "evt_retention_cohorts",
 ]
 
 

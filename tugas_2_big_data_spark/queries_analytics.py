@@ -665,3 +665,109 @@ def evt_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 2.0).alias("is_outlier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel conversion: view -> click -> purchase, strictly ordered per user
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+  GROUP BY e.user_id
+)
+SELECT
+  CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+  CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after_view,
+  CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after_click
+"""
+
+
+@register("evt_funnel_conversion", _FUNNEL_SQL)
+def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users with a view, a click strictly after their
+    first view, and a purchase strictly after that first qualifying
+    click. Three per-user min-aggregates chained by equi-joins on
+    user_id — every stage is hash-partitioned by the same key (the
+    shuffles co-locate), no window over the raw stream, no pairwise
+    event comparison. At 100 TB each stage's input is pre-filtered by
+    event type before its shuffle."""
+    ev = load_table(spark, "events", sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_click_after_view"))
+    np_ = p.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_after_click"))
+    return nv.crossJoin(nc).crossJoin(np_)
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts: users by first-seen day x activity-day offset
+# ---------------------------------------------------------------------------
+
+_RETENTION_SQL = """
+WITH firstday AS (
+  SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+  FROM events
+)
+SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+  CAST(date_diff('day', f.d0, a.d) AS BIGINT) AS day_offset,
+  CAST(count(*) AS BIGINT) AS n_active_users
+FROM firstday f JOIN activity a ON f.user_id = a.user_id
+GROUP BY cohort_day, day_offset
+"""
+
+
+@register("evt_retention_cohorts", _RETENTION_SQL)
+def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention matrix: cohort = user's first-seen day; count
+    distinct users active at each day offset from their cohort day.
+    One agg builds the cohort dim, one distinct builds the activity
+    relation — both hash-partitioned by user_id so the join
+    co-locates; the final agg is |cohorts × offsets| rows."""
+    ev = load_table(spark, "events", sf_dir)
+    firstday = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        firstday.join(activity, "user_id")
+        .groupBy(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "d0").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
+    )
