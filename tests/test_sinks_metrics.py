@@ -62,3 +62,48 @@ def test_pipeline_tracker_report(spark, tmp_path):
     out = str(tmp_path / "performance_report.txt")
     tracker.write_report(out)
     assert os.path.exists(out)
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    from tugas_2_big_data_spark.sources import sinks
+
+    path = str(tmp_path / "merge_tbl")
+    base = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-01"), (3, "c", "2024-01-02")],
+        ["id", "v", "day"],
+    )
+    sinks.merge_upsert(base, path, keys=["id"], partition_by=["day"])
+    upd = spark.createDataFrame(
+        [(2, "B2", "2024-01-01"), (4, "d", "2024-01-02")], ["id", "v", "day"]
+    )
+    sinks.merge_upsert(upd, path, keys=["id"], partition_by=["day"])
+    # partition values come back type-inferred (DateType) — compare as str
+    got = {
+        r.id: (r.v, str(r.day)) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        1: ("a", "2024-01-01"),
+        2: ("B2", "2024-01-01"),   # replaced
+        3: ("c", "2024-01-02"),    # untouched partition row kept
+        4: ("d", "2024-01-02"),    # inserted
+    }
+    # idempotent: replaying the same update batch changes nothing
+    sinks.merge_upsert(upd, path, keys=["id"], partition_by=["day"])
+    again = {r.id: (r.v, str(r.day)) for r in spark.read.parquet(path).collect()}
+    assert again == got
+
+
+def test_merge_upsert_unpartitioned(spark, tmp_path):
+    from tugas_2_big_data_spark.sources import sinks
+
+    path = str(tmp_path / "merge_flat")
+    sinks.merge_upsert(
+        spark.createDataFrame([(1, "x")], ["id", "v"]), path, keys=["id"]
+    )
+    sinks.merge_upsert(
+        spark.createDataFrame([(1, "y"), (2, "z")], ["id", "v"]),
+        path,
+        keys=["id"],
+    )
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "y", 2: "z"}

@@ -49,3 +49,50 @@ def overwrite_partitions(
 def append(df: DataFrame, path: str, partition_by: Sequence[str] = ()) -> None:
     """K1 parity: blind append (documented as non-idempotent on re-run)."""
     write_parquet(df, path, mode="append", partition_by=partition_by)
+
+
+def merge_upsert(
+    updates: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_by: Sequence[str] = (),
+) -> None:
+    """Keyed MERGE (upsert) into a parquet table: rows in `updates`
+    replace target rows with the same key; all other target rows are
+    kept; new keys are inserted.
+
+    Plain parquet has no transactional merge (that is a table-format
+    feature — Delta/Iceberg/Hudi `MERGE INTO`), so this is the honest
+    no-lakehouse formulation: anti-join the target against the update
+    keys, union the updates, rewrite. The rewrite cost is the real
+    story at scale: unpartitioned, it rewrites the whole table; with
+    `partition_by` it narrows to dynamic overwrite of ONLY the
+    partitions the updates touch — which is why upsert-heavy tables
+    must be partitioned by something update-local (ingest date), and
+    why a table format is the right tool once updates are frequent.
+
+    Caveats stated, not hidden: the read-modify-write is not atomic
+    (concurrent writers need a table format), and the target must not
+    be read lazily from the same path being overwritten — the target
+    is materialized (localCheckpoint) before the write so the rewrite
+    never scans the files it is replacing.
+    """
+    spark = updates.sparkSession
+    keys = list(keys)
+    try:
+        target = spark.read.parquet(path)
+    except Exception:
+        write_parquet(updates, path, mode="overwrite", partition_by=partition_by)
+        return
+    if partition_by:
+        # narrow the rewrite: only partitions present in the updates
+        parts = updates.select(*partition_by).distinct()
+        target = target.join(parts, list(partition_by), "left_semi")
+    survivors = target.join(
+        updates.select(*keys).distinct(), keys, "left_anti"
+    )
+    merged = survivors.unionByName(updates).localCheckpoint()
+    if partition_by:
+        overwrite_partitions(merged, path, partition_by)
+    else:
+        write_parquet(merged, path, mode="overwrite")
