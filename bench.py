@@ -130,6 +130,7 @@ HEADLINE = [
     "evt_value_zscore",
     "evt_funnel_conversion",
     "evt_retention_cohorts",
+    "sample_exact_n_per_lang",
 ]
 
 

@@ -279,3 +279,11 @@ def test_salted_agg_two_phase_shuffles(dfs):
     the output grouping)."""
     plan = pi.explain_formatted(dfs["skew_salted_user_totals"])
     assert _n_exchanges(plan) == 2
+
+
+def test_exact_n_sample_uses_window_group_limit(dfs):
+    """sample_exact_n_per_group's LITERAL keep-count activates
+    WindowGroupLimit (map-side rank pruning) — the contrast to
+    top_fraction_by_group's dynamic quota, which cannot."""
+    plan = pi.explain_formatted(dfs["sample_exact_n_per_lang"])
+    assert "WindowGroupLimit" in plan

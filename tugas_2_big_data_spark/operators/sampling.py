@@ -243,3 +243,33 @@ def top_fraction_by_group(
         )
         .drop("_rk", "_n")
     )
+
+
+def sample_exact_n_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    n: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic exact-N-per-group downsample: rank rows inside each
+    group by a seeded md5 permutation of the id (uniform, reproducible,
+    insertion-stable) and keep row_number <= n.
+
+    The constant-bound sibling of `top_fraction_by_group`: because the
+    keep count is a LITERAL, the row_number filter activates
+    WindowGroupLimit — rank > n rows are pruned map-side before the
+    group sort, so the shuffle carries at most n rows per group per
+    input partition instead of whole groups. This is the shape to use
+    for "exactly 10k docs per language" eval-set carving at corpus
+    scale; groups smaller than n pass through whole.
+    """
+    h = F.md5(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )

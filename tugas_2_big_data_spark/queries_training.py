@@ -1697,3 +1697,33 @@ def txt_boilerplate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency is the whole signal — no pairwise comparisons."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return text_analysis.boilerplate_sentences(docs, min_docs=3)
+
+
+# ---------------------------------------------------------------------------
+# exact-N-per-group deterministic downsample (WindowGroupLimit path)
+# ---------------------------------------------------------------------------
+
+_EXACT_N_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42') ASC, doc_id ASC
+    ) AS rk
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rk <= 40
+"""
+
+
+@register("sample_exact_n_per_lang", _EXACT_N_SQL)
+def sample_exact_n_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 40 docs per language, chosen by a seeded-hash permutation
+    (sampling.sample_exact_n_per_group). The literal keep-count makes
+    the row_number filter a WindowGroupLimit: rank>40 rows die map-side
+    before the group sort — the eval-set carving shape at corpus
+    scale."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    return sampling.sample_exact_n_per_group(
+        docs, ["lang"], "doc_id", n=40, seed=42
+    )
