@@ -171,3 +171,77 @@ def test_stream_stream_join_matches_batch(spark, stream_events):
         ).collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time correctness under late data: a row arriving AFTER the
+    watermark has passed its window must be dropped, not aggregated.
+    The source is drained in two explicit passes: pass 1 advances the
+    watermark beyond the early window; pass 2 delivers a late row into
+    that window plus a fresh row. The early window's emitted count must
+    reflect pass 1 only."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from tugas_2_big_data_spark.streaming import events as se
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    d = str(tmp_path / "late_src")
+    os.makedirs(d, exist_ok=True)
+
+    def write_one(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        src_dir = tmp_path / name
+        part = next(p for p in os.listdir(src_dir) if p.endswith(".parquet"))
+        os.rename(src_dir / part, os.path.join(d, f"{name}.parquet"))
+
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    write_one(
+        "f1",
+        [
+            (1, t("2024-01-01T10:00:30"), 1, "click", 1.0, "{}"),
+            (2, t("2024-01-01T10:01:00"), 1, "click", 1.0, "{}"),
+            (3, t("2024-01-01T11:00:00"), 1, "click", 1.0, "{}"),
+        ],
+    )
+
+    stream = spark.readStream.schema(schema).parquet(d)
+    agg = se.tumbling_agg(stream, window="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop_probe")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # pass 1: watermark -> 10:50
+        write_one(
+            "f2",
+            [
+                (4, t("2024-01-01T10:02:00"), 1, "click", 1.0, "{}"),
+                (5, t("2024-01-01T12:00:00"), 1, "click", 1.0, "{}"),
+            ],
+        )
+        q.processAllAvailable()  # pass 2: late row vs closed window
+    finally:
+        q.stop()
+    got = {
+        str(r.window_start): r.n_events
+        for r in spark.sql("SELECT * FROM late_drop_probe").collect()
+    }
+    # the 10:00 window closed at watermark 10:50 and was emitted with
+    # pass-1 rows only; the late event_id=4 must NOT be counted
+    assert got.get("2024-01-01 10:00:00") == 2, got
