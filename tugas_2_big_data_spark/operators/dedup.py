@@ -2,14 +2,18 @@
 BASELINE.json north-star — not present in the reference, which has no
 dedup of any kind).
 
-Five strategies, all declarative DataFrame plans:
+Strategies, all declarative DataFrame plans:
 
 - exact:        hash-groupBy on the raw text (one shuffle)
 - fingerprint:  hash-groupBy on normalized text (case/whitespace folded)
 - minhash+LSH:  shingle → k seeded-md5 minhashes → band buckets →
                 candidate pairs → exact-Jaccard verification
-- n-gram Jaccard: inverted shingle index self-join (no O(n²) cross join)
+- n-gram Jaccard: inverted shingle index self-join (no O(n²) cross
+                join), plus a PPJoin prefix-filter variant
 - simhash:      16-bit signature from per-word md5 bit votes
+- incremental:  new-batch fingerprint anti-join against the seen-corpus
+                fingerprint state (continuous-ingest shape)
+- contamination: benchmark n-gram overlap via one broadcast vocabulary
 
 Scale design: every pairwise step goes through a key-equi-join
 (band bucket or shingle), never a cross join; signatures are one
