@@ -287,3 +287,22 @@ def test_exact_n_sample_uses_window_group_limit(dfs):
     top_fraction_by_group's dynamic quota, which cannot."""
     plan = pi.explain_formatted(dfs["sample_exact_n_per_lang"])
     assert "WindowGroupLimit" in plan
+
+
+def test_zscore_fact_never_shuffles(dfs):
+    """evt_value_zscore: the 5-row stats relation broadcasts back onto
+    the event scan — the fact side must join without an Exchange above
+    its scan (only the stats aggregate may shuffle)."""
+    assert pi.uses_broadcast_join(dfs["evt_value_zscore"])
+    assert not pi.uses_cartesian_or_bnl(dfs["evt_value_zscore"])
+
+
+def test_funnel_all_equi_joins(dfs):
+    assert not pi.uses_cartesian_or_bnl(dfs["evt_funnel_conversion"])
+
+
+def test_unigram_vocab_broadcast(dfs):
+    """txt_unigram_logprob: the Zipf-bounded vocabulary must broadcast
+    onto the word stream, never shuffle the words for the join."""
+    assert pi.uses_broadcast_join(dfs["txt_unigram_logprob"])
+    assert not pi.uses_cartesian_or_bnl(dfs["txt_unigram_logprob"])

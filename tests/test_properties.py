@@ -192,3 +192,53 @@ def test_normalize_text_idempotent(spark, text):
     again = normalize_text(df2).collect()[0]
     assert again.text_norm == once
     assert not again.changed
+
+
+_doc_text = st.lists(
+    st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split()),
+    min_size=0,
+    max_size=30,
+).map(" ".join)
+
+
+@given(texts=st.lists(_doc_text, min_size=1, max_size=12))
+@settings(**_SETTINGS)
+def test_jaccard_formulations_agree(spark, texts):
+    """The one-pass set-derived inverted index (jaccard_pairs_from_sets)
+    and the classic exploded-relation formulation (jaccard_pairs) must
+    produce identical pair sets, counts, and scores on ANY corpus."""
+    from tugas_2_big_data_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    a = sorted(
+        map(tuple, dedup.jaccard_pairs(dedup.doc_shingles(df), threshold=0.4).collect())
+    )
+    b = sorted(
+        map(tuple, dedup.jaccard_pairs_from_sets(dedup.shingle_sets(df), threshold=0.4).collect())
+    )
+    assert a == b
+
+
+@given(texts=st.lists(_doc_text, min_size=1, max_size=10))
+@settings(**_SETTINGS)
+def test_minhash_formulations_agree(spark, texts):
+    """Map-only signatures from sets must equal the exploded groupBy
+    formulation value-for-value (the docstring's identity claim)."""
+    from tugas_2_big_data_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    from_sets = {
+        r.doc_id: tuple(r)[1:]
+        for r in dedup.minhash_signatures_from_sets(
+            dedup.shingle_sets(df), k=4
+        ).collect()
+    }
+    exploded = {
+        r.doc_id: tuple(r)[1:]
+        for r in dedup.minhash_signatures(dedup.doc_shingles(df), k=4).collect()
+    }
+    assert from_sets == exploded
