@@ -131,6 +131,7 @@ HEADLINE = [
     "evt_funnel_conversion",
     "evt_retention_cohorts",
     "sample_exact_n_per_lang",
+    "txt_bigram_counts",
 ]
 
 

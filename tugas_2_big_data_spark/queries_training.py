@@ -17,6 +17,7 @@ from tugas_2_big_data_spark.sources.catalog import load_table
 from tugas_2_big_data_spark.operators import (
     asof,
     dedup,
+    partitioning,
     sampling,
     similarity,
     text_analysis,
@@ -1726,4 +1727,57 @@ def sample_exact_n_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
     return sampling.sample_exact_n_per_group(
         docs, ["lang"], "doc_id", n=40, seed=42
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus bigram count table (LM-training precursor; min-count pruned)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         ELSE string_split_regex(lower(trim(text)), '\s+') END AS words
+  FROM documents
+),
+bg AS (
+  SELECT words[i] AS w1, words[i + 1] AS w2
+  FROM w, unnest(range(1, len(words))) AS t(i)
+  WHERE len(words) >= 2
+)
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+FROM bg GROUP BY w1, w2 HAVING count(*) >= 5
+"""
+
+
+@register("txt_bigram_counts", _BIGRAM_SQL)
+def txt_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram count table with min-count 5 pruning — the n-gram
+    LM training precursor. Bigrams are built in-row (zip the projected
+    words array with its tail — no per-element outer-expression
+    re-evaluation), exploded, and hash-aggregated: ONE shuffle with
+    map-side combine; HAVING prunes the long tail before any sink."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = partitioning.fan_out(docs).select(
+        F.when(F.length(F.trim(F.col("text"))) == 0,
+               F.array().cast("array<string>"))
+        .otherwise(words)
+        .alias("_w")
+    )
+    bigrams = t.filter(F.size("_w") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("_w", 1, F.size("_w") - 1),
+                F.slice("_w", 2, F.size("_w") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    )
+    return (
+        bigrams.select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= 5)
     )
