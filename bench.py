@@ -132,6 +132,7 @@ HEADLINE = [
     "evt_retention_cohorts",
     "sample_exact_n_per_lang",
     "txt_bigram_counts",
+    "txt_bpe_merges",
 ]
 
 

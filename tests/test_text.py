@@ -193,3 +193,34 @@ def test_boilerplate_sentences_df_threshold(spark):
         assert out[i].n_sentences == 2 and out[i].n_boilerplate == 1
         assert abs(out[i].boilerplate_frac - 0.5) < 1e-12
     assert out[99].n_boilerplate == 0
+
+
+def test_bpe_merges_textbook_example(spark):
+    """Hand-computed BPE on the classic low/lower corpus: merge order
+    and counts must match the reference algorithm exactly (max pair
+    count, ties on pair lexicographically)."""
+    from tugas_2_big_data_spark.operators.text_analysis import bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower lower newest")], ["doc_id", "text"]
+    )
+    got = [
+        (r.round, r.w1, r.w2, r.merged, r.pair_count)
+        for r in sorted(bpe_merges(df, n_merges=5).collect())
+    ]
+    assert got == [
+        (1, "l", "o", "lo", 5),
+        (2, "lo", "w", "low", 5),
+        (3, "e", "r", "er", 2),
+        (4, "low", "er", "lower", 2),
+        (5, "e", "s", "es", 1),
+    ]
+
+
+def test_bpe_merges_exhausted_vocab_stops(spark):
+    from tugas_2_big_data_spark.operators.text_analysis import bpe_merges
+
+    df = spark.createDataFrame([(1, "ab ab")], ["doc_id", "text"])
+    out = bpe_merges(df, n_merges=10).collect()
+    # only one possible merge (a,b); the loop must stop, not emit rows
+    assert len(out) == 1 and out[0].merged == "ab"

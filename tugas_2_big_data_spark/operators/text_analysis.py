@@ -535,3 +535,114 @@ def boilerplate_sentences(
     return per_doc.withColumn(
         "boilerplate_frac", F.col("n_boilerplate") / F.col("n_sentences")
     )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Byte-pair-encoding tokenizer TRAINING as a declarative pipeline:
+    returns the learned merge table (round, w1, w2, merged, pair_count)
+    — the artifact a BPE tokenizer is.
+
+    The at-scale structure (and why this is tractable on 100 TB): the
+    corpus is touched ONCE, by the word-histogram aggregate. Every
+    merge round after that operates on the (word, count) relation —
+    Zipf-bounded vocabulary, ≪ corpus — so training cost is
+    rounds × |vocab|, independent of corpus size. Each round:
+
+    1. pair counts: in-row zip of each word's symbol array with its
+       tail, exploded, hash-aggregated weighted by word count
+       (map-side combine);
+    2. best pair: rank-1 row (count desc, pair asc tie-break — fully
+       deterministic), carried as a ONE-ROW broadcast — never a
+       driver collect round-trip (the k-means state policy);
+    3. merge: string replace of " w1 w2 " inside the padded symbol
+       string, pattern built FROM the broadcast columns (leftmost
+       non-overlapping, the reference BPE behavior) — a map-only
+       projection over the vocab.
+
+    The vocab and best-pair relations are localCheckpointed per round
+    (tiny — they ARE the vocabulary) so lineage stays flat, same
+    policy as the other iterative operators (connected_components,
+    k-means). The returned merge table is the union of the per-round
+    best rows.
+    """
+    words = df.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+        .select(
+            "word",
+            "wc",
+            F.trim(F.regexp_replace("word", "(.)", r"$1 ")).alias("sym"),
+        )
+        .localCheckpoint()
+    )
+    merge_frames = []
+    for rnd in range(1, n_merges + 1):
+        syms = vocab.select(
+            "wc", F.split("sym", " ").alias("_s")
+        ).filter(F.size("_s") >= 2)
+        pairs = (
+            syms.select(
+                "wc",
+                F.explode(
+                    F.zip_with(
+                        F.slice("_s", 1, F.size("_s") - 1),
+                        F.slice("_s", 2, F.size("_s") - 1),
+                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.w1", "p.w2")
+            .agg(F.sum("wc").alias("n"))
+        )
+        best = (
+            pairs.orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        if best.isEmpty():  # vocabulary fully merged before n_merges
+            break
+        merge_frames.append(
+            best.select(
+                F.lit(rnd).cast("long").alias("round"),
+                "w1",
+                "w2",
+                F.concat("w1", "w2").alias("merged"),
+                F.col("n").alias("pair_count"),
+            )
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                "wc",
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                        F.concat(
+                            F.lit(" "), "w1", F.lit(" "), "w2", F.lit(" ")
+                        ),
+                        F.concat(F.lit(" "), "w1", "w2", F.lit(" ")),
+                    )
+                ).alias("sym"),
+            )
+            .localCheckpoint()
+        )
+    if not merge_frames:
+        return df.sparkSession.createDataFrame(
+            [],
+            "round long, w1 string, w2 string, merged string, pair_count long",
+        )
+    out = merge_frames[0]
+    for f in merge_frames[1:]:
+        out = out.unionByName(f)
+    return out

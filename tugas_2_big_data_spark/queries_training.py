@@ -1781,3 +1781,60 @@ def txt_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: learned merge table (generated CTE-chain oracle,
+# same pattern as the k-means oracle — one CTE pair per merge round)
+# ---------------------------------------------------------------------------
+
+def _bpe_sql(n_merges: int = 6) -> str:
+    parts = [
+        r"""v0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wc,
+    trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sym
+  FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY word
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"v{i - 1}"
+        parts.append(f"""p{i} AS (
+  SELECT w1, w2, sum(wc) AS n FROM (
+    SELECT wc, syms[i] AS w1, syms[i + 1] AS w2 FROM (
+      SELECT wc, string_split(sym, ' ') AS syms FROM {prev}
+    ), unnest(range(1, len(syms))) AS t(i)
+    WHERE len(syms) >= 2
+  ) GROUP BY w1, w2
+)""")
+        parts.append(f"""b{i} AS (
+  SELECT w1, w2, n FROM p{i} ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 1
+)""")
+        parts.append(f"""v{i} AS (
+  SELECT v.word, v.wc,
+    trim(replace(' ' || v.sym || ' ',
+                 ' ' || b.w1 || ' ' || b.w2 || ' ',
+                 ' ' || b.w1 || b.w2 || ' ')) AS sym
+  FROM {prev} v CROSS JOIN b{i} b
+)""")
+    ctes = ",\n".join(parts)
+    selects = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS round, w1, w2, w1 || w2 AS merged, "
+        f"CAST(n AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"WITH {ctes}\n{selects}"
+
+
+@register("txt_bpe_merges", _bpe_sql(6))
+def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (text_analysis.bpe_merges): 6 merge
+    rounds over the corpus word histogram; output = the learned merge
+    table. The corpus is scanned once (histogram agg); every round
+    after that is rounds × |vocab| work with the best pair carried as
+    a one-row broadcast — tokenizer training cost is independent of
+    corpus size past the first aggregate."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return text_analysis.bpe_merges(docs, n_merges=6)
