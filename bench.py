@@ -133,6 +133,7 @@ HEADLINE = [
     "sample_exact_n_per_lang",
     "txt_bigram_counts",
     "txt_bpe_merges",
+    "txt_hash_embed_topk",
 ]
 
 

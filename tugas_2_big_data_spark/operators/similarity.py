@@ -537,3 +537,42 @@ def semdedup(
     return assigned.join(losers, id_col, "left_anti").select(
         F.col(id_col), F.col("cid").cast("long").alias("cluster")
     )
+
+
+def hash_embed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashed bag-of-words document vectors (hashingTF):
+    each lowercased whitespace token increments bucket
+    md5_24(word) % dim of a dense `dim`-length count vector — the
+    text → vector bridge that lets the ANN/dedup operators run over
+    corpora with no model embeddings.
+
+    Map-only: tokens, buckets, and the dense vector are built in-row
+    (aggregate fold over the words array into a length-`dim`
+    accumulator — no explode, no (doc, bucket) shuffle, no zero-fill
+    join). The md5-derived bucket makes values portable to the DuckDB
+    oracle bit-for-bit, unlike xxhash/murmur which DuckDB lacks.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    t = df.select(F.col(id_col), words.alias("_w")).select(
+        F.col(id_col),
+        F.filter("_w", lambda w: w != F.lit("")).alias("_w"),
+    )
+    bucket = lambda w: (  # noqa: E731
+        F.conv(F.substring(F.md5(w), 1, 6), 16, 10).cast("long") % dim
+    )
+    t = t.select(
+        F.col(id_col), F.transform("_w", bucket).alias("_b")
+    )
+    vec = F.aggregate(
+        "_b",
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, b: F.transform(
+            acc, lambda v, i: F.when(i == b.cast("int"), v + 1.0).otherwise(v)
+        ),
+    )
+    return t.select(F.col(id_col).alias("vec_id"), vec.alias("embedding"))

@@ -67,6 +67,7 @@ _SWEEP_FIRST: tuple[str, ...] = (
     "stream_static_enrich", "evt_value_zscore",
     "evt_funnel_conversion", "evt_retention_cohorts",
     "sample_exact_n_per_lang", "txt_bigram_counts", "txt_bpe_merges",
+    "txt_hash_embed_topk",
     # (4) round-1 unchecked
     "tpch_q2_min_cost", "tpch_q7_volume_shipping", "tpch_q8_market_share",
     "tpch_q9_profit", "tpch_q10_returned_items", "tpch_q11_important_parts",

@@ -1838,3 +1838,58 @@ def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size past the first aggregate."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return text_analysis.bpe_merges(docs, n_merges=6)
+
+
+# ---------------------------------------------------------------------------
+# feature-hashed document vectors -> cosine top-k (text -> ANN bridge)
+# ---------------------------------------------------------------------------
+
+def _hash_embed_sql(dim: int = 64, n_queries: int = 3, k: int = 5) -> str:
+    bucket = _hex24_sql("md5(word)")
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+cnt AS (
+  SELECT doc_id, ({bucket}) % {dim} AS bucket,
+    CAST(count(*) AS DOUBLE) AS c
+  FROM w2 GROUP BY doc_id, bucket
+),
+grid AS (
+  SELECT d.doc_id, g.i AS bucket
+  FROM (SELECT DISTINCT doc_id FROM w2) d, unnest(range(0, {dim})) AS g(i)
+),
+dense AS (
+  SELECT grid.doc_id, list(coalesce(cnt.c, 0.0) ORDER BY grid.bucket) AS v
+  FROM grid LEFT JOIN cnt USING (doc_id, bucket)
+  GROUP BY grid.doc_id
+)
+SELECT query_id, nbr_id, cosine, rk FROM (
+  SELECT q.doc_id AS query_id, n.doc_id AS nbr_id,
+    round(list_cosine_similarity(q.v, n.v), 9) AS cosine,
+    CAST(row_number() OVER (
+      PARTITION BY q.doc_id
+      ORDER BY list_cosine_similarity(q.v, n.v) DESC NULLS LAST, n.doc_id
+    ) AS BIGINT) AS rk
+  FROM (SELECT * FROM dense WHERE doc_id < {n_queries}) q, dense n
+  WHERE n.doc_id != q.doc_id
+)
+WHERE rk <= {k}
+"""
+
+
+@register("txt_hash_embed_topk", _hash_embed_sql())
+def txt_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text → ANN composition: feature-hashed bag-of-words vectors
+    (similarity.hash_embed — map-only, md5-bucketed so the oracle
+    replays it exactly) fed straight into the exact cosine top-k
+    operator. The bridge that runs similarity search over corpora with
+    no model embeddings."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    vecs = similarity.hash_embed(docs, dim=64)
+    return similarity.cosine_topk(
+        vecs, vecs.filter(F.col("vec_id") < 3), k=5
+    )
