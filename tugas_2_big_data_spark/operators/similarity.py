@@ -558,9 +558,15 @@ def hash_embed(
     oracle bit-for-bit, unlike xxhash/murmur which DuckDB lacks.
     """
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    t = df.select(F.col(id_col), words.alias("_w")).select(
-        F.col(id_col),
-        F.filter("_w", lambda w: w != F.lit("")).alias("_w"),
+    t = (
+        df.select(F.col(id_col), words.alias("_w"))
+        .select(
+            F.col(id_col),
+            F.filter("_w", lambda w: w != F.lit("")).alias("_w"),
+        )
+        # token-less docs produce NO vector (not a zero vector) — the
+        # same drop policy as shingle_sets, and what the oracle does
+        .filter(F.size("_w") > 0)
     )
     bucket = lambda w: (  # noqa: E731
         F.conv(F.substring(F.md5(w), 1, 6), 16, 10).cast("long") % dim
