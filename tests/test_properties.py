@@ -242,3 +242,42 @@ def test_minhash_formulations_agree(spark, texts):
         for r in dedup.minhash_signatures(dedup.doc_shingles(df), k=4).collect()
     }
     assert from_sets == exploded
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(0, 1000)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_weighted_keep_deterministic_and_saturating(spark, rows):
+    """weighted_keep: rerun => byte-identical keep set (auditability),
+    and rows with weight >= denominator are ALWAYS kept."""
+    from tugas_2_big_data_spark.operators.sampling import weighted_keep
+
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    k1 = sorted(r.doc_id for r in weighted_keep(df, "n_chars", 500).collect())
+    k2 = sorted(r.doc_id for r in weighted_keep(df, "n_chars", 500).collect())
+    assert k1 == k2
+    saturated = {i for i, w in rows if w >= 500}
+    assert saturated <= set(k1)
+
+
+@given(
+    ids=st.lists(st.integers(0, 10**6), min_size=1, max_size=50, unique=True)
+)
+@settings(**_SETTINGS)
+def test_hash_split_partitions_input(spark, ids):
+    """hash_split: the three splits partition the input exactly (every
+    row in exactly one split), deterministically across reruns."""
+    from tugas_2_big_data_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    out = hash_split(df).collect()
+    assert sorted(r.doc_id for r in out) == sorted(ids)
+    assert {r.split for r in out} <= {"train", "val", "test"}
+    again = {r.doc_id: r.split for r in hash_split(df).collect()}
+    assert {r.doc_id: r.split for r in out} == again
