@@ -1,8 +1,15 @@
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. The driver records this per-round
-as BENCH_r{N}.json against BASELINE.md.
+Prints ONE compact JSON line: {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {name: sec}, "sf": ...}. The driver records
+this per-round as BENCH_r{N}.json against BASELINE.md.
+
+The driver captures only a bounded TAIL of stdout (round 2's 104-entry
+line outgrew it and parsed as null), so the stdout line keeps "queries"
+to the SLOWEST_N slowest queries — the perf-relevant ones — and the
+full per-query map is written to BENCH_FULL.json next to this script
+("queries_file" in the summary). "value" is still the total over ALL
+benched queries.
 
 Each query is materialized by hash-aggregating EVERY output column
 (sum of xxhash64 over all columns): a bare count() would let Catalyst
@@ -137,6 +144,11 @@ HEADLINE = [
 ]
 
 
+# Cap on per-query entries in the stdout summary line (slowest first);
+# 25 entries ≈ 700 bytes keeps the line inside the tail window.
+SLOWEST_N = 25
+
+
 def _materialize(df) -> int:
     """Force FULL computation of every output column without collecting
     rows to the driver: sum(xxhash64(all columns)) defeats column
@@ -169,18 +181,35 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
+        # progress to stderr only: stdout must stay a single JSON line
+        print(f"[bench] {name}: {timings[name]:.3f}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+    }
+    full_path = os.path.join(REPO_DIR, "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    # stdout line: slowest-N queries only, so the line stays well under
+    # the driver's tail-capture window (~2 KB) and always parses.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:SLOWEST_N]
     )
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "queries_total_count": len(timings),
+        "queries_file": "BENCH_FULL.json",
+        "sf": sf_num,
+    }
+    print(json.dumps(summary, separators=(",", ":")))
     spark.stop()
 
 

@@ -128,3 +128,41 @@ def test_salted_broadcast_join_matches_plain(spark):
         for r in skew.salted_broadcast_left(stream, build, "k", n_salts=4).collect()
     )
     assert salted == plain
+
+
+def test_asof_null_payload_field_carried_atomically(spark):
+    """The winning right row travels as one struct: a NULL field in the
+    matched row stays NULL — it is NOT backfilled from an older right
+    row (ADVICE r2: per-column last() emitted rows that never existed)."""
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01T12:00:00"))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T10:00:00"), 10.0, "older"),
+            ("u1", _ts("2024-01-01T11:00:00"), None, "winner"),
+        ],
+        ["user_id", "ts", "value", "tag"],
+    )
+    row = asof.asof_join(left, right).collect()[0]
+    assert row.tag_r == "winner"
+    assert row.value_r is None  # not backfilled from the 10:00 row
+    assert row.ts_r == _ts("2024-01-01T11:00:00")
+
+
+def test_asof_null_payload_with_tiebreak_atomic(spark):
+    """Same atomicity under tiebreak: max-tiebreak row with a NULL field
+    wins whole, never mixed with lower-tiebreak fields."""
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01T12:00:00"))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T11:00:00"), 10.0, "lo", 100),
+            ("u1", _ts("2024-01-01T11:00:00"), None, "hi", 300),
+        ],
+        ["user_id", "ts", "value", "tag", "rid"],
+    )
+    row = asof.asof_join(left, right, tiebreak="rid").collect()[0]
+    assert row.tag_r == "hi"
+    assert row.value_r is None

@@ -33,3 +33,18 @@ def test_fan_out_values_unchanged(spark):
     assert sorted(r.doc_id for r in fan_out(df).collect()) == sorted(
         r.doc_id for r in df.collect()
     )
+
+
+def test_fan_out_noop_on_post_shuffle_plan(spark):
+    """Plans containing exchanges must not be probed: df.rdd under AQE
+    materializes upstream query stages (ADVICE r2). fan_out returns the
+    frame untouched; post-shuffle parallelism is AQE's job."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = fan_out(df)
+    assert out is df

@@ -107,3 +107,28 @@ def test_merge_upsert_unpartitioned(spark, tmp_path):
     )
     got = {r.id: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: "y", 2: "z"}
+
+
+def test_merge_upsert_corrupt_target_raises(spark, tmp_path):
+    """A readable-path-but-broken target must RAISE, not silently take
+    the create path and overwrite the table with only the update batch
+    (ADVICE r2: bare except == data loss)."""
+    import pytest
+
+    path = str(tmp_path / "corrupt")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    upd = spark.createDataFrame([(1, "x")], ["id", "v"])
+    with pytest.raises(Exception):
+        sinks.merge_upsert(upd, path, keys=["id"])
+    # the garbage file was NOT clobbered by an overwrite
+    with open(os.path.join(path, "part-00000.parquet"), "rb") as f:
+        assert f.read() == b"this is not a parquet file"
+
+
+def test_merge_upsert_missing_target_creates(spark, tmp_path):
+    path = str(tmp_path / "fresh")
+    upd = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
+    sinks.merge_upsert(upd, path, keys=["id"])
+    assert spark.read.parquet(path).count() == 2

@@ -26,6 +26,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -49,18 +50,28 @@ def asof_join(
     by construction instead of by data. The tiebreak column is used only
     for ordering and is not emitted. Without it, the carried row among
     equal timestamps is the last in (on, payload) order.
+
+    The carried payload is ATOMIC: all right-side columns are packed
+    into one struct and the struct is carried with
+    last(ignorenulls=True), so the matched row's fields always travel
+    together. (Carrying per-column would backfill a NULL field of the
+    winning row from an older right row — emitting a mixed row that
+    never existed.)
     """
     by = list(by)
     payload_cols = [
         c for c in right.columns if c not in {*by, on} and c != tiebreak
     ]
-
-    l2 = left.withColumn("_side", F.lit(1))
-    for c in payload_cols:
-        l2 = l2.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
+    carried_fields = [(f"{c}{suffix}", right.schema[c].dataType) for c in payload_cols]
     if include_right_time:
-        l2 = l2.withColumn(f"{on}{suffix}", F.lit(None).cast(right.schema[on].dataType))
+        carried_fields.append((f"{on}{suffix}", right.schema[on].dataType))
+    carry_type = StructType(
+        [StructField(n, t, nullable=True) for n, t in carried_fields]
+    )
 
+    l2 = left.withColumn("_side", F.lit(1)).withColumn(
+        "_carry", F.lit(None).cast(carry_type)
+    )
     if tiebreak is not None:
         l2 = l2.withColumn("_tb", F.lit(None).cast(right.schema[tiebreak].dataType))
 
@@ -68,10 +79,11 @@ def asof_join(
         *by,
         F.col(on),
         *([F.col(tiebreak).alias("_tb")] if tiebreak is not None else []),
-        *[F.col(c).alias(f"{c}{suffix}") for c in payload_cols],
+        F.struct(
+            *[F.col(c).alias(f"{c}{suffix}") for c in payload_cols],
+            *([F.col(on).alias(f"{on}{suffix}")] if include_right_time else []),
+        ).alias("_carry"),
     ).withColumn("_side", F.lit(0))
-    if include_right_time:
-        r2 = r2.withColumn(f"{on}{suffix}", F.col(on))
     for c in left.columns:
         if c not in {*by, on}:
             r2 = r2.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
@@ -79,7 +91,10 @@ def asof_join(
     unioned = l2.unionByName(r2)
     # right rows (side 0) sort before left rows at equal timestamps →
     # backward INCLUSIVE semantics; among equal right timestamps the
-    # greatest tiebreak sorts last and is the row carried forward
+    # greatest tiebreak sorts last and is the row carried forward.
+    # A right row's _carry struct is never NULL (even if every field
+    # is), so last(ignorenulls) skips only left rows — the carried
+    # payload is exactly the winning right row, atomically.
     order = [F.col(on).asc(), F.col("_side").asc()]
     if tiebreak is not None:
         order.append(F.col("_tb").asc_nulls_first())
@@ -88,9 +103,9 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [f"{c}{suffix}" for c in payload_cols] + (
-        [f"{on}{suffix}"] if include_right_time else []
-    )
-    for c in carried:
-        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return unioned.filter(F.col("_side") == 1).drop("_side", "_tb")
+    out = unioned.withColumn(
+        "_carry", F.last("_carry", ignorenulls=True).over(w)
+    ).filter(F.col("_side") == 1)
+    for name, _ in carried_fields:
+        out = out.withColumn(name, F.col("_carry").getField(name))
+    return out.drop("_side", "_tb", "_carry")

@@ -42,47 +42,25 @@ def register(name: str, oracle: str | None):
     return deco
 
 
-# Round-1's correctness sweep covered only the first 50 registry keys
-# (registration order). Surface queries by how much a driver
-# CORRECTNESS row is worth, in case the sweep is budget- or
-# count-capped: (1) the 11 queries that FAILED in round 1 (the
-# events-timestamp bug, since fixed) need green rows most; (2) the
-# formerly rows-only queries whose oracles were upgraded to value
-# checks; (3) queries new this round; (4) the round-1-unchecked
-# remainder; previously-green entries re-verify last.
+# The driver's correctness sweep is capped (~50 queries/round), so
+# surface queries by how much a driver CORRECTNESS row is worth:
+# (1) the 13 queries that have never had a driver row across rounds
+# 1-2 (they pass sf0.01 locally; they just need certification);
+# (2) queries new or changed this round; (3) everything previously
+# driver-green, which merely re-verifies.
 _SWEEP_FIRST: tuple[str, ...] = (
-    # (1) round-1 failures, fixed
-    "evt_tumbling_5min", "evt_sessionize_30min", "evt_asof_last_purchase",
-    "evt_gapfill_5min", "evt_hypertable_rollup", "evt_ohlc_bars_5min",
-    "evt_range_join_30min", "evt_trend_by_type",
-    "stream_tumbling_5min", "stream_sessionize_30min",
-    "stream_join_purchase_clicks",
-    # (2) upgraded rows-only -> value oracles
-    "sketch_distinct_users", "sketch_value_quantiles",
-    "iqplus_summarize_longdoc",
-    # (3) new this round
-    "txt_chunk_windows", "curate_top_by_source",
-    "txt_normalize", "dedup_incremental_batch", "dedup_semantic_clusters",
-    "txt_unigram_logprob", "txt_boilerplate_sentences",
-    "stream_static_enrich", "evt_value_zscore",
-    "evt_funnel_conversion", "evt_retention_cohorts",
-    "sample_exact_n_per_lang", "txt_bigram_counts", "txt_bpe_merges",
-    "txt_hash_embed_topk",
-    # (4) round-1 unchecked
-    "tpch_q2_min_cost", "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q9_profit", "tpch_q10_returned_items", "tpch_q11_important_parts",
-    "tpch_q12_priority_lines", "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue", "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty", "tpch_q18_large_orders", "tpch_q19_disjunctive",
-    "tpch_q20_promo_suppliers", "tpch_q21_sole_fault",
-    "tpch_q22_wealthy_inactive",
-    "unpivot_lineitem_totals", "win_balance_distribution",
-    "grouping_sets_pricing", "skew_salted_user_totals",
+    # (1) never driver-checked through round 2
     "evt_json_props", "evt_value_histogram", "evt_mode_per_type",
     "stream_dedup_keys", "stream_running_user_totals",
     "txt_repetition", "txt_pii_scrub", "txt_contamination",
     "mix_language_budget", "sample_weighted_by_length",
     "iqplus_summarize_stub", "mm_resize_dims", "mm_frame_sample",
+    # (2) new or materially changed in round 3
+    "dedup_ngram_jaccard_prefix", "ann_ivf_topk", "ann_ivf_kmeans_topk",
+    "dedup_ngram_jaccard_pairs", "evt_value_zscore",
+    "evt_asof_last_purchase",
+    # (3) previously driver-green (r01 ∪ r02), re-verify in
+    # registration order after the above
 )
 
 

@@ -635,8 +635,8 @@ WITH stats AS (
   FROM events GROUP BY event_type
 )
 SELECT e.event_id, e.event_type, e.value,
-  round((e.value - s.mu) / s.sigma, 9) AS z,
-  abs((e.value - s.mu) / s.sigma) > 2.0 AS is_outlier
+  round((e.value - s.mu) / NULLIF(s.sigma, 0), 9) AS z,
+  abs((e.value - s.mu) / NULLIF(s.sigma, 0)) > 2.0 AS is_outlier
 FROM events e JOIN stats s USING (event_type)
 WHERE e.value IS NOT NULL
 """
@@ -648,13 +648,18 @@ def evt_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (mu, sigma) stats relation (5 rows), broadcast back onto the
     event stream — the scan never shuffles. The same plan shape at
     100 TB: stats are |event types| rows regardless of corpus size.
-    A partition-by-type window would shuffle the whole fact instead."""
+    A partition-by-type window would shuffle the whole fact instead.
+
+    sigma is NULLIF-guarded on BOTH sides: an all-equal group has
+    sigma = 0, where Spark's non-ANSI double division yields NULL but
+    DuckDB's IEEE default yields ±inf — the guard makes z NULL
+    identically."""
     ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"),
         F.stddev_samp("value").alias("sigma"),
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    z = (F.col("value") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0))
     return (
         ev.join(F.broadcast(stats), "event_type")
         .select(

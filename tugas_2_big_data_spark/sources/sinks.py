@@ -51,6 +51,15 @@ def append(df: DataFrame, path: str, partition_by: Sequence[str] = ()) -> None:
     write_parquet(df, path, mode="append", partition_by=partition_by)
 
 
+def _path_exists(spark, path: str) -> bool:
+    """True iff `path` exists, via the JVM Hadoop FileSystem bound to
+    the session (so s3a://, hdfs://, file:// all resolve correctly)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def merge_upsert(
     updates: DataFrame,
     path: str,
@@ -79,11 +88,17 @@ def merge_upsert(
     """
     spark = updates.sparkSession
     keys = list(keys)
-    try:
-        target = spark.read.parquet(path)
-    except Exception:
+    # Take the create path ONLY when the target genuinely does not
+    # exist. A bare except here would treat ANY read failure (corrupt
+    # footer, transient FS error, permissions) as "no table" and
+    # overwrite the whole table with just the update batch — silent
+    # loss of every non-updated row. Probe existence via the Hadoop
+    # FileSystem API (works for any supported scheme), then let real
+    # read errors propagate.
+    if not _path_exists(spark, path):
         write_parquet(updates, path, mode="overwrite", partition_by=partition_by)
         return
+    target = spark.read.parquet(path)
     if partition_by:
         # narrow the rewrite: only partitions present in the updates
         parts = updates.select(*partition_by).distinct()
