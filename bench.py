@@ -53,13 +53,15 @@ HEADLINE = [
     "segment_pivot",
     "customers_without_orders",
     "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_pairs",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_ngram_jaccard_exact_baseline",
     "dedup_exact",
     "dedup_fingerprint",
     "dedup_simhash",
     "dedup_embedding_near_dup",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_ivf_seed_topk",
     "txt_token_stats",
     "txt_quality",
     "txt_langid",

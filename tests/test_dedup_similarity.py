@@ -136,7 +136,7 @@ def test_ivf_topk_structure(spark):
     rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)]
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
     out = similarity.ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 3), n_centroids=4, nprobe=2, k=5
+        emb, emb.filter(F.col("vec_id") < 3), n_centroids=4, nprobe=2, k=5, dim=8
     )
     rows = out.collect()
     per_query = {}
@@ -163,7 +163,7 @@ def test_ivf_more_probes_no_worse(spark):
     allprobe = {
         (r.query_id, r.nbr_id)
         for r in similarity.ivf_topk(
-            emb, queries, n_centroids=4, nprobe=4, k=3
+            emb, queries, n_centroids=4, nprobe=4, k=3, dim=8
         ).collect()
     }
     assert allprobe == exact
@@ -293,3 +293,49 @@ def test_normalize_text_strips_and_collapses(spark):
     assert out[2].text_norm == "a bold move here" and out[2].changed
     assert out[3].text_norm == "spaced out" and out[3].changed
     assert out[4].text_norm == "" and not out[4].changed
+
+
+def test_iterative_ops_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches the iterative operators from
+    localCheckpoint (executor-pinned) to reliable checkpoint():
+    identical results, and RDD checkpoint files actually land in the
+    directory."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    vertices = spark.createDataFrame([(i,) for i in range(1, 8)], ["vec_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)], ["id_a", "id_b"]
+    )
+    got = {
+        r.vec_id: r.component_id
+        for r in similarity.connected_components(
+            vertices, pairs, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6}
+    # reliable checkpoint writes under <dir>/<uuid>/rdd-*
+    found = [
+        d for root, dirs, _ in os.walk(ckpt) for d in dirs if d.startswith("rdd-")
+    ]
+    assert found, "no reliable checkpoint files written"
+
+
+def test_semdedup_checkpoint_dir_same_result(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(30)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]  # exact dups
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    base = {
+        (r.vec_id, r.cluster)
+        for r in similarity.semdedup(emb, k=2, iters=1, dim=8).collect()
+    }
+    ck = {
+        (r.vec_id, r.cluster)
+        for r in similarity.semdedup(
+            emb, k=2, iters=1, dim=8, checkpoint_dir=str(tmp_path / "ck2")
+        ).collect()
+    }
+    assert base == ck

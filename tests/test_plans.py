@@ -131,7 +131,8 @@ def test_asof_single_logical_shuffle(dfs):
 def test_lsh_pairs_all_joins_are_equi(dfs):
     """Every pairwise dedup step must go through key-equi-joins."""
     assert not pi.uses_cartesian_or_bnl(dfs["dedup_minhash_lsh_pairs"])
-    assert not pi.uses_cartesian_or_bnl(dfs["dedup_ngram_jaccard_pairs"])
+    assert not pi.uses_cartesian_or_bnl(dfs["dedup_ngram_jaccard_exact_baseline"])
+    assert not pi.uses_cartesian_or_bnl(dfs["dedup_ngram_jaccard_prefix"])
 
 
 def test_ivf_broadcasts_centroids(dfs):

@@ -224,3 +224,20 @@ def test_bpe_merges_exhausted_vocab_stops(spark):
     out = bpe_merges(df, n_merges=10).collect()
     # only one possible merge (a,b); the loop must stop, not emit rows
     assert len(out) == 1 and out[0].merged == "ab"
+
+
+def test_bpe_merges_checkpoint_dir_same_result(spark, tmp_path):
+    from tugas_2_big_data_spark.operators.text_analysis import bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        ["doc_id", "text"],
+    )
+    base = [tuple(r) for r in bpe_merges(df, n_merges=3).collect()]
+    ck = [
+        tuple(r)
+        for r in bpe_merges(
+            df, n_merges=3, checkpoint_dir=str(tmp_path / "ckbpe")
+        ).collect()
+    ]
+    assert base == ck and len(base) == 3

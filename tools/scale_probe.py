@@ -68,7 +68,8 @@ PROBE = [
     "txt_unigram_logprob", "txt_boilerplate_sentences",
     "ann_cosine_topk", "ann_ivf_topk", "ann_kmeans_assign",
     # output-bound pairwise ops (see module docstring)
-    "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_exact_baseline",
+    "dedup_ngram_jaccard_prefix",
 ]
 
 

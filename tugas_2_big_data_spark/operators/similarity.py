@@ -16,6 +16,8 @@ computes float32 when fed FLOAT[], so both sides cast to double first.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -86,48 +88,110 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def ivf_ncentroids(corpus_rows: int) -> int:
+    """Cell-count policy: nlist ≈ √N (floor 8). Cells then hold ~√N
+    vectors each, so per-query search cost (nprobe·N/nlist) and the
+    broadcast centroid state (nlist·dim doubles) BOTH grow as √N —
+    neither the cell scan nor the quantizer becomes the bottleneck as
+    the corpus grows. A fixed nlist instead fattens cells linearly
+    (the measured 3.6× at 10× data that motivated this policy)."""
+    return max(8, math.isqrt(corpus_rows))
+
+
+IVF_TRAIN_SEED = 11
+
+
+def ivf_train_stride(corpus_rows: int, n_centroids: int) -> int:
+    """Quantizer-training sample stride: train k-means on ~max(2048,
+    32·k) vectors instead of the full corpus (keep every vector whose
+    portable md5 draw ≡ 0 mod stride). Standard ANN practice (Faiss
+    trains coarse quantizers on samples): training cost drops from
+    iters·N·k to iters·cap·k while centroid quality is statistically
+    unchanged — 32 points per centroid estimate the cell means as well
+    as the full corpus does. The one full-corpus pass that remains is
+    the cell ASSIGNMENT (N·k), inherent to flat IVF. Stride 1 (no
+    sampling) below ~2048 rows, so small tiers are bit-identical with
+    or without this policy."""
+    cap = max(2048, 32 * n_centroids)
+    return max(1, math.ceil(corpus_rows / cap))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     nprobe: int = 2,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    quantizer: str = "kmeans",
+    kmeans_iters: int = 2,
+    dim: int = 64,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
-    into `n_centroids` cells, probe the `nprobe` closest cells per
-    query, exact cosine only within probed cells.
+    into cells, probe the `nprobe` closest cells per query, exact
+    cosine only within probed cells.
 
-    The default coarse quantizer is deliberately simple and fully
-    relational (centroids = the n_centroids lowest-id vectors, i.e. a
-    deterministic seed set); pass `centroids` (cid, cvec rows — e.g.
-    `kmeans_centroids`) for the production quantizer — the
-    cell-assignment/probe/search plan is identical. Scale shape: cell
-    assignment broadcasts the centroid set as ONE row and picks the
-    top-`probes` cells with an in-row sort expression — map-only, no
-    crossJoin row amplification, no per-id window shuffle (the same
-    shape `_kmeans_state` uses; the windowed crossJoin it replaced
-    shuffled corpus·k rows). The search join is a key-equi-join on
-    cell id — never an all-pairs compare; cost is
-    O(corpus/n_centroids · nprobe) per query instead of O(corpus).
+    The DEFAULT quantizer is the production one: k-means centroids
+    (`kmeans_centroids`, `kmeans_iters` Lloyd rounds over `dim`-wide
+    vectors) with the cell count sized by the `ivf_ncentroids` √N
+    policy when `n_centroids` is not given (one count() job to read N —
+    quantizer training is index-build work, amortized across queries).
+    Pass `centroids` (cid, cvec rows) to bring your own quantizer, or
+    `quantizer="seed"` for the k-lowest-id seed set — a deliberately
+    simple EXACT-BASELINE quantizer kept for tests/debugging; its
+    untrained cells skew arbitrarily and it is not the scale path.
+
+    Scale shape: cell assignment broadcasts the centroid set as ONE row
+    and picks the top-`probes` cells with an in-row sort expression —
+    map-only, no crossJoin row amplification, no per-id window shuffle
+    (the same shape `_kmeans_state` uses; the windowed crossJoin it
+    replaced shuffled corpus·k rows). The search join is a
+    key-equi-join on cell id — never an all-pairs compare; with the √N
+    policy the probed work is O(nprobe·√N) per query instead of
+    O(corpus). Quantizer training runs on a deterministic capped
+    sample (`ivf_train_stride`, portable md5 draw — Faiss practice),
+    so index-build cost is one full-corpus assignment pass (N·k,
+    inherent to flat IVF) plus a sample-bounded training loop. At
+    100 TB, persist the trained centroids as an index artifact and
+    pass `centroids=` instead of retraining per query batch.
     """
     from pyspark.sql import Window
 
     if centroids is None:
-        cents = (
-            corpus.orderBy(id_col)
-            .limit(n_centroids)
-            .select(
+        n_rows = None
+        if n_centroids is None or quantizer == "kmeans":
+            n_rows = corpus.count()
+        if n_centroids is None:
+            n_centroids = ivf_ncentroids(n_rows)
+        if quantizer == "kmeans":
+            from tugas_2_big_data_spark.operators.sampling import hash_unit24
+
+            stride = ivf_train_stride(n_rows, n_centroids)
+            train = corpus
+            if stride > 1:
+                train = corpus.filter(
+                    hash_unit24(id_col, IVF_TRAIN_SEED) % stride == 0
+                )
+            centroids = kmeans_centroids(
+                train,
+                k=n_centroids,
+                iters=kmeans_iters,
+                id_col=id_col,
+                vec_col=vec_col,
+                dim=dim,
+            )
+        elif quantizer == "seed":
+            centroids = corpus.orderBy(id_col).limit(n_centroids).select(
                 F.col(id_col).alias("cid"),
                 F.col(vec_col).cast("array<double>").alias("cvec"),
             )
-        )
-    else:
-        cents = centroids.select(
-            F.col("cid"), F.col("cvec").cast("array<double>").alias("cvec")
-        )
+        else:
+            raise ValueError(f"unknown quantizer: {quantizer!r}")
+    cents = centroids.select(
+        F.col("cid"), F.col("cvec").cast("array<double>").alias("cvec")
+    )
 
     # one-row centroid state: cids and vectors in cid order, so an
     # index into _cv maps back through _cc (tie-break = cid ascending,
@@ -362,6 +426,7 @@ def connected_components(
     pairs: DataFrame,
     id_col: str = "vec_id",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """FULL transitive closure of near-dup pairs: iterative min-label
     propagation until fixpoint → (id, component_id = min id reachable).
@@ -370,17 +435,21 @@ def connected_components(
     (one-hop) punts on: each round every vertex adopts the smallest
     label among itself and its neighbors; rounds needed = graph
     diameter (near-dup clusters are star-ish → 2-3). Each round is one
-    equi-join + hash agg; lineage is truncated per round
-    (localCheckpoint) so plans don't grow unboundedly — on a cluster
-    use reliable checkpointing. Convergence is detected with a count
-    of changed labels (an action per round, as any fixpoint loop).
+    equi-join + hash agg; lineage is truncated per round (see
+    `checkpointing.materialize`: localCheckpoint by default, reliable
+    checkpoint into `checkpoint_dir` on a cluster). Convergence is
+    detected with a count of changed labels (an action per round, as
+    any fixpoint loop).
     """
+    from tugas_2_big_data_spark.operators.checkpointing import materialize
+
     edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionAll(
         pairs.selectExpr("id_b AS src", "id_a AS dst")
     )
-    labels = vertices.select(
-        F.col(id_col).alias("v"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    labels = materialize(
+        vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("label")),
+        checkpoint_dir,
+    )
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["v"])
@@ -398,8 +467,8 @@ def connected_components(
                     "_changed"
                 ),
             )
-            .localCheckpoint()
         )
+        new_labels = materialize(new_labels, checkpoint_dir)
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
@@ -445,12 +514,13 @@ def lsh_near_dup_pairs(
 
 def semdedup(
     corpus: DataFrame,
-    k: int = 4,
+    k: int | None = None,
     iters: int = 2,
     threshold: float = 0.999,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means-cluster the embeddings,
     then WITHIN each cluster drop every vector whose cosine to a
@@ -478,6 +548,14 @@ def semdedup(
     (cheaper pairs, more boundary misses) or run the LSH-bucketed
     `lsh_near_dup_pairs` when boundary recall matters.
     """
+    # cell count defaults to the same √N policy as IVF
+    # (ivf_ncentroids): with k ≈ √N, cells hold ~√N vectors, so the
+    # in-cell pairwise work Σ|cell|² ≈ k·(N/k)² = N²/k = N^1.5 —
+    # versus N²/k at FIXED k, which stays quadratic in the corpus.
+    # The cid-join parallelism floor also grows with the corpus
+    # instead of staying a constant handful.
+    if k is None:
+        k = ivf_ncentroids(corpus.count())
     # norm projected to a real column before the division transform —
     # an inline outer expression re-evaluates per element (SCALE.md
     # pitfall 1: O(dim²) per row)
@@ -503,15 +581,18 @@ def semdedup(
     )
     # materialize the assignment once: it feeds BOTH self-join branches
     # and the final anti-join — three consumers that would otherwise
-    # re-run the Lloyd chain each (localCheckpoint here; reliable
-    # checkpoint / DISK persist on a cluster). ALSO the parallelism
-    # floor: the pairwise join keys on cid, so k bounds its
-    # parallelism — size k to the cluster (thousands of cells at
-    # 100 TB), never a handful.
-    assigned = (
-        pts.crossJoin(F.broadcast(state))
-        .select(F.col(id_col), F.col("_v"), assign_col.alias("cid"))
-        .localCheckpoint()
+    # re-run the Lloyd chain each (checkpointing.materialize:
+    # localCheckpoint by default, reliable checkpoint via
+    # `checkpoint_dir` on a cluster). ALSO the parallelism floor: the
+    # pairwise join keys on cid, so k bounds its parallelism — size k
+    # to the cluster (thousands of cells at 100 TB), never a handful.
+    from tugas_2_big_data_spark.operators.checkpointing import materialize
+
+    assigned = materialize(
+        pts.crossJoin(F.broadcast(state)).select(
+            F.col(id_col), F.col("_v"), assign_col.alias("cid")
+        ),
+        checkpoint_dir,
     )
     a = assigned.alias("a")
     b = assigned.alias("b")

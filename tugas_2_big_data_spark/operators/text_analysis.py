@@ -542,6 +542,7 @@ def bpe_merges(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_merges: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Byte-pair-encoding tokenizer TRAINING as a declarative pipeline:
     returns the learned merge table (round, w1, w2, merged, pair_count)
@@ -564,12 +565,15 @@ def bpe_merges(
        non-overlapping, the reference BPE behavior) — a map-only
        projection over the vocab.
 
-    The vocab and best-pair relations are localCheckpointed per round
+    The vocab and best-pair relations are materialized per round
     (tiny — they ARE the vocabulary) so lineage stays flat, same
     policy as the other iterative operators (connected_components,
-    k-means). The returned merge table is the union of the per-round
-    best rows.
+    k-means): localCheckpoint by default, reliable checkpoint into
+    `checkpoint_dir` on a cluster (checkpointing.materialize). The
+    returned merge table is the union of the per-round best rows.
     """
+    from tugas_2_big_data_spark.operators.checkpointing import materialize
+
     words = df.select(
         F.explode(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
@@ -583,8 +587,8 @@ def bpe_merges(
             "wc",
             F.trim(F.regexp_replace("word", "(.)", r"$1 ")).alias("sym"),
         )
-        .localCheckpoint()
     )
+    vocab = materialize(vocab, checkpoint_dir)
     merge_frames = []
     for rnd in range(1, n_merges + 1):
         syms = vocab.select(
@@ -604,10 +608,9 @@ def bpe_merges(
             .groupBy("p.w1", "p.w2")
             .agg(F.sum("wc").alias("n"))
         )
-        best = (
-            pairs.orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
-            .limit(1)
-            .localCheckpoint()
+        best = materialize(
+            pairs.orderBy(F.desc("n"), F.asc("w1"), F.asc("w2")).limit(1),
+            checkpoint_dir,
         )
         if best.isEmpty():  # vocabulary fully merged before n_merges
             break
@@ -635,8 +638,8 @@ def bpe_merges(
                     )
                 ).alias("sym"),
             )
-            .localCheckpoint()
         )
+        vocab = materialize(vocab, checkpoint_dir)
     if not merge_frames:
         return df.sparkSession.createDataFrame(
             [],

@@ -56,8 +56,9 @@ _SWEEP_FIRST: tuple[str, ...] = (
     "mix_language_budget", "sample_weighted_by_length",
     "iqplus_summarize_stub", "mm_resize_dims", "mm_frame_sample",
     # (2) new or materially changed in round 3
-    "dedup_ngram_jaccard_prefix", "ann_ivf_topk", "ann_ivf_kmeans_topk",
-    "dedup_ngram_jaccard_pairs", "evt_value_zscore",
+    "dedup_ngram_jaccard_prefix", "ann_ivf_topk", "ann_ivf_seed_topk",
+    "ann_ivf_kmeans_topk",
+    "dedup_ngram_jaccard_exact_baseline", "evt_value_zscore",
     "evt_asof_last_purchase",
     # (3) previously driver-green (r01 ∪ r02), re-verify in
     # registration order after the above

@@ -194,18 +194,33 @@ WHERE c.n_common / (sa.sz + sb.sz - c.n_common) >= 0.5
 """
 
 
-@register("dedup_ngram_jaccard_pairs", _JACCARD_SQL)
-def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # exact all-pairs Jaccard via the length-filtered inverted index,
-    # derived in one pass from the shingle-set relation (sizes ride
-    # along — no sizes-aggregate join). The prefix-filtered variant
-    # (dedup.jaccard_pairs_prefix) computes identical results and wins
-    # on heavy-tailed real-world corpora/high thresholds, but measured
-    # SLOWER here: the synthetic corpus has a small vocabulary, so no
-    # shingle is rare and the prefix can't prune (456k candidates for
-    # 1686 true pairs at sf0.1).
+@register("dedup_ngram_jaccard_exact_baseline", _JACCARD_SQL)
+def dedup_ngram_jaccard_exact_baseline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # EXACT BASELINE (named so on purpose): all-pairs Jaccard via the
+    # length-filtered inverted index, derived in one pass from the
+    # shingle-set relation (sizes ride along — no sizes-aggregate
+    # join). Quadratic in shingle document frequency (58× wall at 10×
+    # data, SCALEPROBE) — kept registered as the ground-truth oracle
+    # for the scale paths, not as a production plan. Production roads:
+    # dedup_ngram_jaccard_prefix (exact, prefix-pruned) and
+    # dedup_minhash_lsh_pairs (approximate candidates + exact verify).
     sets = dedup.shingle_sets(corpus(spark, sf_dir))
     return dedup.jaccard_pairs_from_sets(sets, threshold=0.5)
+
+
+@register("dedup_ngram_jaccard_prefix", _JACCARD_SQL)
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PPJoin-style prefix filtering: identical output to the exact
+    # baseline (same oracle SQL), but candidates come only from each
+    # doc's |A|−⌈t·|A|⌉+1 globally-rarest shingles, then exact
+    # array_intersect verification — the quadratic shingle-frequency
+    # term never enters the join. On this synthetic corpus's small
+    # vocabulary the prefix prunes poorly and the exhaustive index can
+    # win locally; on heavy-tailed real text (the 100 TB case) prefix
+    # filtering is the exact-dedup production plan.
+    return dedup.jaccard_pairs_prefix(corpus(spark, sf_dir), threshold=0.5)
 
 
 def _simhash_sql() -> str:
@@ -650,11 +665,30 @@ SELECT query_id, nbr_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
 """
 
 
-@register("ann_ivf_topk", _ANN_IVF_SQL)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("ann_ivf_seed_topk", _ANN_IVF_SQL)
+def ann_ivf_seed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE quantizer variant (quantizer="seed"): cells from the 8
+    lowest-id vectors, untrained. Kept registered for the recall/plan
+    comparison against the production `ann_ivf_topk`; its fixed cell
+    count fattens cells linearly with the corpus — not the scale path."""
     emb = load_table(spark, "embeddings", sf_dir)
     return similarity.ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 5), n_centroids=8, nprobe=2, k=5
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        n_centroids=8,
+        nprobe=2,
+        k=5,
+        quantizer="seed",
+    )
+
+
+def _hex24_sql(expr: str) -> str:
+    """DuckDB integer value of the first 6 hex chars of `expr` (the
+    portable-hash counterpart of sampling.hash_unit24)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i}, 1)) - 1)"
+        f" * {16 ** (6 - i)}"
+        for i in range(1, 7)
     )
 
 
@@ -663,12 +697,18 @@ def _kmeans_cents_ctes(
     iters: int = 2,
     dim: int = 64,
     pts_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    k_sql: str | None = None,
 ) -> list[str]:
     """CTE chain mirroring similarity._kmeans_state: each Lloyd round
     is one assignment CTE + one update CTE; squared-L2 accumulates
     left-to-right in DOUBLE as (a-b)*(a-b) on both engines so the
     argmin ordering is bit-identical. Final centroids CTE = c{iters};
-    ``pts_sql`` overrides the corpus CTE (must yield vec_id, embedding)."""
+    ``pts_sql`` overrides the corpus CTE (must yield vec_id, embedding);
+    ``k_sql`` replaces the literal seed-count with a SQL expression
+    (DuckDB allows a scalar subquery in LIMIT) so the cell count can
+    follow a data-dependent policy — the whole chain after c0 is
+    k-independent (assignments iterate the centroid rows; the update
+    joins on existing cids)."""
 
     def d2(vec: str, cvec: str) -> str:
         return (
@@ -682,7 +722,7 @@ def _kmeans_cents_ctes(
         f"""c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-  FROM (SELECT vec_id, embedding FROM pts ORDER BY vec_id LIMIT {k})
+  FROM (SELECT vec_id, embedding FROM pts ORDER BY vec_id LIMIT {k_sql or k})
 )""",
     ]
     for it in range(iters + 1):
@@ -726,11 +766,15 @@ def _ivf_kmeans_sql(
     nprobe: int = 2,
     topk: int = 5,
     n_queries: int = 5,
+    k_sql: str | None = None,
+    pts_sql: str = "SELECT vec_id, embedding FROM embeddings",
 ) -> str:
     """Composed oracle: the k-means centroid CTE chain feeds the IVF
-    assign/probe/search CTEs (same shapes as _ANN_IVF_SQL, with cells
-    keyed by k-means cid instead of seed vec_id)."""
-    parts = _kmeans_cents_ctes(k, iters, dim)
+    assign/probe/search CTEs (same shapes as the seed-set IVF oracle,
+    with cells keyed by k-means cid instead of seed vec_id). `pts_sql`
+    is the quantizer TRAINING relation (possibly a sample); the
+    assign/search CTEs always run over the full embeddings corpus."""
+    parts = _kmeans_cents_ctes(k, iters, dim, pts_sql=pts_sql, k_sql=k_sql)
     parts.append(
         "corpus AS (SELECT vec_id, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
@@ -776,12 +820,54 @@ def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_assign(emb, k=4, iters=2)
 
 
+# √N cell-count policy, mirrored in SQL (similarity.ivf_ncentroids):
+# DuckDB evaluates it as a scalar subquery in c0's LIMIT, so one oracle
+# string tracks the policy at every sf tier. Counts EMBEDDINGS (the
+# full corpus), not pts — pts is the training sample below.
+_SQRT_K_SQL = (
+    "(SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT))"
+    " FROM embeddings)"
+)
+
+# quantizer-training sample, mirroring similarity.ivf_train_stride:
+# stride = ceil(N / max(2048, 32·⌊√N⌋)), keep rows whose portable md5
+# draw ≡ 0 mod stride (seed 11 = similarity.IVF_TRAIN_SEED). Stride is
+# 1 at the sf0.001/sf0.01/sf0.1 tiers (N ≤ 2048) — the sample is the
+# whole corpus there — and kicks in at probe scale.
+_IVF_TRAIN_STRIDE_SQL = (
+    "(SELECT greatest(1, CAST(ceil(count(*) /"
+    " greatest(2048.0, 32 * floor(sqrt(count(*))))) AS BIGINT))"
+    " FROM embeddings)"
+)
+_IVF_TRAIN_PTS_SQL = (
+    "SELECT vec_id, embedding FROM embeddings WHERE ("
+    + _hex24_sql("md5(CAST(vec_id AS VARCHAR) || ':11')")
+    + f") % {_IVF_TRAIN_STRIDE_SQL} = 0"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    _ivf_kmeans_sql(k_sql=_SQRT_K_SQL, pts_sql=_IVF_TRAIN_PTS_SQL),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF path, as the operator defaults ship it:
+    k-means coarse quantizer (two Lloyd rounds, sample-capped
+    training) with the cell count sized by the √N `ivf_ncentroids`
+    policy, then the assign/probe/search plan. Everything inside
+    `similarity.ivf_topk` — this query passes no quantizer knobs at
+    all."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), nprobe=2, k=5)
+
+
 @register("ann_ivf_kmeans_topk", _ivf_kmeans_sql())
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production IVF composition: k-means centroids (k=8, two
-    Lloyd rounds) as the coarse quantizer, then the IVF
-    assign/probe/search plan (similarity.kmeans_centroids +
-    similarity.ivf_topk(centroids=...))."""
+    """Explicit-quantizer IVF composition: bring-your-own k-means
+    centroids (k=8, two Lloyd rounds) handed to
+    similarity.ivf_topk(centroids=...) — the API shape for reusing a
+    pre-trained/persisted quantizer instead of the in-operator
+    default."""
     emb = load_table(spark, "embeddings", sf_dir)
     cents = similarity.kmeans_centroids(emb, k=8, iters=2)
     return similarity.ivf_topk(
@@ -1352,16 +1438,6 @@ SELECT doc_id,
 FROM tr
 GROUP BY doc_id
 """
-
-
-def _hex24_sql(expr: str) -> str:
-    """DuckDB integer value of the first 6 hex chars of `expr` (the
-    portable-hash counterpart of sampling.hash_unit24)."""
-    return " + ".join(
-        f"(strpos('0123456789abcdef', substr({expr}, {i}, 1)) - 1)"
-        f" * {16 ** (6 - i)}"
-        for i in range(1, 7)
-    )
 
 
 _MIX_SQL = """
