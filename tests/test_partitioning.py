@@ -48,3 +48,13 @@ def test_fan_out_noop_on_post_shuffle_plan(spark):
     )
     out = fan_out(df)
     assert out is df
+
+
+def test_fan_out_widens_union_of_scans(spark):
+    """Union and Generate add no exchanges — a union of narrow scans is
+    still probe-safe and must be widened (the synthetic-dup corpora are
+    unions of scan branches)."""
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    u = df.unionByName(df)
+    wide = fan_out(u)
+    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism

@@ -53,6 +53,12 @@ _SCAN_ONLY_NODES = frozenset(
         "GlobalLimit",
         "Sample",
         "OneRowRelation",
+        # narrow multi-child / generating nodes: a Union concatenates
+        # its children's partitions and a Generate (explode) is
+        # map-only — neither plans an Exchange, so probing below them
+        # is still free (the synthetic-dup corpora union scan branches)
+        "Union",
+        "Generate",
     }
 )
 
