@@ -169,6 +169,15 @@ def main() -> None:
     registry = q.queries()
     timings: dict[str, float] = {}
     names = [n for n in HEADLINE if n in registry]
+    # self-extending: any registered batch query not yet listed above is
+    # benched too (appended last), so a new operator can never silently
+    # miss the bench. Streaming drains stay excluded — their wall time
+    # measures the micro-batch drain loop, not plan cost.
+    names += sorted(
+        n
+        for n in registry
+        if n not in names and not n.startswith("stream_")
+    )
     # JVM/codegen warmup on the flagship so steady-state numbers dominate
     _materialize(registry[names[0]](spark, sf_dir))
     for name in names:

@@ -83,6 +83,48 @@ def test_prefix_filtered_jaccard_equals_naive(spark):
         assert prefix == naive, t
 
 
+def test_prefix_filtered_containment_equals_exhaustive(spark):
+    """One-sided prefix filtering for directed containment is EXACT:
+    same (id_a, id_b, n_common, containment) rows as the exhaustive
+    directed inverted index at any threshold."""
+    docs = spark.createDataFrame(
+        DOCS + [(6, "the quick brown fox leaps over the lazy dog and cat")],
+        ["doc_id", "text"],
+    )
+    for t in (0.5, 0.8, 1.0):
+        exhaustive = {
+            tuple(r)
+            for r in dedup.containment_pairs_from_sets(
+                dedup.shingle_sets(docs), threshold=t
+            ).collect()
+        }
+        prefix = {
+            tuple(r)
+            for r in dedup.containment_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert prefix == exhaustive, t
+
+
+def test_containment_catches_engulfed_doc_jaccard_misses(spark):
+    """A short doc quoted inside a much longer one: containment 1.0,
+    Jaccard far below threshold — the asymmetric case this operator
+    exists for. The directed pair must appear only as short→long."""
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + (
+        " zeta eta theta iota kappa lambda mu nu xi omicron pi rho"
+        " sigma tau upsilon phi chi psi omega one two three four five"
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_)], ["doc_id", "text"]
+    )
+    pairs = dedup.containment_pairs_prefix(docs, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b, r.containment) for r in pairs] == [(1, 2, 1.0)]
+    jac = dedup.jaccard_pairs_from_sets(
+        dedup.shingle_sets(docs), threshold=0.5
+    ).collect()
+    assert jac == []  # jaccard ≈ |A|/|B| ≪ 0.5 — misses the pair
+
+
 def test_exact_dup_same_signature(spark):
     sig = {
         r.doc_id: (r.h0, r.h1)

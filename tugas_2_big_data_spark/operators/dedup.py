@@ -422,6 +422,146 @@ def jaccard_verify_sets(
     )
 
 
+def containment_pairs_from_sets(
+    sets: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exhaustive DIRECTED near-containment pairs from the (id,
+    shingles) set relation: emit (id_a, id_b) when |A∩B| / |A| ≥
+    threshold with a ≠ b — "document A is (almost) contained in B".
+
+    Containment is the asymmetric dedup relation Jaccard misses: a
+    short doc quoted wholesale inside a long one has tiny Jaccard
+    (|A∩B|/|A∪B| shrinks with |B|) and near-zero minhash collision
+    probability, yet is exactly the redundancy a training corpus wants
+    removed. Reference scope: the reference dedups only by exact text
+    equality (iqplus_*_transform.py drop_duplicates shape); this
+    family generalizes it.
+
+    One-sided length filter: |A∩B| ≥ t·|A| needs |B| ≥ t·|A| but
+    imposes NO upper bound on |B| — unlike the Jaccard index's
+    two-sided filter. Exact ground-truth formulation, quadratic in
+    shingle document frequency like its Jaccard sibling; the
+    production plan is ``containment_pairs_prefix``.
+    """
+    ex = sets.select(
+        F.col(id_col),
+        F.size("shingles").alias("sz"),
+        F.explode("shingles").alias("shingle"),
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        scored.withColumn("containment", F.col("n_common") / F.col("sz_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_common", "containment")
+    )
+
+
+def containment_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Directed near-containment via ONE-SIDED prefix filtering —
+    identical output to ``containment_pairs_from_sets``, production
+    scale shape.
+
+    Order A's shingles by global rarity (ascending document frequency,
+    shingle tie-break). If B misses ALL of A's first
+    ``|A| − ⌈t·|A|⌉ + 1`` shingles, then |A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A| —
+    so joining only A's prefix against the FULL inverted index loses no
+    pair. Only the containee side is pruned (the container must expose
+    every shingle — containment puts no ceiling on |B|), hence
+    "one-sided": candidate volume is O(Σ|prefix_A| · df(shingle)) with
+    the prefix built from the RAREST shingles, so corpus-hot shingles
+    never enter the join. Verification is exact per-row
+    ``array_intersect`` — two equi-joins, O(|candidates| · avg |set|).
+
+    Same frequency-skew caveat as ``jaccard_pairs_prefix``: on a
+    small-vocabulary synthetic corpus the prefix prunes poorly; on
+    heavy-tailed real text (the 100 TB case) the prefix is a handful of
+    near-unique shingles per doc and the join touches almost nothing.
+    """
+    from pyspark.sql import Window
+
+    sets = shingle_sets(df, text_col, id_col, n)
+    ex = sets.select(
+        F.col(id_col),
+        F.size("shingles").alias("sz"),
+        F.explode("shingles").alias("shingle"),
+    )
+    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("shingle_df"))
+    w = Window.partitionBy(id_col).orderBy("shingle_df", "shingle")
+    prefix = (
+        ex.join(freq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select(
+            F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "shingle"
+        )
+    )
+    full = ex.select(
+        F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "shingle"
+    )
+    cand = (
+        prefix.join(
+            full,
+            (prefix["shingle"] == full["shingle"])
+            & (F.col("id_a") != F.col("id_b"))
+            & (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return containment_verify_sets(sets, cand, threshold=threshold, id_col=id_col)
+
+
+def containment_verify_sets(
+    sets: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact containment for DIRECTED candidate pairs: two lookups of
+    the set relation bring both shingle sets onto the candidate row;
+    containment = |A∩B| / |A| via per-row ``array_intersect`` — cost
+    independent of shingle document frequency (same verify shape as
+    ``jaccard_verify_sets``)."""
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn("containment", F.col("n_common") / F.size("sh_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_common", "containment")
+    )
+
+
 def simhash16(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -223,6 +223,38 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs_prefix(corpus(spark, sf_dir), threshold=0.5)
 
 
+_CONTAINMENT_SQL = f"""
+WITH sh AS ({SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, c.n_common, c.n_common / sa.sz AS containment
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.id_a
+WHERE c.n_common / sa.sz >= 0.9
+"""
+
+
+@register("dedup_containment_prefix", _CONTAINMENT_SQL)
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DIRECTED near-containment (|A∩B|/|A| ≥ 0.9): the asymmetric
+    # dedup relation — a short doc engulfed by a long one — that
+    # Jaccard/minhash structurally miss (the union term and the
+    # collision probability both shrink with |B|). One-sided prefix
+    # filter + exact array_intersect verify; the oracle is the
+    # exhaustive directed inverted index, so the prefix plan is checked
+    # for exactness, not just plausibility. On the corpus-with-dups
+    # every exact copy yields containment 1.0 both ways and every
+    # near-dup original is fully contained in its extended copy.
+    return dedup.containment_pairs_prefix(
+        corpus(spark, sf_dir), threshold=0.9
+    )
+
+
 def _simhash_sql() -> str:
     votes = []
     for i in range(16):
