@@ -103,6 +103,52 @@ def test_weighted_keep_deterministic_subset(spark):
     assert set(a) <= all_ids
 
 
+def test_weighted_reservoir_exact_n_structure(spark):
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    out = sampling.weighted_reservoir_exact_n(docs, "n_chars", 25)
+    rows = out.collect()
+    assert len(rows) == 25  # exact-size contract
+    # deterministic: rerun yields the identical sample
+    again = sampling.weighted_reservoir_exact_n(docs, "n_chars", 25).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
+    # different seed draws a different sample
+    other = sampling.weighted_reservoir_exact_n(
+        docs, "n_chars", 25, seed=99
+    ).collect()
+    assert sorted(r.doc_id for r in rows) != sorted(r.doc_id for r in other)
+
+
+def test_weighted_reservoir_dominant_weight_wins(spark):
+    # w → ∞ drives the A-ES key u^(1/w) → 1, so a row whose weight
+    # dwarfs every other must be sampled first; w ≤ 0 is excluded
+    rows = [(i, 1) for i in range(1, 21)] + [(99, 10**9), (100, 0)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = sampling.weighted_reservoir_exact_n(df, "w", 1).collect()
+    assert [r.doc_id for r in got] == [99]
+    all_ids = {
+        r.doc_id
+        for r in sampling.weighted_reservoir_exact_n(df, "w", 21).collect()
+    }
+    assert 100 not in all_ids  # zero-weight row can never appear
+
+
+def test_weighted_reservoir_plan_take_ordered(spark):
+    # orderBy().limit(n) must compile to TakeOrderedAndProject
+    # (per-partition heaps), never a global Sort + single partition
+    from tugas_2_big_data_spark.plans import inspect as pi
+
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    plan = pi.explain_formatted(
+        sampling.weighted_reservoir_exact_n(docs, "n_chars", 25)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_mixture_rebalance_budget_contract(spark):
     docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet").select(
         "doc_id", "lang", "n_chars"

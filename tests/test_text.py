@@ -134,6 +134,30 @@ def test_bart_backend_smoke(spark):
     assert len(out) == 1 and len(out[0].rangkuman) > 0
 
 
+def test_quality_logreg_monotone_and_maponly(spark):
+    """Stopword-rich prose scores higher than punctuation/digit soup;
+    the whole classifier is one map-only projection (no Exchange)."""
+    from tugas_2_big_data_spark.operators.text_analysis import quality_logreg
+    from tugas_2_big_data_spark.plans import inspect as pi
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is a good day in the sun"),
+            (2, "!!! ??? ### 123 456 789 $$$ %%% 000 111 222 333 !!!"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in quality_logreg(docs).collect()}
+    assert out[1].prob > out[2].prob
+    assert 0.0 < out[2].prob < out[1].prob < 1.0
+    # sigmoid consistency: prob = sigma(logit) for both rows
+    import math
+
+    for r in out.values():
+        assert abs(r.prob - 1.0 / (1.0 + math.exp(-r.logit))) < 1e-6
+    assert "Exchange" not in pi.explain_formatted(quality_logreg(docs))
+
+
 def test_chunk_windows_coverage_and_overlap(spark):
     from tugas_2_big_data_spark.operators.text_analysis import chunk_windows
 

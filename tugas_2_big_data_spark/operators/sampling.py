@@ -136,6 +136,49 @@ def weighted_keep(
     return df.filter(h * F.lit(int(weight_den)) < num * F.lit(HEX24))
 
 
+def weighted_reservoir_exact_n(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: int = 13,
+) -> DataFrame:
+    """Deterministic EXACT-SIZE weighted sample without replacement —
+    Efraimidis–Spirakis A-ES: each row gets key u^(1/w) with u a
+    reproducible uniform draw; the global top-n keys ARE a weighted
+    sample (inclusion probability proportional to weight, exact-n,
+    no replacement).
+
+    This is the third point in the sampling design space: `hash_split`
+    is unweighted+fractional, `weighted_keep` is weighted+Bernoulli
+    (random SIZE), this is weighted+exact-n. Exact-n matters when the
+    downstream contract is a budget ("exactly 50k eval docs"), where a
+    Bernoulli sample's size variance is unacceptable.
+
+    Scale shape: the key is map-only; `orderBy(...).limit(n)` compiles
+    to TakeOrderedAndProject — per-partition n-row heaps merged on the
+    driver (P·n rows), NEVER a global sort. Deterministic and
+    rerun-stable (md5 draw, not an RNG), so the sample is auditable.
+    Rows with weight ≤ 0 are excluded (their key is undefined).
+    `es_key` is rounded for the cross-engine compare; the ORDER uses
+    the unrounded key with id tie-break.
+    """
+    u = (hash_unit24(id_col, seed) + F.lit(0.5)) / F.lit(float(HEX24))
+    w = F.col(weight_col).cast("double")
+    key = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.filter(w > 0)
+        .withColumn("_es", key)
+        .orderBy(F.desc("_es"), F.col(id_col))
+        .limit(n)
+        .select(
+            F.col(id_col),
+            F.col(weight_col),
+            F.round(F.col("_es"), 9).alias("es_key"),
+        )
+    )
+
+
 def mixture_rebalance(
     df: DataFrame,
     budget: int,

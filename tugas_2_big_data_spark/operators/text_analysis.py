@@ -102,6 +102,53 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+# Hand-set logistic weights for the quality classifier below. A real
+# deployment would fit these offline (the model is linear — training
+# does not belong in the scoring path); the ENGINE-side contract is
+# only "dot product + sigmoid over cheap text features, map-only".
+QUALITY_LOGREG = {
+    "intercept": -0.5,
+    "stopword_ratio": 3.0,
+    "punct_ratio": -4.0,
+    "digit_ratio": -2.0,
+    "log1p_words": 0.15,
+}
+
+
+def quality_logreg(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Linear quality classifier: logit = w·features, prob = σ(logit).
+
+    The fastText/DCLM-style curation primitive — a linear model over
+    cheap per-doc text statistics deciding keep/drop — expressed
+    entirely in built-in JVM expressions: regexp counts, one stopword
+    membership fold, exp. MAP-ONLY, zero shuffles, no UDF; at 100 TB
+    this runs at scan speed and the score feeds `weighted_keep` /
+    `top_fraction_by_group` for the actual curation decision.
+
+    Outputs are rounded to 9 decimals so the cross-engine value compare
+    is stable; docs with no words yield NULL (ratio of NULLs), matching
+    the SQL twin. Reference scope: generalizes the reference's absence
+    of any quality gate (it ingests every row; SURVEY.md §2.10).
+    """
+    exprs = quality_exprs(text_col)
+    t = F.trim(F.col(text_col))
+    n_words = F.size(F.split(F.lower(t), r"\s+")).cast("double")
+    z = (
+        F.lit(QUALITY_LOGREG["intercept"])
+        + F.lit(QUALITY_LOGREG["stopword_ratio"]) * exprs["stopword_ratio"]
+        + F.lit(QUALITY_LOGREG["punct_ratio"]) * exprs["punct_ratio"]
+        + F.lit(QUALITY_LOGREG["digit_ratio"]) * exprs["digit_ratio"]
+        + F.lit(QUALITY_LOGREG["log1p_words"]) * F.log1p(n_words)
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(z, 9).alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9).alias("prob"),
+    )
+
+
 def _contains(stop: F.Column):
     # closure factory: a bare 1-arg lambda in a loop both captures the
     # loop variable late AND risks the 2-param (element, index) dispatch

@@ -1515,6 +1515,67 @@ def sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.weighted_keep(docs, "n_chars", 500)
 
 
+_RESERVOIR_SQL = f"""
+SELECT doc_id, n_chars, round(es_key, 9) AS es_key FROM (
+  SELECT doc_id, n_chars,
+    pow((({_hex24_sql("md5(CAST(doc_id AS VARCHAR) || ':13')")}) + 0.5)
+          / 16777216.0,
+        1.0 / CAST(n_chars AS DOUBLE)) AS es_key
+  FROM documents WHERE n_chars > 0
+)
+ORDER BY es_key DESC, doc_id LIMIT 50
+"""
+
+
+@register("sample_weighted_reservoir", _RESERVOIR_SQL)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size weighted sample (Efraimidis–Spirakis A-ES, exactly 50
+    docs, inclusion ∝ n_chars): key = u^(1/w) with a portable md5 draw,
+    global top-n via TakeOrderedAndProject (per-partition heaps, no
+    full sort). Complements `sample_weighted_by_length`, whose
+    Bernoulli keep-set has random size."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    return sampling.weighted_reservoir_exact_n(docs, "n_chars", 50)
+
+
+_LOGREG_SQL = """
+SELECT doc_id, round(z, 9) AS logit,
+       round(1.0 / (1.0 + exp(-z)), 9) AS prob
+FROM (
+  SELECT doc_id,
+    -0.5 + 3.0 * stop_hits / nw
+         - 4.0 * punct / n
+         - 2.0 * digits / n
+         + 0.15 * ln(1.0 + nw2) AS z
+  FROM (
+    SELECT doc_id,
+      nullif(CAST(length(t) AS DOUBLE), 0.0) AS n,
+      CAST(length(t) - length(regexp_replace(t, '[^\\w\\s]', '', 'g'))
+        AS DOUBLE) AS punct,
+      CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+        AS DOUBLE) AS digits,
+      nullif(CAST(len(string_split_regex(lower(t), '\\s+')) AS DOUBLE), 0.0)
+        AS nw,
+      CAST(len(string_split_regex(lower(t), '\\s+')) AS DOUBLE) AS nw2,
+      CAST(len(list_filter(string_split_regex(lower(t), '\\s+'),
+        w -> list_contains(['the','a','of','and','is','in','to','it'], w)))
+        AS DOUBLE) AS stop_hits
+    FROM (SELECT doc_id, trim(text) AS t FROM documents)
+  )
+)
+"""
+
+
+@register("txt_quality_logreg", _LOGREG_SQL)
+def txt_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier (fastText/DCLM-style curation gate):
+    logit = w·[stopword_ratio, punct_ratio, digit_ratio, log1p(words)],
+    prob = sigmoid — entirely built-in JVM expressions, map-only."""
+    return text_analysis.quality_logreg(
+        load_table(spark, "documents", sf_dir)
+    )
+
+
 @register("txt_contamination", _CONTAMINATION_SQL)
 def txt_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination rates: every 97th doc plays the held-out
