@@ -326,6 +326,7 @@ def jaccard_pairs_prefix(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via PREFIX FILTERING (PPJoin-style).
 
@@ -350,10 +351,20 @@ def jaccard_pairs_prefix(
     benchmark documents — the prefix cannot prune and the plain
     length-filtered inverted index (``jaccard_pairs``) measured ~2×
     faster. Both are exact; pick by data shape.
+
+    The shingle-set relation feeds FOUR consumers (prefix side, full
+    inverted index, frequency table, verify lookups); ``materialize``
+    (default) localCheckpoints it once so the corpus is shingled once,
+    not per consumer — measured ~2× wall and far lower run-to-run
+    variance (each re-shingle is a fresh burst of regex splits + array
+    churn for the GC). On a multi-node cluster swap for a reliable
+    checkpoint (localCheckpoint dies with its executor).
     """
     from pyspark.sql import Window
 
     sets = shingle_sets(df, text_col, id_col, n)
+    if materialize:
+        sets = sets.localCheckpoint()
     sized = sets.select(
         F.col(id_col), F.size("shingles").alias("sz"), "shingles"
     )
@@ -479,6 +490,7 @@ def containment_pairs_prefix(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.9,
+    materialize: bool = True,
 ) -> DataFrame:
     """Directed near-containment via ONE-SIDED prefix filtering —
     identical output to ``containment_pairs_from_sets``, production
@@ -499,10 +511,17 @@ def containment_pairs_prefix(
     small-vocabulary synthetic corpus the prefix prunes poorly; on
     heavy-tailed real text (the 100 TB case) the prefix is a handful of
     near-unique shingles per doc and the join touches almost nothing.
+
+    ``materialize`` (default) localCheckpoints the shingle-set relation
+    — it feeds four consumers here (exploded index, frequency table,
+    and both verify lookups), same rationale and caveat as
+    ``jaccard_pairs_prefix``.
     """
     from pyspark.sql import Window
 
     sets = shingle_sets(df, text_col, id_col, n)
+    if materialize:
+        sets = sets.localCheckpoint()
     ex = sets.select(
         F.col(id_col),
         F.size("shingles").alias("sz"),
