@@ -120,3 +120,51 @@ def test_approx_quantiles_rank_error(spark):
         ]:
             rank = bisect.bisect_right(vals, exact_v) / n
             assert abs(rank - p) <= 0.02, (r.event_type, p, exact_v, rank)
+
+def test_heavy_hitters_bounds_and_guarantee(spark):
+    """Misra-Gries merge contract under a deliberately tiny local_k:
+    bounds always contain the exact count, and an item heavier than the
+    total residual can never be missed from the candidate set."""
+    from tugas_2_big_data_spark.operators import sketches
+
+    # 4 heavy users (200..50 events each) + 60 singleton users, keyed
+    # by a deterministic event_id so shards are reproducible
+    rows, eid = [], 0
+    for uid, cnt in [(1, 200), (2, 120), (3, 80), (4, 50)]:
+        for _ in range(cnt):
+            rows.append((eid, uid))
+            eid += 1
+    for uid in range(100, 160):
+        rows.append((eid, uid))
+        eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "user_id"])
+    # local_k=4 keeps every heavy user above the residual cut: with
+    # ~6-25 events per heavy user per shard vs singleton counts of 1,
+    # the per-shard residual is 1 and Σ residuals (≤ 8) is far below
+    # user 4's 50 events — the miss-proof premise of the guarantee
+    out = sketches.heavy_hitters(
+        df, "user_id", "event_id", n_shards=8, local_k=4, top_n=4
+    ).collect()
+    got = {r.item: r for r in out}
+    assert set(got) == {1, 2, 3, 4}  # heavy items all surface
+    for r in out:
+        assert r.within_bound, r
+        assert r.est_lo <= r.exact_cnt <= r.est_hi, r
+    # ordering by est_lo matches true frequency order here
+    assert [r.item for r in out] == [1, 2, 3, 4]
+
+
+def test_heavy_hitters_state_is_bounded(spark):
+    """The post-shuffle sketch state is at most n_shards * (local_k+1)
+    rows regardless of item cardinality (the bounded-memory claim)."""
+    from tugas_2_big_data_spark.operators import sketches
+
+    rows = [(i, i % 500) for i in range(3000)]  # 500 distinct items
+    df = spark.createDataFrame(rows, ["event_id", "user_id"])
+    out = sketches.heavy_hitters(
+        df, "user_id", "event_id", n_shards=4, local_k=3, top_n=50
+    ).collect()
+    # candidates come only from shard top-k lists: <= 4 shards * 3 kept
+    assert len(out) <= 12
+    for r in out:
+        assert r.est_lo <= r.exact_cnt <= r.est_hi

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from tugas_2_big_data_spark.queries import register
 from tugas_2_big_data_spark.sources.catalog import load_table
-from tugas_2_big_data_spark.operators import rangejoin, skew, timeseries
+from tugas_2_big_data_spark.operators import rangejoin, sketches, skew, timeseries
 
 
 # ---------------------------------------------------------------------------
@@ -235,6 +235,70 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= 0.05 * F.col("exact_users")
             ).alias("within_bound"),
         )
+    )
+
+
+def _heavy_hitters_sql() -> str:
+    """DuckDB replay of the ENTIRE sketch math (shards, per-shard
+    top-k, residual bounds), not just the exact counts — the bound
+    arithmetic itself is value-compared, making this the strongest
+    oracle form a sketch can have (HLL/GK can only pin a bound flag;
+    this sketch is deterministic, so its estimates are checkable)."""
+    from tugas_2_big_data_spark.queries_training import _hex24_sql
+
+    shard = _hex24_sql("md5(CAST(event_id AS VARCHAR) || ':5')")
+    return f"""
+WITH ev AS (
+  SELECT ({shard}) % 16 AS shard, user_id AS item FROM events
+),
+local AS (SELECT shard, item, count(*) AS cnt FROM ev GROUP BY 1, 2),
+ranked AS (
+  SELECT shard, item, cnt,
+    row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, item) AS rk
+  FROM local
+),
+kept AS (SELECT * FROM ranked WHERE rk <= 20),
+resid AS (SELECT shard, cnt AS residual FROM ranked WHERE rk = 21),
+tot AS (SELECT coalesce(sum(residual), 0) AS tot_residual FROM resid),
+per_item AS (
+  SELECT item, sum(cnt) AS est_lo,
+         sum(coalesce(residual, 0)) AS present_resid
+  FROM kept LEFT JOIN resid USING (shard) GROUP BY item
+),
+exact AS (
+  SELECT user_id AS item, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM events GROUP BY 1
+)
+SELECT item AS user_id, exact_cnt,
+       CAST(est_lo AS BIGINT) AS est_lo,
+       CAST(est_hi AS BIGINT) AS est_hi,
+       (est_lo <= exact_cnt AND exact_cnt <= est_hi) AS within_bound
+FROM (
+  SELECT p.item, e.exact_cnt, p.est_lo,
+         p.est_lo + t.tot_residual - p.present_resid AS est_hi
+  FROM per_item p CROSS JOIN tot t JOIN exact e ON e.item = p.item
+)
+ORDER BY est_lo DESC, user_id LIMIT 10
+"""
+
+
+@register("sketch_heavy_hitters", _heavy_hitters_sql())
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Misra-Gries/SpaceSaving heavy hitters: top-10 users
+    by event count from 16 deterministic logical shards keeping 20
+    counters each, with certain [est_lo, est_hi] frequency bounds
+    (operators/sketches.py). Completes the classic sketch triple next
+    to HLL distinct counts and GK quantiles."""
+    ev = load_table(spark, "events", sf_dir)
+    hh = sketches.heavy_hitters(
+        ev, item_col="user_id", shard_key_col="event_id"
+    )
+    return hh.select(
+        F.col("item").alias("user_id"),
+        "exact_cnt",
+        F.col("est_lo").cast("long").alias("est_lo"),
+        F.col("est_hi").cast("long").alias("est_hi"),
+        "within_bound",
     )
 
 
