@@ -190,6 +190,55 @@ def test_ivf_topk_structure(spark):
         assert len(rks) <= 5
 
 
+def test_pq_topk_structure_and_recall_on_separated_clusters(spark):
+    """PQ ADC top-k: k ranked rows per query, no self pairs; on two
+    well-separated clusters every retrieved neighbor of a query comes
+    from the query's own cluster (the quantization error is far below
+    the inter-cluster gap)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(40):
+        center = 0.0 if i % 2 == 0 else 50.0
+        rows.append(
+            (i, [float(center + x) for x in rng.standard_normal(8)])
+        )
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 4), m=2, ks=4, k=5, dim=8
+    ).collect()
+    per_query = {}
+    for r in out:
+        assert r.query_id != r.nbr_id
+        assert r.adc_dist >= 0.0
+        per_query.setdefault(r.query_id, []).append(r)
+    assert set(per_query) == {0, 1, 2, 3}
+    for qid, rs in per_query.items():
+        assert sorted(r.rk for r in rs) == [1, 2, 3, 4, 5]
+        for r in rs:
+            assert r.nbr_id % 2 == qid % 2  # same-cluster retrieval
+        # ranked by ADC distance
+        by_rk = sorted(rs, key=lambda r: r.rk)
+        dists = [r.adc_dist for r in by_rk]
+        assert dists == sorted(dists)
+
+
+def test_pq_codebooks_shape(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    states = similarity.pq_codebooks(emb, m=2, ks=3, dim=8)
+    assert len(states) == 2
+    for s, st in enumerate(states):
+        [row] = st.collect()
+        cb = row[f"_cs{s}"]
+        assert len(cb) == 3  # ks codewords
+        assert all(len(c) == 4 for c in cb)  # dim/m values each
+
+
 def test_ivf_more_probes_no_worse(spark):
     """Recall monotonicity: probing all cells == brute force."""
     import numpy as np

@@ -360,6 +360,164 @@ def _kmeans_state(
     return pts, state, assign_col
 
 
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 of two array<double> columns, accumulated
+    left-to-right in DOUBLE — the same deterministic fold the k-means
+    spec uses, so cross-engine comparisons are bit-stable."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_code(vec: Column, codebook: Column) -> Column:
+    """Index of the nearest codeword (array<array<double>>) to `vec`;
+    ties break on index ascending via struct comparison."""
+    return F.array_min(
+        F.transform(
+            codebook,
+            lambda c, i: F.struct(_sq_l2(vec, c), i.cast("long")),
+        ).cast("array<struct<d2:double,cid:bigint>>")
+    )["cid"]
+
+
+def pq_codebooks(
+    vecs: DataFrame,
+    m: int = 4,
+    ks: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[DataFrame]:
+    """Product-quantization codebooks: the vector is cut into `m`
+    contiguous subspaces of dim/m and each subspace gets its own
+    k-means codebook (`ks` codewords, `iters` Lloyd rounds, the exact
+    deterministic spec of `_kmeans_state` — k-lowest-id seeds,
+    left-to-right DOUBLE squared-L2, cid tie-break).
+
+    Returns m one-row DataFrames, each holding codebook s as
+    `_cs{s}: array<array<double>>` (ks × dim/m doubles) — broadcast
+    state, like the IVF centroids. Training is m independent Lloyd
+    chains over SLICED vectors; at 100 TB each chain is the same
+    map-only-assign + one-hash-aggregate-per-round shape as the coarse
+    quantizer, and m is small (4-16).
+    """
+    sub = dim // m
+    states = []
+    for s in range(m):
+        sliced = vecs.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("_sv"),
+        )
+        _, st, _ = _kmeans_state(sliced, ks, iters, id_col, "_sv", sub)
+        states.append(st.select(F.col("_cs").alias(f"_cs{s}")))
+    return states
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    ks: int = 4,
+    iters: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN: asymmetric-distance (ADC) top-k.
+
+    The memory end of the ANN design space. IVF prunes WHICH vectors a
+    query touches; PQ shrinks WHAT is stored per vector: m codes of
+    log2(ks) bits replace dim floats (here 4 bytes vs 256 — 64×; at
+    100 TB of raw embeddings the codes are ~1.5 TB, the difference
+    between an in-memory index and re-scanning parquet per query).
+    Composable with IVF (IVF-PQ) — this operator isolates the PQ leg.
+
+    Plan shape, all broadcast-state:
+    1. `pq_codebooks` — m independent Lloyd chains (training).
+    2. Encode: ONE map-only projection computes all m codes per corpus
+       row (argmin over a broadcast codebook each — no join, no
+       shuffle; this projection IS the compressed index build).
+    3. Query LUTs: per query and subspace, the ks squared-L2s from the
+       query's slice to every codeword — m·ks doubles per query,
+       computed once on the (tiny, broadcast) query side. That
+       asymmetry is ADC: the query stays full-precision, only corpus
+       vectors are quantized.
+    4. Score: broadcast-nested-loop corpus_codes × query LUTs;
+       dist = Σ_s lut_s[code_s] — m array lookups per pair, NO
+       per-pair distance arithmetic. Top-k per query by the window,
+       ties on nbr_id; ADC distances are exactly reproducible (fold
+       order pinned), so ranking is cross-engine deterministic.
+
+    Self-pairs are excluded by id. `adc_dist` is the QUANTIZED squared
+    L2 — an estimate; rank quality degrades gracefully with ks, which
+    is the PQ trade. Output: (query_id, nbr_id, adc_dist, rk).
+    """
+    from pyspark.sql import Window
+
+    sub = dim // m
+    states = pq_codebooks(
+        corpus, m=m, ks=ks, iters=iters,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+
+    encoded = fan_out(corpus).select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    for s, st in enumerate(states):
+        encoded = encoded.crossJoin(F.broadcast(st))
+    encoded = encoded.select(
+        "nbr_id",
+        *[
+            _argmin_code(
+                F.slice(F.col("_v"), s * sub + 1, sub), F.col(f"_cs{s}")
+            ).alias(f"code{s}")
+            for s in range(m)
+        ],
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    for s, st in enumerate(states):
+        q = q.crossJoin(F.broadcast(st))
+
+    def _lut(s: int) -> Column:
+        qslice = F.slice(F.col("_qv"), s * sub + 1, sub)
+        return F.transform(F.col(f"_cs{s}"), lambda c: _sq_l2(qslice, c))
+
+    qluts = q.select(
+        "query_id", *[_lut(s).alias(f"_lut{s}") for s in range(m)]
+    )
+
+    dist = sum(
+        (
+            F.get(F.col(f"_lut{s}"), F.col(f"code{s}").cast("int"))
+            for s in range(1, m)
+        ),
+        start=F.get(F.col("_lut0"), F.col("code0").cast("int")),
+    )
+    scored = (
+        encoded.join(
+            F.broadcast(qluts), F.col("nbr_id") != F.col("query_id")
+        )
+        .withColumn("adc_dist", dist)
+        .select("query_id", "nbr_id", "adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "nbr_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .withColumn("adc_dist", F.round("adc_dist", 9))
+        .select("query_id", "nbr_id", "adc_dist", "rk")
+    )
+
+
 def kmeans_assign(
     vecs: DataFrame,
     k: int = 4,

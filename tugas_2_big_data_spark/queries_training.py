@@ -730,6 +730,7 @@ def _kmeans_cents_ctes(
     dim: int = 64,
     pts_sql: str = "SELECT vec_id, embedding FROM embeddings",
     k_sql: str | None = None,
+    prefix: str = "",
 ) -> list[str]:
     """CTE chain mirroring similarity._kmeans_state: each Lloyd round
     is one assignment CTE + one update CTE; squared-L2 accumulates
@@ -740,7 +741,9 @@ def _kmeans_cents_ctes(
     (DuckDB allows a scalar subquery in LIMIT) so the cell count can
     follow a data-dependent policy — the whole chain after c0 is
     k-independent (assignments iterate the centroid rows; the update
-    joins on existing cids)."""
+    joins on existing cids). ``prefix`` namespaces every CTE
+    ({prefix}pts, {prefix}c{i}, {prefix}a{i}) so several independent
+    chains — e.g. one per PQ subspace — can share a WITH clause."""
 
     def d2(vec: str, cvec: str) -> str:
         return (
@@ -749,16 +752,17 @@ def _kmeans_cents_ctes(
             f"* (CAST({vec}[i] AS DOUBLE) - {cvec}[i])))"
         )
 
+    p = prefix
     parts = [
-        f"pts AS ({pts_sql})",
-        f"""c0 AS (
+        f"{p}pts AS ({pts_sql})",
+        f"""{p}c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-  FROM (SELECT vec_id, embedding FROM pts ORDER BY vec_id LIMIT {k_sql or k})
+  FROM (SELECT vec_id, embedding FROM {p}pts ORDER BY vec_id LIMIT {k_sql or k})
 )""",
     ]
     for it in range(iters + 1):
-        prev, a = f"c{it}", f"a{it + 1}"
+        prev, a = f"{p}c{it}", f"{p}a{it + 1}"
         parts.append(f"""{a} AS (
   SELECT vec_id, embedding, cid FROM (
     SELECT p.vec_id, p.embedding, c.cid,
@@ -766,11 +770,11 @@ def _kmeans_cents_ctes(
         PARTITION BY p.vec_id
         ORDER BY {d2("p.embedding", "c.cvec")} ASC, c.cid ASC
       ) AS rk
-    FROM pts p CROSS JOIN {prev} c
+    FROM {p}pts p CROSS JOIN {prev} c
   ) WHERE rk = 1
 )""")
         if it < iters:
-            parts.append(f"""c{it + 1} AS (
+            parts.append(f"""{p}c{it + 1} AS (
   SELECT o.cid, coalesce(m.cvec, o.cvec) AS cvec
   FROM {prev} o LEFT JOIN (
     SELECT cid, list(v ORDER BY pos) AS cvec FROM (
@@ -891,6 +895,83 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     all."""
     emb = load_table(spark, "embeddings", sf_dir)
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), nprobe=2, k=5)
+
+
+def _pq_sql(
+    m: int = 4,
+    ks: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    topk: int = 5,
+    n_queries: int = 5,
+) -> str:
+    """Composed PQ oracle: one prefixed k-means CTE chain per subspace
+    (trained on SLICED embeddings), the final per-subspace assignment
+    IS the code, and the ADC distance is the sum of per-subspace
+    squared L2 from the full-precision query slice to the assigned
+    codeword — each term with the same left-to-right DOUBLE
+    accumulation as the Spark fold, so ranking ties resolve
+    identically."""
+    sub = dim // m
+    parts: list[str] = []
+    for s in range(m):
+        off = s * sub + 1
+        parts += _kmeans_cents_ctes(
+            ks,
+            iters,
+            sub,
+            pts_sql=(
+                f"SELECT vec_id, embedding[{off}:{off + sub - 1}] AS embedding"
+                " FROM embeddings"
+            ),
+            prefix=f"s{s}_",
+        )
+    code_joins = " ".join(
+        f"JOIN s{s}_a{iters + 1} x{s} ON x{s}.vec_id = x0.vec_id"
+        for s in range(1, m)
+    )
+    code_cols = ", ".join(f"x{s}.cid AS c{s}" for s in range(m))
+    parts.append(
+        f"codes AS (SELECT x0.vec_id, {code_cols} "
+        f"FROM s0_a{iters + 1} x0 {code_joins})"
+    )
+    parts.append(
+        "q AS (SELECT vec_id AS query_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv "
+        f"FROM embeddings WHERE vec_id < {n_queries})"
+    )
+    dist = " + ".join(
+        f"list_sum(list_transform(generate_series(1, {sub}), "
+        f"i -> (q.qv[{s * sub} + i] - k{s}.cvec[i])"
+        f" * (q.qv[{s * sub} + i] - k{s}.cvec[i])))"
+        for s in range(m)
+    )
+    cent_joins = " ".join(
+        f"JOIN s{s}_c{iters} k{s} ON k{s}.cid = x.c{s}" for s in range(m)
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT query_id, nbr_id, adc_dist, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT q.query_id, x.vec_id AS nbr_id, round({dist}, 9) AS adc_dist,
+    row_number() OVER (
+      PARTITION BY q.query_id ORDER BY {dist} ASC, x.vec_id
+    ) AS rk
+  FROM q CROSS JOIN codes x {cent_joins}
+  WHERE x.vec_id != q.query_id
+) WHERE rk <= {topk}
+"""
+
+
+@register("ann_pq_topk", _pq_sql())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.pq_topk): 4 subspaces × 4
+    codewords, asymmetric-distance top-5. The memory leg of the ANN
+    family — 4 one-byte codes replace 64 floats per stored vector
+    (64×), making the index RAM-resident at corpus scales where raw
+    embeddings cannot be."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.pq_topk(emb, emb.filter(F.col("vec_id") < 5))
 
 
 @register("ann_ivf_kmeans_topk", _ivf_kmeans_sql())
