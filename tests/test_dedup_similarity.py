@@ -224,6 +224,38 @@ def test_pq_topk_structure_and_recall_on_separated_clusters(spark):
         assert dists == sorted(dists)
 
 
+def test_ivfpq_topk_structure(spark):
+    """Composed IVF-PQ: ranked rows per query, no self pairs, at most
+    k rows, ranks contiguous from 1 (cells can truncate below k)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float((i % 4) * 20 + x) for x in rng.standard_normal(8)])
+        for i in range(48)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 3),
+        n_centroids=4,
+        nprobe=2,
+        m=2,
+        ks=4,
+        k=5,
+        dim=8,
+    ).collect()
+    per_query = {}
+    for r in out:
+        assert r.query_id != r.nbr_id
+        assert r.adc_dist >= 0.0
+        per_query.setdefault(r.query_id, []).append(r.rk)
+    assert set(per_query) == {0, 1, 2}
+    for rks in per_query.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 5
+
+
 def test_pq_codebooks_shape(spark):
     import numpy as np
 

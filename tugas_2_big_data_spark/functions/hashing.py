@@ -87,3 +87,37 @@ def simhash_bit_contrib_from_md5(md5_col: Column, bit: int) -> Column:
     )
     b = F.floor(nibble / F.lit(2**bit_in_nibble)) % 2
     return (b * 2 - 1).cast("long")
+
+
+def hex24_sql(expr: str) -> str:
+    """DuckDB integer value of the first 6 hex chars of `expr` — the
+    oracle-SQL twin of sampling.hash_unit24 (and of any seeded-md5
+    draw). Lives here, not in a query module, so every query module
+    can use it without import-order coupling."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i}, 1)) - 1)"
+        f" * {16 ** (6 - i)}"
+        for i in range(1, 7)
+    )
+
+
+def hexn_sql(expr: str, n: int) -> str:
+    """DuckDB integer value of the first `n` hex chars of `expr`
+    (n <= 15 keeps the polynomial inside BIGINT). General form of
+    `hex24_sql`; n=15 is the 60-bit shingle hash used by the hashed
+    dedup paths."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i}, 1)) - 1)"
+        f" * {16 ** (n - i)}"
+        for i in range(1, n + 1)
+    )
+
+
+def hash60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT — the Spark twin
+    of `hexn_sql(expr, 15)`. Used to replace heavy string payloads
+    (shingles) with fixed-width ints before join/shuffle stages:
+    collision probability for millions of distinct values is ~n²/2^61
+    (negligible), and any collision is REPRODUCED by the oracle, which
+    applies the identical hash."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

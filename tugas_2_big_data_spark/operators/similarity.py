@@ -116,6 +116,54 @@ def ivf_train_stride(corpus_rows: int, n_centroids: int) -> int:
     return max(1, math.ceil(corpus_rows / cap))
 
 
+def _cell_assigner(centroids: DataFrame):
+    """Build the map-only IVF cell-assignment function for a (cid,
+    cvec) centroid relation: the centroid set is ONE broadcast row
+    (cids + vectors in cid order), each input row picks its top-
+    `probes` cells with an in-row sort expression — no crossJoin row
+    amplification, no per-id window shuffle. Cell affinity = cosine
+    desc, ties on cid ascending (matching the oracle's ORDER BY);
+    null cosine (zero-norm vector) sorts last."""
+    cents = centroids.select(
+        F.col("cid"), F.col("cvec").cast("array<double>").alias("cvec")
+    )
+    srt = F.array_sort(F.collect_list(F.struct("cid", "cvec")))
+    cstate = cents.groupBy().agg(
+        F.transform(srt, lambda s: s["cid"]).alias("_cc"),
+        F.transform(srt, lambda s: s["cvec"]).alias("_cv"),
+    )
+
+    def assign(df: DataFrame, idname: str, vecname: str, probes: int) -> DataFrame:
+        # negated similarity so ascending struct sort = csim desc
+        scored = F.transform(
+            F.col("_cv"),
+            lambda c, i: F.struct(
+                -F.coalesce(
+                    cosine(F.col(vecname), c), F.lit(float("-inf"))
+                ),
+                i.cast("int"),
+            ),
+        ).cast("array<struct<ncs:double,idx:int>>")
+        return (
+            df.crossJoin(F.broadcast(cstate))
+            .select(
+                idname,
+                vecname,
+                "_cc",
+                F.explode(F.slice(F.array_sort(scored), 1, probes)).alias(
+                    "_t"
+                ),
+            )
+            .select(
+                idname,
+                vecname,
+                F.get(F.col("_cc"), F.col("_t.idx")).alias("cid"),
+            )
+        )
+
+    return assign
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -189,48 +237,7 @@ def ivf_topk(
             )
         else:
             raise ValueError(f"unknown quantizer: {quantizer!r}")
-    cents = centroids.select(
-        F.col("cid"), F.col("cvec").cast("array<double>").alias("cvec")
-    )
-
-    # one-row centroid state: cids and vectors in cid order, so an
-    # index into _cv maps back through _cc (tie-break = cid ascending,
-    # matching the oracle's ORDER BY csim DESC, cid ASC)
-    srt = F.array_sort(F.collect_list(F.struct("cid", "cvec")))
-    cstate = cents.groupBy().agg(
-        F.transform(srt, lambda s: s["cid"]).alias("_cc"),
-        F.transform(srt, lambda s: s["cvec"]).alias("_cv"),
-    )
-
-    def assign(df: DataFrame, idname: str, vecname: str, probes: int) -> DataFrame:
-        # negated similarity so ascending struct sort = csim desc;
-        # null cosine (zero-norm vector) maps to +inf = probed last,
-        # matching the window form's NULLS LAST
-        scored = F.transform(
-            F.col("_cv"),
-            lambda c, i: F.struct(
-                -F.coalesce(
-                    cosine(F.col(vecname), c), F.lit(float("-inf"))
-                ),
-                i.cast("int"),
-            ),
-        ).cast("array<struct<ncs:double,idx:int>>")
-        return (
-            df.crossJoin(F.broadcast(cstate))
-            .select(
-                idname,
-                vecname,
-                "_cc",
-                F.explode(F.slice(F.array_sort(scored), 1, probes)).alias(
-                    "_t"
-                ),
-            )
-            .select(
-                idname,
-                vecname,
-                F.get(F.col("_cc"), F.col("_t.idx")).alias("cid"),
-            )
-        )
+    assign = _cell_assigner(centroids)
 
     c = assign(
         fan_out(corpus).select(
@@ -512,6 +519,118 @@ def pq_topk(
     w = Window.partitionBy("query_id").orderBy("adc_dist", "nbr_id")
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .withColumn("adc_dist", F.round("adc_dist", 9))
+        .select("query_id", "nbr_id", "adc_dist", "rk")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    ks: int = 4,
+    iters: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ: the two ANN legs composed — the production index shape
+    for billion-vector search (what FAISS IndexIVFPQ ships).
+
+    IVF prunes WHICH vectors a query touches (probe `nprobe` of
+    `n_centroids` cells ⇒ ~nprobe/n_centroids of the corpus); PQ
+    shrinks WHAT each touched vector costs (m codes + LUT lookups, no
+    full-precision distance). Together the per-query cost is
+    O(nprobe/n_centroids · N · m lookups) over a RAM-resident code
+    table — at 100 TB of raw embeddings neither leg alone suffices.
+
+    This is the no-residual IVF-PQ variant (codebooks trained on raw
+    vectors, not per-cell residuals — FAISS's ``by_residual=False``):
+    one shared PQ codebook set serves every cell, which keeps the
+    codebooks reusable index artifacts and the oracle exactly
+    composable. Cell affinity is cosine (matching `ivf_topk`); scoring
+    inside probed cells is ADC squared-L2 (matching `pq_topk`), ranked
+    ascending with nbr_id ties.
+
+    Plan: coarse k-means (broadcast one-row state) → map-only cell
+    assignment for corpus (1 cell) and queries (nprobe cells) →
+    map-only PQ encode of the corpus → equi-join on cell id with
+    per-query LUTs riding the (tiny) query side → windowed top-k.
+    No all-pairs stage anywhere; the only data-sized shuffles are the
+    Lloyd-round aggregates and the final cell equi-join.
+    """
+    from pyspark.sql import Window
+
+    sub = dim // m
+    coarse = kmeans_centroids(
+        corpus, k=n_centroids, iters=iters,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    assign = _cell_assigner(coarse)
+
+    enc = assign(
+        fan_out(corpus).select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ),
+        "nbr_id",
+        "_v",
+        1,
+    )
+    states = pq_codebooks(
+        corpus, m=m, ks=ks, iters=iters,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    for st in states:
+        enc = enc.crossJoin(F.broadcast(st))
+    enc = enc.select(
+        "nbr_id",
+        "cid",
+        *[
+            _argmin_code(
+                F.slice(F.col("_v"), s * sub + 1, sub), F.col(f"_cs{s}")
+            ).alias(f"code{s}")
+            for s in range(m)
+        ],
+    )
+
+    q = assign(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        ),
+        "query_id",
+        "_qv",
+        nprobe,
+    )
+    for st in states:
+        q = q.crossJoin(F.broadcast(st))
+
+    def _lut(s: int) -> Column:
+        qslice = F.slice(F.col("_qv"), s * sub + 1, sub)
+        return F.transform(F.col(f"_cs{s}"), lambda c: _sq_l2(qslice, c))
+
+    qluts = q.select(
+        "query_id", "cid", *[_lut(s).alias(f"_lut{s}") for s in range(m)]
+    )
+
+    dist = sum(
+        (
+            F.get(F.col(f"_lut{s}"), F.col(f"code{s}").cast("int"))
+            for s in range(1, m)
+        ),
+        start=F.get(F.col("_lut0"), F.col("code0").cast("int")),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "nbr_id")
+    return (
+        qluts.join(enc, "cid")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .withColumn("adc_dist", dist)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .withColumn("adc_dist", F.round("adc_dist", 9))
         .select("query_id", "nbr_id", "adc_dist", "rk")

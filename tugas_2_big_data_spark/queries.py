@@ -56,6 +56,9 @@ _SWEEP_FIRST: tuple[str, ...] = (
     "mix_language_budget", "sample_weighted_by_length",
     "iqplus_summarize_stub", "mm_resize_dims", "mm_frame_sample",
     # (2) new or materially changed in round 3
+    "dedup_containment_prefix", "sample_weighted_reservoir",
+    "txt_quality_logreg", "sketch_heavy_hitters", "ann_pq_topk",
+    "ann_ivfpq_topk",
     "dedup_ngram_jaccard_prefix", "ann_ivf_topk", "ann_ivf_seed_topk",
     "ann_ivf_kmeans_topk",
     "dedup_ngram_jaccard_exact_baseline", "evt_value_zscore",

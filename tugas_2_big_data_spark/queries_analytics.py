@@ -244,9 +244,9 @@ def _heavy_hitters_sql() -> str:
     arithmetic itself is value-compared, making this the strongest
     oracle form a sketch can have (HLL/GK can only pin a bound flag;
     this sketch is deterministic, so its estimates are checkable)."""
-    from tugas_2_big_data_spark.queries_training import _hex24_sql
+    from tugas_2_big_data_spark.functions.hashing import hex24_sql
 
-    shard = _hex24_sql("md5(CAST(event_id AS VARCHAR) || ':5')")
+    shard = hex24_sql("md5(CAST(event_id AS VARCHAR) || ':5')")
     return f"""
 WITH ev AS (
   SELECT ({shard}) % 16 AS shard, user_id AS item FROM events

@@ -224,7 +224,10 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CONTAINMENT_SQL = f"""
-WITH sh AS ({SHINGLES_SQL}),
+WITH sh AS (
+  SELECT DISTINCT doc_id, {hashing.hexn_sql("md5(shingle)", 15)} AS shingle
+  FROM ({SHINGLES_SQL})
+),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -714,14 +717,10 @@ def ann_ivf_seed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hex24_sql(expr: str) -> str:
-    """DuckDB integer value of the first 6 hex chars of `expr` (the
-    portable-hash counterpart of sampling.hash_unit24)."""
-    return " + ".join(
-        f"(strpos('0123456789abcdef', substr({expr}, {i}, 1)) - 1)"
-        f" * {16 ** (6 - i)}"
-        for i in range(1, 7)
-    )
+# portable-hash SQL twin lives in functions/hashing.py (neutral module:
+# query modules import each other's helpers at registration time, and a
+# helper defined here would make that import order-sensitive)
+_hex24_sql = hashing.hex24_sql
 
 
 def _kmeans_cents_ctes(
@@ -795,21 +794,18 @@ SELECT vec_id, cid AS cluster FROM a{iters + 1}
 """
 
 
-def _ivf_kmeans_sql(
-    k: int = 8,
-    iters: int = 2,
-    dim: int = 64,
-    nprobe: int = 2,
-    topk: int = 5,
-    n_queries: int = 5,
+def _ivf_assign_parts(
+    k: int,
+    iters: int,
+    dim: int,
+    nprobe: int,
+    n_queries: int,
     k_sql: str | None = None,
     pts_sql: str = "SELECT vec_id, embedding FROM embeddings",
-) -> str:
-    """Composed oracle: the k-means centroid CTE chain feeds the IVF
-    assign/probe/search CTEs (same shapes as the seed-set IVF oracle,
-    with cells keyed by k-means cid instead of seed vec_id). `pts_sql`
-    is the quantizer TRAINING relation (possibly a sample); the
-    assign/search CTEs always run over the full embeddings corpus."""
+) -> list[str]:
+    """Shared IVF oracle prelude: coarse k-means chain + corpus +
+    cents + cassign (1 probe) / qassign (nprobe) CTEs. Used by the
+    plain IVF oracle and composed further by the IVF-PQ oracle."""
     parts = _kmeans_cents_ctes(k, iters, dim, pts_sql=pts_sql, k_sql=k_sql)
     parts.append(
         "corpus AS (SELECT vec_id, "
@@ -832,6 +828,27 @@ def _ivf_kmeans_sql(
     {pred}
   ) WHERE crn <= {probes}
 )""")
+    return parts
+
+
+def _ivf_kmeans_sql(
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    nprobe: int = 2,
+    topk: int = 5,
+    n_queries: int = 5,
+    k_sql: str | None = None,
+    pts_sql: str = "SELECT vec_id, embedding FROM embeddings",
+) -> str:
+    """Composed oracle: the k-means centroid CTE chain feeds the IVF
+    assign/probe/search CTEs (same shapes as the seed-set IVF oracle,
+    with cells keyed by k-means cid instead of seed vec_id). `pts_sql`
+    is the quantizer TRAINING relation (possibly a sample); the
+    assign/search CTEs always run over the full embeddings corpus."""
+    parts = _ivf_assign_parts(
+        k, iters, dim, nprobe, n_queries, k_sql=k_sql, pts_sql=pts_sql
+    )
     ctes = ",\n".join(parts)
     return f"""
 WITH {ctes}
@@ -961,6 +978,79 @@ SELECT query_id, nbr_id, adc_dist, CAST(rk AS BIGINT) AS rk FROM (
   WHERE x.vec_id != q.query_id
 ) WHERE rk <= {topk}
 """
+
+
+def _ivfpq_sql(
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    ks: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    topk: int = 5,
+    n_queries: int = 5,
+) -> str:
+    """IVF-PQ oracle = the IVF assign prelude (coarse cells,
+    cassign/qassign) ∘ the per-subspace PQ chains (codes + codeword
+    tables): candidates come from the cell equi-join, distances from
+    the ADC sum — both legs already proven separately, composed
+    verbatim."""
+    sub = dim // m
+    parts = _ivf_assign_parts(n_centroids, iters, dim, nprobe, n_queries)
+    for s in range(m):
+        off = s * sub + 1
+        parts += _kmeans_cents_ctes(
+            ks,
+            iters,
+            sub,
+            pts_sql=(
+                f"SELECT vec_id, embedding[{off}:{off + sub - 1}] AS embedding"
+                " FROM embeddings"
+            ),
+            prefix=f"s{s}_",
+        )
+    code_joins = " ".join(
+        f"JOIN s{s}_a{iters + 1} x{s} ON x{s}.vec_id = x0.vec_id"
+        for s in range(1, m)
+    )
+    code_cols = ", ".join(f"x{s}.cid AS c{s}" for s in range(m))
+    parts.append(
+        f"codes AS (SELECT x0.vec_id, {code_cols} "
+        f"FROM s0_a{iters + 1} x0 {code_joins})"
+    )
+    dist = " + ".join(
+        f"list_sum(list_transform(generate_series(1, {sub}), "
+        f"i -> (q.query_vec[{s * sub} + i] - k{s}.cvec[i])"
+        f" * (q.query_vec[{s * sub} + i] - k{s}.cvec[i])))"
+        for s in range(m)
+    )
+    cent_joins = " ".join(
+        f"JOIN s{s}_c{iters} k{s} ON k{s}.cid = x.c{s}" for s in range(m)
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT query_id, nbr_id, adc_dist, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT q.query_id, a.nbr_id, round({dist}, 9) AS adc_dist,
+    row_number() OVER (
+      PARTITION BY q.query_id ORDER BY {dist} ASC, a.nbr_id
+    ) AS rk
+  FROM qassign q JOIN cassign a USING (cid)
+  JOIN codes x ON x.vec_id = a.nbr_id {cent_joins}
+  WHERE a.nbr_id != q.query_id
+) WHERE rk <= {topk}
+"""
+
+
+@register("ann_ivfpq_topk", _ivfpq_sql())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index (similarity.ivfpq_topk): 8 coarse cells
+    probed 2-wide select the candidates, 4×4 product-quantization
+    codes + per-query LUTs price them (ADC) — the FAISS IndexIVFPQ
+    shape (no-residual variant), and the production answer when the
+    corpus neither fits in memory raw nor may be scanned per query."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.ivfpq_topk(emb, emb.filter(F.col("vec_id") < 5))
 
 
 @register("ann_pq_topk", _pq_sql())
