@@ -20,7 +20,9 @@ Verdict line: ratio ≈ data growth (≤~100, usually far less since fixed
 overhead amortizes) = linear; ratio ≫ 100 = super-linear, the plan
 would not survive.
 
-Usage: python tools/scale_probe100.py [--rebuild] > SCALEPROBE100.json
+Usage: python tools/scale_probe100.py [--rebuild]  (writes
+SCALEPROBE100.json directly — the JVM emits gc,alloc warnings on
+STDOUT under memory pressure, so stdout redirection corrupts the JSON)
 """
 
 from __future__ import annotations
@@ -56,6 +58,11 @@ PROBE = [
     "txt_rolling_fingerprints",
     "txt_token_stats",
     "ann_ivf_topk",                 # √N cell policy under 100× corpus
+    "dedup_containment_prefix",     # one-sided prefix filter
+    "txt_quality_logreg",           # map-only linear classifier
+    "sample_weighted_reservoir",    # A-ES top-n heaps
+    "ann_pq_topk",                  # PQ encode + ADC at 100× corpus
+    "ann_ivfpq_topk",               # composed cells × codes index
 ]
 
 
@@ -141,7 +148,10 @@ def main() -> None:
             f"rows {n_small} -> {n_big}",
             file=sys.stderr,
         )
-    print(json.dumps(results))
+    out = os.path.join(REPO, "SCALEPROBE100.json")
+    with open(out, "w") as f:
+        json.dump(results, f)
+    print(f"wrote {out}", file=sys.stderr)
 
 
 if __name__ == "__main__":
