@@ -83,6 +83,27 @@ def test_prefix_filtered_jaccard_equals_naive(spark):
         assert prefix == naive, t
 
 
+def test_hashed_prefix_jaccard_equals_string_path(spark):
+    """The 60-bit shingle-hash fast path changes the payload, never
+    the pairs or counts (collisions ~n²/2^61): hashed and string
+    formulations must emit identical rows."""
+    docs = spark.createDataFrame(
+        DOCS + [(6, "the quick brown fox leaps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    hashed = {
+        tuple(r)
+        for r in dedup.jaccard_pairs_prefix(docs, threshold=0.5).collect()
+    }
+    strings = {
+        tuple(r)
+        for r in dedup.jaccard_pairs_prefix(
+            docs, threshold=0.5, hashed=False
+        ).collect()
+    }
+    assert hashed == strings and hashed
+
+
 def test_prefix_filtered_containment_equals_exhaustive(spark):
     """One-sided prefix filtering for directed containment is EXACT:
     same (id_a, id_b, n_common, containment) rows as the exhaustive

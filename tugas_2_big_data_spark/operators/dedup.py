@@ -360,6 +360,7 @@ def jaccard_pairs_prefix(
     n: int = 3,
     threshold: float = 0.5,
     materialize: bool = True,
+    hashed: bool = True,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via PREFIX FILTERING (PPJoin-style).
 
@@ -391,11 +392,17 @@ def jaccard_pairs_prefix(
     not per consumer — measured ~2× wall and far lower run-to-run
     variance (each re-shingle is a fresh burst of regex splits + array
     churn for the GC). On a multi-node cluster swap for a reliable
-    checkpoint (localCheckpoint dies with its executor).
+    checkpoint (localCheckpoint dies with its executor). ``hashed``
+    (default) runs the prefix join and the verify on 60-bit shingle
+    hashes instead of strings (`hashed_shingle_sets`) — fixed-width
+    payloads through every shuffle; counts are identical up to
+    ~n²/2^61 collision probability and the oracle applies the same
+    hash.
     """
     from pyspark.sql import Window
 
-    sets = shingle_sets(df, text_col, id_col, n)
+    mk_sets = hashed_shingle_sets if hashed else shingle_sets
+    sets = mk_sets(df, text_col, id_col, n)
     if materialize:
         sets = sets.localCheckpoint()
     sized = sets.select(

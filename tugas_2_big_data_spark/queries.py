@@ -58,7 +58,7 @@ _SWEEP_FIRST: tuple[str, ...] = (
     # (2) new or materially changed in round 3
     "dedup_containment_prefix", "sample_weighted_reservoir",
     "txt_quality_logreg", "sketch_heavy_hitters", "ann_pq_topk",
-    "ann_ivfpq_topk",
+    "ann_ivfpq_topk", "dedup_text_components", "stream_topk_users_5min",
     "dedup_ngram_jaccard_prefix", "ann_ivf_topk", "ann_ivf_seed_topk",
     "ann_ivf_kmeans_topk",
     "dedup_ngram_jaccard_exact_baseline", "evt_value_zscore",

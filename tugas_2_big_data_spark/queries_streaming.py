@@ -222,3 +222,54 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("purchase_value"),
     )
     return se.run_to_memory(joined, _sink_name("q_stream_static"), "append")
+
+
+_STREAM_TOPK_SQL = """
+SELECT window_start, user_id, n_events, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT window_start, user_id, n_events,
+    row_number() OVER (
+      PARTITION BY window_start ORDER BY n_events DESC, user_id
+    ) AS rk
+  FROM (
+    SELECT
+      strftime(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+               '%Y-%m-%d %H:%M:%S')      AS window_start,
+      user_id,
+      CAST(count(*) AS BIGINT)           AS n_events
+    FROM events
+    GROUP BY 1, 2
+  )
+) WHERE rk <= 3
+"""
+
+
+@register("stream_topk_users_5min", _STREAM_TOPK_SQL)
+def stream_topk_users_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed leaderboard: the STREAM maintains per-(window, user)
+    counts in watermark-bounded state (se.tumbling_user_counts); the
+    top-3 rank runs on the drained result — the standard streaming
+    pre-agg + serving-layer-rank split, since a rank is non-monotone
+    under late data and Spark (correctly) refuses window functions
+    over streaming aggregates. Complete mode for the bounded drain,
+    same rationale as stream_tumbling_5min."""
+    from pyspark.sql import Window
+
+    stream = se.read_events_stream(spark, sf_dir)
+    out = se.run_to_memory(
+        se.tumbling_user_counts(stream), _sink_name("q_stream_topk"), "complete"
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    return (
+        out.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            "rk",
+        )
+    )

@@ -176,8 +176,9 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_verify_sets(sets, cand, threshold=0.5)
 
 
-_JACCARD_SQL = f"""
-WITH sh AS ({SHINGLES_SQL}),
+def _jaccard_sql(sh_sql: str) -> str:
+    return f"""
+WITH sh AS ({sh_sql}),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -191,6 +192,17 @@ FROM common c
 JOIN sizes sa ON sa.doc_id = c.id_a
 JOIN sizes sb ON sb.doc_id = c.id_b
 WHERE c.n_common / (sa.sz + sb.sz - c.n_common) >= 0.5
+"""
+
+
+_JACCARD_SQL = _jaccard_sql(SHINGLES_SQL)
+
+# shingle relation under the 60-bit portable hash — the oracle twin of
+# dedup.hashed_shingle_sets (counts identical to the string relation up
+# to ~n²/2^61 collisions, which the hash-mirroring reproduces exactly)
+HASHED_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id, {hashing.hexn_sql("md5(shingle)", 15)} AS shingle
+  FROM ({SHINGLES_SQL})
 """
 
 
@@ -210,7 +222,7 @@ def dedup_ngram_jaccard_exact_baseline(
     return dedup.jaccard_pairs_from_sets(sets, threshold=0.5)
 
 
-@register("dedup_ngram_jaccard_prefix", _JACCARD_SQL)
+@register("dedup_ngram_jaccard_prefix", _jaccard_sql(HASHED_SHINGLES_SQL))
 def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PPJoin-style prefix filtering: identical output to the exact
     # baseline (same oracle SQL), but candidates come only from each
@@ -224,10 +236,7 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CONTAINMENT_SQL = f"""
-WITH sh AS (
-  SELECT DISTINCT doc_id, {hashing.hexn_sql("md5(shingle)", 15)} AS shingle
-  FROM ({SHINGLES_SQL})
-),
+WITH sh AS ({HASHED_SHINGLES_SQL}),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -256,6 +265,46 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs_prefix(
         corpus(spark, sf_dir), threshold=0.9
     )
+
+
+def _text_components_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+corpus AS (SELECT doc_id FROM ({CORPUS_SQL})),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(v, label) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v
+)
+SELECT v AS doc_id, min(label) AS component_id FROM reach GROUP BY v
+"""
+
+
+@register("dedup_text_components", _text_components_sql())
+def dedup_text_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-dedup pipeline carried to its final shape: minhash-LSH
+    candidate pairs → exact Jaccard verify → FULL transitive closure,
+    so every document maps to the min-id of its near-dup CLUSTER (a
+    near-dup of a near-dup is the same document family even when the
+    endpoints' direct Jaccard is below threshold). Spark side is
+    iterative min-label propagation (`similarity.connected_components`,
+    rounds = cluster diameter); the oracle is recursive-CTE
+    reachability. The one-hop `near_dup_canonical` inside
+    pipeline_clean_corpus is the cheap approximation; this is the
+    exact clustering."""
+    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint()
+    sig = dedup.minhash_signatures_from_sets(sets, k=8)
+    cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
+    pairs = dedup.jaccard_verify_sets(sets, cand, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    verts = corpus(spark, sf_dir).select("doc_id")
+    return similarity.connected_components(verts, pairs, id_col="doc_id")
 
 
 def _simhash_sql() -> str:

@@ -60,6 +60,30 @@ def tumbling_agg(
     )
 
 
+def tumbling_user_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window event count per user — the streaming
+    PRE-AGGREGATION of a windowed leaderboard. Ranking cannot run
+    inside the stream (window functions over streaming aggregates are
+    unsupported, deliberately: a rank is non-monotone under late data),
+    so the architecture is the standard split: the stream maintains
+    per-(window, key) counts in watermark-bounded state; the serving
+    layer ranks the drained table."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",
