@@ -283,13 +283,22 @@ def test_pq_codebooks_shape(spark):
     rng = np.random.default_rng(7)
     rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(20)]
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    states = similarity.pq_codebooks(emb, m=2, ks=3, dim=8)
-    assert len(states) == 2
-    for s, st in enumerate(states):
-        [row] = st.collect()
+    state = similarity.pq_codebooks(emb, m=2, ks=3, dim=8)
+    [row] = state.collect()
+    for s in range(2):
         cb = row[f"_cs{s}"]
         assert len(cb) == 3  # ks codewords
         assert all(len(c) == 4 for c in cb)  # dim/m values each
+    # joint training must equal the per-subspace reference chains
+    for s in range(2):
+        sliced = emb.select(
+            "vec_id", F.slice("embedding", s * 4 + 1, 4).alias("_sv")
+        )
+        _, ref, _ = similarity._kmeans_state(
+            sliced, 3, 2, "vec_id", "_sv", 4
+        )
+        [ref_row] = ref.collect()
+        assert row[f"_cs{s}"] == ref_row["_cs"], s
 
 
 def test_ivf_more_probes_no_worse(spark):
