@@ -194,3 +194,51 @@ def test_top_fraction_by_group_quota_and_determinism(spark):
     # every non-empty group keeps at least one row
     one = spark.createDataFrame([(1, "z", 0.0)], ["id", "g", "score"])
     assert top_fraction_by_group(one, ["g"], "score", "id", 0.01).count() == 1
+
+
+def test_temperature_rates_flatten_toward_uniform(spark):
+    """α controls the flattening: α=1 keeps every stratum at the same
+    rate (proportional sampling); α→0 equalizes the KEPT COUNTS; any
+    α<1 gives the smaller stratum the higher keep rate."""
+    rows = [(i, "big") for i in range(900)] + [
+        (i + 1000, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    r_half = {
+        r.lang: r
+        for r in sampling.temperature_rates(df, alpha=0.5).collect()
+    }
+    assert r_half["small"].keep_rate > r_half["big"].keep_rate
+    assert abs(sum(x.weight for x in r_half.values()) - 1.0) < 1e-9
+    r_one = {
+        r.lang: r.keep_rate
+        for r in sampling.temperature_rates(df, alpha=1.0).collect()
+    }
+    assert abs(r_one["small"] - r_one["big"]) < 1e-9  # proportional
+    # expected kept docs = Σ min(budget·p_i, n_i): the min(1, ·) cap
+    # truncates WITHOUT redistributing (budget is an upper bound once
+    # any stratum saturates). Here p=(0.75, 0.25) of a 500 budget →
+    # big keeps 375 expected, small is capped at all 100 → 475.
+    expected = sum(r.keep_rate * r.n_docs for r in r_half.values())
+    assert abs(expected - 475) < 1e-6
+    assert r_half["small"].keep_rate == 1.0  # saturated stratum
+
+
+def test_temperature_sample_deterministic_and_budget_shaped(spark):
+    rows = [(i, "big") for i in range(900)] + [
+        (i + 1000, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    a = sorted(r.doc_id for r in sampling.temperature_sample(df).collect())
+    b = sorted(r.doc_id for r in sampling.temperature_sample(df).collect())
+    assert a == b  # rerun-stable
+    kept = spark.createDataFrame(
+        [(i,) for i in a], ["doc_id"]
+    ).join(df, "doc_id")
+    by_lang = {
+        r.lang: r.n for r in kept.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    # small stratum keeps a larger FRACTION of itself than the big one
+    assert by_lang["small"] / 100 > by_lang["big"] / 900

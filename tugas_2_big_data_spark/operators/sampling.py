@@ -220,6 +220,74 @@ def mixture_rebalance(
     )
 
 
+def temperature_rates(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    strata_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Per-stratum keep rates under TEMPERATURE-scaled mixture weights
+    — the multilingual sampling rule (mBERT/XLM-R style): stratum i
+    gets probability p_i = n_i^α / Σ n_j^α, flattening the natural
+    distribution toward uniform as α→0 so low-resource strata are
+    up-weighted relative to their share. The global budget is
+    ``budget_frac`` of the corpus; stratum i's keep rate is
+    min(1, budget·p_i / n_i).
+
+    Two tiny aggregates (stratum counts, one-row normalizer) — the
+    result is a broadcastable rate table, one row per stratum.
+    """
+    strata = [F.col(c) for c in strata_cols]
+    counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("_total"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias(
+            "_z"
+        ),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        *strata_cols,
+        "n_docs",
+        (F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) / F.col("_z")).alias(
+            "weight"
+        ),
+        F.least(
+            F.lit(1.0),
+            F.col("_total")
+            * F.lit(budget_frac)
+            * (
+                F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+                / F.col("_z")
+            )
+            / F.col("n_docs"),
+        ).alias("keep_rate"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    strata_cols: tuple[str, ...] = ("lang",),
+    id_col: str = "doc_id",
+    seed: int = 17,
+) -> DataFrame:
+    """Apply `temperature_rates` as a deterministic per-row Bernoulli:
+    keep iff the portable md5 draw falls under the stratum's keep rate.
+    The rate table rides a broadcast join onto the scan (map-side) —
+    no shuffle of the fact, rerun-stable, so the sampled mixture is
+    auditable and incrementally extendable like `weighted_keep`."""
+    rates = temperature_rates(df, alpha, budget_frac, strata_cols).select(
+        *strata_cols, "keep_rate"
+    )
+    h = hash_unit24(id_col, seed).cast("double")
+    return (
+        df.join(F.broadcast(rates), list(strata_cols))
+        .filter(h < F.col("keep_rate") * F.lit(float(HEX24)))
+        .drop("keep_rate")
+    )
+
+
 def stratified_split(
     df: DataFrame,
     strata_cols: tuple[str, ...] = ("lang",),

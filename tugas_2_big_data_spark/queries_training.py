@@ -1796,6 +1796,43 @@ def txt_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMPERATURE_SQL = f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT sum(n_docs) AS total,
+         sum(pow(CAST(n_docs AS DOUBLE), 0.5)) AS z
+  FROM counts
+),
+rates AS (
+  SELECT lang,
+    least(1.0,
+      t.total * 0.5 * (pow(CAST(c.n_docs AS DOUBLE), 0.5) / t.z)
+        / c.n_docs) AS keep_rate
+  FROM counts c CROSS JOIN tot t
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r USING (lang)
+WHERE ({hashing.hexn_sql("md5(CAST(doc_id AS VARCHAR) || ':17')", 6)})
+      < r.keep_rate * 16777216
+"""
+
+
+@register("mix_temperature_sample", _TEMPERATURE_SQL)
+def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (α=0.5, budget = half the
+    corpus): stratum probabilities p_i ∝ n_i^α flatten the language
+    distribution so low-resource languages are up-weighted — the
+    standard multilingual pretraining mix rule — applied as a
+    deterministic per-row Bernoulli against a broadcast rate table
+    (sampling.temperature_sample). Complements `mix_language_budget`
+    (hard per-stratum cap) with proportional reweighting."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    return sampling.temperature_sample(docs)
+
+
 @register("txt_contamination", _CONTAMINATION_SQL)
 def txt_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination rates: every 97th doc plays the held-out
