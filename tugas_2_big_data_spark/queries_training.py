@@ -963,6 +963,64 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), nprobe=2, k=5)
 
 
+def _ivf_recall_sql() -> str:
+    ivf = _ivf_kmeans_sql(k_sql=_SQRT_K_SQL, pts_sql=_IVF_TRAIN_PTS_SQL)
+    return f"""
+WITH exact AS ({_ANN_TOPK_SQL}),
+approx AS ({ivf}),
+n_ex AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM exact GROUP BY query_id
+),
+hits AS (
+  SELECT e.query_id, CAST(count(a.nbr_id) AS BIGINT) AS n_hits
+  FROM exact e LEFT JOIN approx a
+    ON a.query_id = e.query_id AND a.nbr_id = e.nbr_id
+  GROUP BY e.query_id
+)
+SELECT n.query_id, n.n_exact, h.n_hits,
+       h.n_hits / n.n_exact AS recall
+FROM n_ex n JOIN hits h ON h.query_id = n.query_id
+"""
+
+
+@register("ann_ivf_recall", _ivf_recall_sql())
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PRODUCTION IVF path against the exact cosine
+    ground truth, per query — the approximate index quantifying its
+    own accuracy trade inside the oracle-checked registry (both legs
+    are the already-registered plans, composed; the oracle composes
+    the same two SQL bodies). The operational use: run this on a
+    sampled query set after every index build — a recall regression
+    means the quantizer no longer fits the corpus distribution."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q5 = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, q5, k=5).select("query_id", "nbr_id")
+    approx = similarity.ivf_topk(emb, q5, nprobe=2, k=5).select(
+        "query_id", "nbr_id"
+    )
+    n_ex = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "nbr_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    return (
+        n_ex.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("_h"), F.lit(0)).cast("long")
+                / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )
+
+
 def _pq_sql(
     m: int = 4,
     ks: int = 4,
