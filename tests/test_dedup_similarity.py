@@ -83,6 +83,46 @@ def test_prefix_filtered_jaccard_equals_naive(spark):
         assert prefix == naive, t
 
 
+def _doc_from_words(ws):
+    return " ".join(ws)
+
+
+def test_prefix_filter_float_threshold_boundary(spark):
+    """Adversarial t=0.55 regression: 0.55·100 = 55.000000000000007 in
+    IEEE double, so a naive ceil(t·sz) computes a one-short prefix and
+    silently drops a TRUE pair whose score is exactly 0.55 (which the
+    verify float-accepts: 55/100 rounds to the same double as the 0.55
+    literal). The engineered pair shares exactly 55 of A's 100
+    shingles, and the 45 unshared ones are globally rarest — the
+    buggy 45-element prefix was precisely the unshared set."""
+    shared = [f"s{i:03d}" for i in range(57)]  # 55 shared shingles
+    tail = [f"a{i:03d}" for i in range(45)]  # 45 unshared for A
+    filler = [f"z{i:03d}" for i in range(50)]  # B-only filler
+    a_doc = _doc_from_words(shared + tail)  # 100 shingles
+    b_doc = _doc_from_words(shared + filler)
+    docs = spark.createDataFrame([(1, a_doc), (2, b_doc)], ["doc_id", "text"])
+
+    # containment: c(A in B) = 55/100 = 0.55 — must surface
+    got = dedup.containment_pairs_prefix(docs, threshold=0.55).collect()
+    assert [(r.id_a, r.id_b, r.n_common) for r in got] == [(1, 2, 55)]
+    exhaustive = dedup.containment_pairs_from_sets(
+        dedup.shingle_sets(docs), threshold=0.55
+    ).collect()
+    assert [(r.id_a, r.id_b, r.n_common) for r in exhaustive] == [(1, 2, 55)]
+
+    # jaccard: B = exactly the shared 55 → j = 55/(100+55-55) = 0.55
+    b_only = _doc_from_words(shared)
+    docs2 = spark.createDataFrame(
+        [(1, a_doc), (2, b_only)], ["doc_id", "text"]
+    )
+    jp = dedup.jaccard_pairs_prefix(docs2, threshold=0.55).collect()
+    assert [(r.id_a, r.id_b, r.n_common) for r in jp] == [(1, 2, 55)]
+    je = dedup.jaccard_pairs_from_sets(
+        dedup.shingle_sets(docs2), threshold=0.55
+    ).collect()
+    assert [(r.id_a, r.id_b, r.n_common) for r in je] == [(1, 2, 55)]
+
+
 def test_hashed_prefix_jaccard_equals_string_path(spark):
     """The 60-bit shingle-hash fast path changes the payload, never
     the pairs or counts (collisions ~n²/2^61): hashed and string

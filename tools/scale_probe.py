@@ -96,15 +96,21 @@ def build(spark) -> None:
 def _materialize(df) -> tuple[int, float]:
     """(row count, steady-state seconds): full-column hash
     materialization timed twice, min taken (first run pays codegen
-    compile + JIT); row count measured untimed."""
+    compile + JIT); the row count rides the timed aggregate instead of
+    a third full recomputation of the plan."""
+    n = 0
 
     def run() -> float:
+        nonlocal n
         t0 = time.perf_counter()
-        df.select(F.sum(F.xxhash64(*[F.col(c) for c in df.columns]))).count()
+        [(n, _)] = df.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])),
+        ).collect()
         return time.perf_counter() - t0
 
     t = min(run(), run())
-    return df.count(), t
+    return n, t
 
 
 def main() -> None:

@@ -94,11 +94,7 @@ def hex24_sql(expr: str) -> str:
     oracle-SQL twin of sampling.hash_unit24 (and of any seeded-md5
     draw). Lives here, not in a query module, so every query module
     can use it without import-order coupling."""
-    return " + ".join(
-        f"(strpos('0123456789abcdef', substr({expr}, {i}, 1)) - 1)"
-        f" * {16 ** (6 - i)}"
-        for i in range(1, 7)
-    )
+    return hexn_sql(expr, 6)
 
 
 def hexn_sql(expr: str, n: int) -> str:

@@ -24,7 +24,7 @@ oracle (see tugas_2_big_data_spark/functions/hashing.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from tugas_2_big_data_spark.functions import hashing
 from tugas_2_big_data_spark.operators.partitioning import fan_out
@@ -226,6 +226,34 @@ def lsh_candidate_pairs(
     )
 
 
+def _prefix_pos_bound(sz: Column, threshold: float) -> Column:
+    """Float-safe prefix length for PPJoin-style filtering.
+
+    The textbook bound is sz − ⌈t·sz⌉ + 1, but two IEEE effects make a
+    literal `ceil(t * sz)` drop TRUE pairs (silently — prefix filtering
+    is supposed to be lossless):
+
+    1. product overshoot: for t=0.55, sz=100 the double product is
+       55.000000000000007, so ceil gives 56 where exact rational
+       arithmetic gives 55 — one prefix position too few;
+    2. verify round-to-threshold: the verify compares fl(n/sz) ≥ t, and
+       fl rounds UP to exactly t for n/sz a hair below it (n=55,
+       sz=100, t=0.55: 55/100 rounds to the same double as the 0.55
+       literal) — so verify accepts pairs the real-arithmetic bound
+       says the prefix may skip.
+
+    The fix errs only LONGER: subtracting 1e-9 before the ceil kills
+    the upward product error (and can only shrink the ceil near exact
+    integers — the safe direction), and one extra slack position covers
+    the fl(n/sz) = t round-up case (needs n ≥ ⌈t·sz⌉ − 1, i.e. one
+    more reachable common shingle). Cost: ≤2 extra prefix shingles per
+    doc; exactness guaranteed.
+    """
+    return (
+        sz - F.ceil(F.lit(threshold) * sz - F.lit(1e-9)) + 2
+    )
+
+
 def jaccard_pairs(
     shingled: DataFrame,
     id_col: str = "doc_id",
@@ -265,10 +293,15 @@ def jaccard_pairs(
         scored = common.join(sa, "id_a").join(sb, "id_b")
     else:
         # Length filter (standard set-similarity-join pruning): jaccard
-        # ≥ t implies min(|A|,|B|) ≥ t·max(|A|,|B|), checked INSIDE the
+        # ≥ t implies min(|A|,|B|)/max(|A|,|B|) ≥ t, checked INSIDE the
         # join condition so disqualified pairs never reach the
-        # aggregate. Sizes ride along on the inverted index, making
-        # them grouping keys instead of two extra post-agg joins.
+        # aggregate. DIVISION form, not the t·sz product: j ≤ min/max
+        # holds in reals and float division is monotone, so fl(j) ≥ t
+        # implies fl(min/max) ≥ t — the filter can never drop a pair
+        # the verify accepts (the product form can: t=0.55, sz=100
+        # overshoots to 55.000000000000007). Sizes ride along on the
+        # inverted index, making them grouping keys instead of two
+        # extra post-agg joins.
         sized = shingled.join(sizes, id_col)
         a = sized.alias("a")
         b = sized.alias("b")
@@ -277,8 +310,8 @@ def jaccard_pairs(
                 b,
                 (F.col("a.shingle") == F.col("b.shingle"))
                 & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-                & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
-                & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz")),
+                & (F.col("a.sz") / F.col("b.sz") >= F.lit(threshold))
+                & (F.col("b.sz") / F.col("a.sz") >= F.lit(threshold)),
             )
             .groupBy(
                 F.col(f"a.{id_col}").alias("id_a"),
@@ -331,8 +364,9 @@ def jaccard_pairs_from_sets(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
-            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz")),
+            # division form — float-safe vs the verify (see jaccard_pairs)
+            & (F.col("a.sz") / F.col("b.sz") >= F.lit(threshold))
+            & (F.col("b.sz") / F.col("a.sz") >= F.lit(threshold)),
         )
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -414,10 +448,7 @@ def jaccard_pairs_prefix(
     prefix = (
         ex.join(freq, "shingle")
         .withColumn("pos", F.row_number().over(w))
-        .filter(
-            F.col("pos")
-            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-        )
+        .filter(F.col("pos") <= _prefix_pos_bound(F.col("sz"), threshold))
         .select(id_col, "sz", "shingle")
     )
     a = prefix.select(
@@ -431,8 +462,9 @@ def jaccard_pairs_prefix(
             b,
             (a["shingle"] == b["shingle"])
             & (F.col("id_a") < F.col("id_b"))
-            & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b"))
-            & (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a")),
+            # division form — float-safe vs the verify (see jaccard_pairs)
+            & (F.col("sz_a") / F.col("sz_b") >= F.lit(threshold))
+            & (F.col("sz_b") / F.col("sz_a") >= F.lit(threshold)),
         )
         .select("id_a", "id_b")
         .distinct()
@@ -508,7 +540,10 @@ def containment_pairs_from_sets(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
-            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz")),
+            # division form — float-safe vs the verify: n ≤ sz_b with a
+            # shared denominator and float division is monotone in the
+            # numerator, so fl(n/sz_a) ≥ t ⇒ fl(sz_b/sz_a) ≥ t
+            & (F.col("b.sz") / F.col("a.sz") >= F.lit(threshold)),
         )
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -579,10 +614,7 @@ def containment_pairs_prefix(
     prefix = (
         ex.join(freq, "shingle")
         .withColumn("pos", F.row_number().over(w))
-        .filter(
-            F.col("pos")
-            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-        )
+        .filter(F.col("pos") <= _prefix_pos_bound(F.col("sz"), threshold))
         .select(
             F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "shingle"
         )
@@ -595,7 +627,8 @@ def containment_pairs_prefix(
             full,
             (prefix["shingle"] == full["shingle"])
             & (F.col("id_a") != F.col("id_b"))
-            & (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a")),
+            # division form — float-safe vs the verify (see above)
+            & (F.col("sz_b") / F.col("sz_a") >= F.lit(threshold)),
         )
         .select("id_a", "id_b")
         .distinct()

@@ -510,6 +510,41 @@ def pq_codebooks(
     return state
 
 
+def _pq_code_cols(m: int, sub: int) -> list[Column]:
+    """Per-subspace code columns (argmin against broadcast codebook
+    `_cs{s}`) over the corpus vector column `_v` — the ONE copy of the
+    encode expression shared by `pq_topk` and `ivfpq_topk`."""
+    return [
+        _argmin_code(
+            F.slice(F.col("_v"), s * sub + 1, sub), F.col(f"_cs{s}")
+        ).alias(f"code{s}")
+        for s in range(m)
+    ]
+
+
+def _pq_lut_cols(m: int, sub: int) -> list[Column]:
+    """Per-subspace lookup tables over the query vector column `_qv`:
+    the ks squared-L2s from the query slice to every codeword."""
+
+    def _lut(s: int) -> Column:
+        qslice = F.slice(F.col("_qv"), s * sub + 1, sub)
+        return F.transform(F.col(f"_cs{s}"), lambda c: _sq_l2(qslice, c))
+
+    return [_lut(s).alias(f"_lut{s}") for s in range(m)]
+
+
+def _pq_adc_dist(m: int) -> Column:
+    """ADC distance: Σ_s lut_s[code_s], summed left-to-right (s
+    ascending) to match the oracle's term order exactly."""
+    return sum(
+        (
+            F.get(F.col(f"_lut{s}"), F.col(f"code{s}").cast("int"))
+            for s in range(1, m)
+        ),
+        start=F.get(F.col("_lut0"), F.col("code0").cast("int")),
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -570,15 +605,7 @@ def pq_topk(
             F.col(vec_col).cast("array<double>").alias("_v"),
         )
         .crossJoin(F.broadcast(state))
-        .select(
-            "nbr_id",
-            *[
-                _argmin_code(
-                    F.slice(F.col("_v"), s * sub + 1, sub), F.col(f"_cs{s}")
-                ).alias(f"code{s}")
-                for s in range(m)
-            ],
-        )
+        .select("nbr_id", *_pq_code_cols(m, sub))
     )
 
     q = queries.select(
@@ -586,21 +613,9 @@ def pq_topk(
         F.col(vec_col).cast("array<double>").alias("_qv"),
     ).crossJoin(F.broadcast(state))
 
-    def _lut(s: int) -> Column:
-        qslice = F.slice(F.col("_qv"), s * sub + 1, sub)
-        return F.transform(F.col(f"_cs{s}"), lambda c: _sq_l2(qslice, c))
+    qluts = q.select("query_id", *_pq_lut_cols(m, sub))
 
-    qluts = q.select(
-        "query_id", *[_lut(s).alias(f"_lut{s}") for s in range(m)]
-    )
-
-    dist = sum(
-        (
-            F.get(F.col(f"_lut{s}"), F.col(f"code{s}").cast("int"))
-            for s in range(1, m)
-        ),
-        start=F.get(F.col("_lut0"), F.col("code0").cast("int")),
-    )
+    dist = _pq_adc_dist(m)
     scored = (
         encoded.join(
             F.broadcast(qluts), F.col("nbr_id") != F.col("query_id")
@@ -679,16 +694,7 @@ def ivfpq_topk(
             1,
         )
         .crossJoin(F.broadcast(state))
-        .select(
-            "nbr_id",
-            "cid",
-            *[
-                _argmin_code(
-                    F.slice(F.col("_v"), s * sub + 1, sub), F.col(f"_cs{s}")
-                ).alias(f"code{s}")
-                for s in range(m)
-            ],
-        )
+        .select("nbr_id", "cid", *_pq_code_cols(m, sub))
     )
 
     q = assign(
@@ -701,21 +707,9 @@ def ivfpq_topk(
         nprobe,
     ).crossJoin(F.broadcast(state))
 
-    def _lut(s: int) -> Column:
-        qslice = F.slice(F.col("_qv"), s * sub + 1, sub)
-        return F.transform(F.col(f"_cs{s}"), lambda c: _sq_l2(qslice, c))
+    qluts = q.select("query_id", "cid", *_pq_lut_cols(m, sub))
 
-    qluts = q.select(
-        "query_id", "cid", *[_lut(s).alias(f"_lut{s}") for s in range(m)]
-    )
-
-    dist = sum(
-        (
-            F.get(F.col(f"_lut{s}"), F.col(f"code{s}").cast("int"))
-            for s in range(1, m)
-        ),
-        start=F.get(F.col("_lut0"), F.col("code0").cast("int")),
-    )
+    dist = _pq_adc_dist(m)
     w = Window.partitionBy("query_id").orderBy("adc_dist", "nbr_id")
     return (
         qluts.join(enc, "cid")

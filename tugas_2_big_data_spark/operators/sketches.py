@@ -92,8 +92,18 @@ def heavy_hitters(
             ),
         )
     )
+    # exact counts RESTRICTED to the candidate set: the candidate item
+    # ids (≤ n_shards·local_k rows) broadcast into a semi-join on the
+    # scan, so the exact branch aggregates only candidate rows — a full
+    # per-item aggregate here would be the very all-distinct-items
+    # shuffle the sketch exists to avoid
     exact = (
-        df.groupBy(F.col(item_col).alias("item"))
+        df.join(
+            F.broadcast(per_item.select("item")),
+            F.col(item_col) == F.col("item"),
+            "left_semi",
+        )
+        .groupBy(F.col(item_col).alias("item"))
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
     )
     return (

@@ -1021,21 +1021,15 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_sql(
-    m: int = 4,
-    ks: int = 4,
-    iters: int = 2,
-    dim: int = 64,
-    topk: int = 5,
-    n_queries: int = 5,
-) -> str:
-    """Composed PQ oracle: one prefixed k-means CTE chain per subspace
-    (trained on SLICED embeddings), the final per-subspace assignment
-    IS the code, and the ADC distance is the sum of per-subspace
-    squared L2 from the full-precision query slice to the assigned
-    codeword — each term with the same left-to-right DOUBLE
-    accumulation as the Spark fold, so ranking ties resolve
-    identically."""
+def _pq_parts(
+    m: int, ks: int, iters: int, dim: int, qv: str
+) -> tuple[list[str], str, str]:
+    """Shared PQ oracle pieces, used verbatim by BOTH the plain-PQ and
+    the IVF-PQ oracles (ONE authoritative copy of the ADC math):
+    returns (CTE parts [per-subspace prefixed k-means chains + the
+    codes CTE], codeword joins, ADC distance over query column `qv`).
+    Each distance term uses the same left-to-right DOUBLE accumulation
+    as the Spark fold, so ranking ties resolve identically."""
     sub = dim // m
     parts: list[str] = []
     for s in range(m):
@@ -1059,19 +1053,36 @@ def _pq_sql(
         f"codes AS (SELECT x0.vec_id, {code_cols} "
         f"FROM s0_a{iters + 1} x0 {code_joins})"
     )
-    parts.append(
-        "q AS (SELECT vec_id AS query_id, "
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv "
-        f"FROM embeddings WHERE vec_id < {n_queries})"
-    )
     dist = " + ".join(
         f"list_sum(list_transform(generate_series(1, {sub}), "
-        f"i -> (q.qv[{s * sub} + i] - k{s}.cvec[i])"
-        f" * (q.qv[{s * sub} + i] - k{s}.cvec[i])))"
+        f"i -> ({qv}[{s * sub} + i] - k{s}.cvec[i])"
+        f" * ({qv}[{s * sub} + i] - k{s}.cvec[i])))"
         for s in range(m)
     )
     cent_joins = " ".join(
         f"JOIN s{s}_c{iters} k{s} ON k{s}.cid = x.c{s}" for s in range(m)
+    )
+    return parts, cent_joins, dist
+
+
+def _pq_sql(
+    m: int = 4,
+    ks: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    topk: int = 5,
+    n_queries: int = 5,
+) -> str:
+    """Composed PQ oracle: one prefixed k-means CTE chain per subspace
+    (trained on SLICED embeddings), the final per-subspace assignment
+    IS the code, and the ADC distance is the sum of per-subspace
+    squared L2 from the full-precision query slice to the assigned
+    codeword (shared pieces: `_pq_parts`)."""
+    parts, cent_joins, dist = _pq_parts(m, ks, iters, dim, "q.qv")
+    parts.append(
+        "q AS (SELECT vec_id AS query_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv "
+        f"FROM embeddings WHERE vec_id < {n_queries})"
     )
     ctes = ",\n".join(parts)
     return f"""
@@ -1098,42 +1109,14 @@ def _ivfpq_sql(
     n_queries: int = 5,
 ) -> str:
     """IVF-PQ oracle = the IVF assign prelude (coarse cells,
-    cassign/qassign) ∘ the per-subspace PQ chains (codes + codeword
-    tables): candidates come from the cell equi-join, distances from
-    the ADC sum — both legs already proven separately, composed
-    verbatim."""
-    sub = dim // m
+    cassign/qassign) composed with the shared PQ pieces (`_pq_parts`):
+    candidates come from the cell equi-join, distances from the ADC
+    sum - both legs already proven separately, composed verbatim."""
+    pq_parts, cent_joins, dist = _pq_parts(
+        m, ks, iters, dim, "q.query_vec"
+    )
     parts = _ivf_assign_parts(n_centroids, iters, dim, nprobe, n_queries)
-    for s in range(m):
-        off = s * sub + 1
-        parts += _kmeans_cents_ctes(
-            ks,
-            iters,
-            sub,
-            pts_sql=(
-                f"SELECT vec_id, embedding[{off}:{off + sub - 1}] AS embedding"
-                " FROM embeddings"
-            ),
-            prefix=f"s{s}_",
-        )
-    code_joins = " ".join(
-        f"JOIN s{s}_a{iters + 1} x{s} ON x{s}.vec_id = x0.vec_id"
-        for s in range(1, m)
-    )
-    code_cols = ", ".join(f"x{s}.cid AS c{s}" for s in range(m))
-    parts.append(
-        f"codes AS (SELECT x0.vec_id, {code_cols} "
-        f"FROM s0_a{iters + 1} x0 {code_joins})"
-    )
-    dist = " + ".join(
-        f"list_sum(list_transform(generate_series(1, {sub}), "
-        f"i -> (q.query_vec[{s * sub} + i] - k{s}.cvec[i])"
-        f" * (q.query_vec[{s * sub} + i] - k{s}.cvec[i])))"
-        for s in range(m)
-    )
-    cent_joins = " ".join(
-        f"JOIN s{s}_c{iters} k{s} ON k{s}.cid = x.c{s}" for s in range(m)
-    )
+    parts += pq_parts
     ctes = ",\n".join(parts)
     return f"""
 WITH {ctes}
@@ -1147,6 +1130,7 @@ SELECT query_id, nbr_id, adc_dist, CAST(rk AS BIGINT) AS rk FROM (
   WHERE a.nbr_id != q.query_id
 ) WHERE rk <= {topk}
 """
+
 
 
 @register("ann_ivfpq_topk", _ivfpq_sql())
@@ -1793,15 +1777,18 @@ def sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.weighted_keep(docs, "n_chars", 500)
 
 
+# the raw key keeps a DISTINCT name (es_raw): DuckDB binds a bare
+# ORDER BY es_key to the rounded OUTPUT alias, which near the rank-50
+# cutoff could order differently from Spark's unrounded-key sort
 _RESERVOIR_SQL = f"""
-SELECT doc_id, n_chars, round(es_key, 9) AS es_key FROM (
+SELECT doc_id, n_chars, round(es_raw, 9) AS es_key FROM (
   SELECT doc_id, n_chars,
     pow((({_hex24_sql("md5(CAST(doc_id AS VARCHAR) || ':13')")}) + 0.5)
           / 16777216.0,
-        1.0 / CAST(n_chars AS DOUBLE)) AS es_key
+        1.0 / CAST(n_chars AS DOUBLE)) AS es_raw
   FROM documents WHERE n_chars > 0
 )
-ORDER BY es_key DESC, doc_id LIMIT 50
+ORDER BY es_raw DESC, doc_id LIMIT 50
 """
 
 
