@@ -153,13 +153,21 @@ SLOWEST_N = 25
 
 def _materialize(df) -> int:
     """Force FULL computation of every output column without collecting
-    rows to the driver: sum(xxhash64(all columns)) defeats column
-    pruning (count() alone would optimize projections away)."""
+    rows to the driver: COLLECT the value of sum(xxhash64(all columns)).
+
+    The value must be collected, not counted: `select(sum(hash)).count()`
+    lets Catalyst prune the unused sum — and transitively every computed
+    column — down to `ReadSchema: struct<>` (an empty-schema scan), so
+    map-only queries time as almost nothing. Rounds 1-2 measured that
+    pruned form; the round-3 totals are larger because they are the
+    first HONEST ones for projection-heavy queries, not because the
+    engine got slower."""
     from pyspark.sql import functions as F
 
-    return df.select(
+    [(h,)] = df.select(
         F.sum(F.xxhash64(*[F.col(c) for c in df.columns]))
-    ).count()
+    ).collect()
+    return h
 
 
 def main() -> None:

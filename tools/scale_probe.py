@@ -122,8 +122,16 @@ def main() -> None:
     results = {}
     for name in PROBE:
         fn = reg[name]
-        n_small, t_small = _materialize(fn(spark, SRC))
-        n_big, t_big = _materialize(fn(spark, DST))
+        # per-query isolation: one failing plan records an error row
+        # instead of losing the whole probe run
+        try:
+            n_small, t_small = _materialize(fn(spark, SRC))
+            n_big, t_big = _materialize(fn(spark, DST))
+        except Exception as exc:  # noqa: BLE001
+            msg = str(exc).split("\n")[0][:200]
+            results[name] = {"error": msg}
+            print(f"{name}: ERROR {msg}", file=sys.stderr)
+            continue
         results[name] = {
             "t_01": round(t_small, 3),
             "t_1": round(t_big, 3),
@@ -136,7 +144,12 @@ def main() -> None:
             f"(x{results[name]['ratio']}) rows {n_small} -> {n_big}",
             file=sys.stderr,
         )
-    print(json.dumps(results))
+    # write the file directly — the JVM emits gc,alloc warnings on
+    # STDOUT under memory pressure, which corrupts redirected output
+    out = os.path.join(REPO, "SCALEPROBE.json")
+    with open(out, "w") as f:
+        json.dump(results, f)
+    print(f"wrote {out}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -141,8 +141,16 @@ def main() -> None:
     results = {}
     for name in PROBE:
         fn = reg[name]
-        n_small, t_small = _materialize(fn(spark, SRC))
-        n_big, t_big = _materialize(fn(spark, DST))
+        # per-query isolation: one failing plan (OOM, broadcast build)
+        # records an error row instead of losing the whole probe run
+        try:
+            n_small, t_small = _materialize(fn(spark, SRC))
+            n_big, t_big = _materialize(fn(spark, DST))
+        except Exception as exc:  # noqa: BLE001
+            msg = str(exc).split("\n")[0][:200]
+            results[name] = {"error": msg}
+            print(f"{name}: ERROR {msg}", file=sys.stderr)
+            continue
         ratio = round(t_big / t_small, 2) if t_small > 0 else None
         results[name] = {
             "t_base": round(t_small, 3),

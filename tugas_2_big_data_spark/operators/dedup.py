@@ -446,7 +446,12 @@ def jaccard_pairs_prefix(
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("shingle_df"))
     w = Window.partitionBy(id_col).orderBy("shingle_df", "shingle")
     prefix = (
-        ex.join(freq, "shingle")
+        # freq is hinted out of broadcast: the distinct-shingle count
+        # GROWS with the corpus (2.7M rows / ~45 MB at the 100x probe
+        # tier, billions at 100 TB), and the static planner's broadcast
+        # pick both dies under driver memory pressure locally and is
+        # the wrong plan at scale
+        ex.join(freq.hint("shuffle_hash"), "shingle")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= _prefix_pos_bound(F.col("sz"), threshold))
         .select(id_col, "sz", "shingle")
@@ -486,12 +491,19 @@ def jaccard_verify_sets(
     shingle document frequency, so corpus-hot shingles never amplify
     the join (the inverted-index formulation is quadratic in shingle
     frequency). Output schema matches ``jaccard_pairs``.
+
+    The set-relation sides carry a SHUFFLE_HASH hint: their per-row
+    array payload makes AQE's size estimate unreliable, and at the
+    100× probe tier AQE picked a driver-side BROADCAST of the 600k-row
+    array relation and died building it — at corpus scale that side
+    could never be broadcast anyway, so the hint pins the plan to the
+    partition-local hash join the operator is designed around.
     """
     a = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        candidates.join(a, "id_a")
-        .join(b, "id_b")
+        candidates.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
         .withColumn(
             "n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
         )
@@ -612,7 +624,12 @@ def containment_pairs_prefix(
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("shingle_df"))
     w = Window.partitionBy(id_col).orderBy("shingle_df", "shingle")
     prefix = (
-        ex.join(freq, "shingle")
+        # freq is hinted out of broadcast: the distinct-shingle count
+        # GROWS with the corpus (2.7M rows / ~45 MB at the 100x probe
+        # tier, billions at 100 TB), and the static planner's broadcast
+        # pick both dies under driver memory pressure locally and is
+        # the wrong plan at scale
+        ex.join(freq.hint("shuffle_hash"), "shingle")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= _prefix_pos_bound(F.col("sz"), threshold))
         .select(
@@ -646,12 +663,13 @@ def containment_verify_sets(
     the set relation bring both shingle sets onto the candidate row;
     containment = |A∩B| / |A| via per-row ``array_intersect`` — cost
     independent of shingle document frequency (same verify shape as
-    ``jaccard_verify_sets``)."""
+    ``jaccard_verify_sets``, including the SHUFFLE_HASH hint pinning
+    the array-payload sides out of driver-side broadcast)."""
     a = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        candidates.join(a, "id_a")
-        .join(b, "id_b")
+        candidates.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
         .withColumn(
             "n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
         )
