@@ -307,3 +307,14 @@ def test_unigram_vocab_broadcast(dfs):
     onto the word stream, never shuffle the words for the join."""
     assert pi.uses_broadcast_join(dfs["txt_unigram_logprob"])
     assert not pi.uses_cartesian_or_bnl(dfs["txt_unigram_logprob"])
+
+
+def test_dedup_verify_joins_never_broadcast_sets(dfs):
+    """The dedup verify joins carry SHUFFLE_HASH hints: the shingle-set
+    relations' array payload defeats AQE's size estimate, and at the
+    100x probe tier an AQE broadcast of the 600k-row array relation
+    died building driver-side. The plan must show ShuffledHashJoin for
+    the verify lookups and no broadcast of a set relation."""
+    for name in ("dedup_containment_prefix", "dedup_ngram_jaccard_prefix"):
+        plan = pi.explain_formatted(dfs[name])
+        assert "ShuffledHashJoin" in plan, name
