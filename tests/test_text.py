@@ -265,3 +265,22 @@ def test_bpe_merges_checkpoint_dir_same_result(spark, tmp_path):
         ).collect()
     ]
     assert base == ck and len(base) == 3
+
+
+def test_char_entropy_known_values(spark):
+    """Closed-form cases: one repeated symbol -> 0 bits; an even
+    two-symbol mix -> 1 bit; four equiprobable symbols -> 2 bits;
+    empty text emits no row."""
+    import math
+
+    from tugas_2_big_data_spark.operators.text_analysis import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aabb"), (3, "abcd"), (4, "   ")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.entropy_bits for r in char_entropy(docs).collect()}
+    assert got.keys() == {1, 2, 3}
+    assert got[1] == 0.0
+    assert abs(got[2] - 1.0) < 1e-9
+    assert abs(got[3] - 2.0) < 1e-9

@@ -102,6 +102,50 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Shannon entropy (bits/char) of each document's character
+    distribution — the classic gibberish/boilerplate screen (Gopher-
+    style quality rules): near-zero entropy = one repeated character,
+    very high = random noise; natural language sits in a narrow band.
+
+    MAP-ONLY in-row computation: the char list, its sorted distinct
+    alphabet, per-symbol counts, and the -Σ p·log2 p fold all stay
+    inside the row (O(|alphabet|·len) per doc, |alphabet| ≤ ~100 for
+    text). The alphabet is SORTED so the floating-point sum runs in
+    identical order on both engines. Empty docs yield NULL.
+    """
+    t = F.trim(F.col(text_col))
+    entropy = F.round(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.array_distinct(F.col("_chars"))),
+                lambda c: F.size(
+                    F.filter(F.col("_chars"), lambda x: x == c)
+                ).cast("double")
+                / F.col("_n"),
+            ),
+            F.lit(0.0),
+            lambda acc, p: acc - p * F.log2(p),
+        ),
+        9,
+    )
+    return (
+        # length guard BEFORE building the index sequence: Spark's
+        # sequence(1, 0) steps DOWNWARD ([1, 0]), it is not empty
+        df.filter(F.length(t) > 0)
+        .select(F.col(id_col), t.alias("_t"))
+        .select(
+            F.col(id_col),
+            F.length("_t").cast("double").alias("_n"),
+            F.transform(
+                F.sequence(F.lit(1), F.length("_t")),
+                lambda i: F.col("_t").substr(i, F.lit(1)),
+            ).alias("_chars"),
+        )
+        .select(F.col(id_col), entropy.alias("entropy_bits"))
+    )
+
+
 # Hand-set logistic weights for the quality classifier below. A real
 # deployment would fit these offline (the model is linear — training
 # does not belong in the scoring path); the ENGINE-side contract is

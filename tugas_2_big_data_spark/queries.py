@@ -60,7 +60,7 @@ _SWEEP_FIRST: tuple[str, ...] = (
     "txt_quality_logreg", "sketch_heavy_hitters", "ann_pq_topk",
     "ann_ivfpq_topk", "dedup_text_components", "stream_topk_users_5min",
     "mix_temperature_sample", "ann_ivf_recall",
-    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_lsh_pairs", "txt_char_entropy", "stream_anomaly_zscore",
     "dedup_ngram_jaccard_prefix", "ann_ivf_topk", "ann_ivf_seed_topk",
     "ann_ivf_kmeans_topk",
     "dedup_ngram_jaccard_exact_baseline", "evt_value_zscore",

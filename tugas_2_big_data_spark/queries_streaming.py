@@ -273,3 +273,59 @@ def stream_topk_users_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+_STREAM_ANOMALY_SQL = """
+SELECT e.event_id, e.user_id, e.event_type, e.value,
+       round((e.value - s.mu) / s.sigma, 9) AS zscore
+FROM events e
+JOIN (
+  SELECT event_type, avg(value) AS mu,
+         nullif(stddev_samp(value), 0) AS sigma
+  FROM events GROUP BY event_type
+) s USING (event_type)
+WHERE s.sigma IS NOT NULL
+  AND abs((e.value - s.mu) / s.sigma) > 3.0
+"""
+
+
+@register("stream_anomaly_zscore", _STREAM_ANOMALY_SQL)
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly detection against HISTORICAL statistics: the
+    static side is the per-type (mu, sigma) profile computed in batch
+    (conceptually yesterday's model); each live event joins the tiny
+    broadcastable profile and is flagged when |z| > 3. Stateless per
+    micro-batch — no watermark, no state store — which is what makes
+    it deployable at any event rate; the profile refresh cadence is a
+    batch-job concern, not a streaming one. Sigma-degenerate types
+    (constant value) are excluded via NULLIF on both engines
+    (ADVICE round-2 divergence pattern)."""
+    from tugas_2_big_data_spark.sources.catalog import load_table
+
+    hist = load_table(spark, "events", sf_dir)
+    # the profile's key is RENAMED (_etype): the stream side keeps its
+    # own event_type column, so the joined row has no ambiguous names
+    profile = (
+        hist.groupBy(F.col("event_type").alias("_etype"))
+        .agg(
+            F.avg("value").alias("mu"),
+            F.nullif(F.stddev_samp("value"), F.lit(0.0)).alias("sigma"),
+        )
+        .filter(F.col("sigma").isNotNull())
+    )
+    stream = se.read_events_stream(spark, sf_dir)
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    flagged = (
+        se.enrich_with_static_dim(
+            stream, profile, on_left="event_type", on_right="_etype"
+        )
+        .filter(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.round(z, 9).alias("zscore"),
+        )
+    )
+    return se.run_to_memory(flagged, _sink_name("q_stream_anomaly"), "append")

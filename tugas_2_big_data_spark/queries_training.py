@@ -1878,6 +1878,37 @@ def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.temperature_sample(docs)
 
 
+_CHAR_ENTROPY_SQL = """
+SELECT doc_id, round(H, 9) AS entropy_bits FROM (
+  SELECT doc_id,
+    list_sum(list_transform(alpha, c ->
+      -1.0 * (CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / n)
+           * log2(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / n)
+    )) AS H
+  FROM (
+    SELECT doc_id, CAST(length(t) AS DOUBLE) AS n, chars,
+      list_sort(list_distinct(chars)) AS alpha
+    FROM (
+      SELECT doc_id, t,
+        list_transform(generate_series(1, length(t)),
+                       i -> substr(t, i, 1)) AS chars
+      FROM (SELECT doc_id, trim(text) AS t FROM documents)
+      WHERE length(t) > 0
+    )
+  )
+)
+"""
+
+
+@register("txt_char_entropy", _CHAR_ENTROPY_SQL)
+def txt_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each doc's character distribution (bits per
+    char) — the Gopher-style gibberish/boilerplate screen: map-only
+    in-row alphabet + fold, alphabet sorted so the FP sum runs in
+    identical order on both engines."""
+    return text_analysis.char_entropy(load_table(spark, "documents", sf_dir))
+
+
 @register("txt_contamination", _CONTAMINATION_SQL)
 def txt_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination rates: every 97th doc plays the held-out
