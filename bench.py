@@ -204,11 +204,30 @@ def main() -> None:
         print(f"[bench] {name}: {timings[name]:.3f}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Per-query regression gate vs the frozen round-3 honest baseline
+    # (BENCH_BASELINE.json — the first run after the materializer fix,
+    # so deltas against it are real slowdowns, not measurement drift).
+    # Flag >1.5× with an absolute floor of 0.3 s: local[32] timing noise
+    # on sub-0.5 s queries routinely exceeds 1.5× ratio-only.
+    regressions: dict[str, list[float]] = {}
+    base_path = os.path.join(REPO_DIR, "BENCH_BASELINE.json")
+    try:
+        with open(base_path) as f:
+            baseline = json.load(f)
+        base_q = baseline.get("queries", {})
+        if baseline.get("sf") == sf_num:
+            for name, t in timings.items():
+                b = base_q.get(name)
+                if b is not None and t > 1.5 * b and t - b > 0.3:
+                    regressions[name] = [b, t]
+    except (OSError, ValueError):
+        pass
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "regressions_vs_baseline": regressions,
         "sf": sf_num,
     }
     full_path = os.path.join(REPO_DIR, "BENCH_FULL.json")
@@ -226,6 +245,7 @@ def main() -> None:
         "queries": slowest,
         "queries_total_count": len(timings),
         "queries_file": "BENCH_FULL.json",
+        "regressions_vs_baseline": regressions,
         "sf": sf_num,
     }
     print(json.dumps(summary, separators=(",", ":")))

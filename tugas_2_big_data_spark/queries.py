@@ -44,36 +44,58 @@ def register(name: str, oracle: str | None):
 
 # The driver's correctness sweep is capped (~50 queries/round), so
 # surface queries by how much a driver CORRECTNESS row is worth:
-# (1) the 13 queries that have never had a driver row across rounds
-# 1-2 (they pass sf0.01 locally; they just need certification);
-# (2) queries new or changed this round; (3) everything previously
-# driver-green, which merely re-verifies.
-_SWEEP_FIRST: tuple[str, ...] = (
-    # (1) never driver-checked through round 2
-    "evt_json_props", "evt_value_histogram", "evt_mode_per_type",
-    "stream_dedup_keys", "stream_running_user_totals",
-    "txt_repetition", "txt_pii_scrub", "txt_contamination",
-    "mix_language_budget", "sample_weighted_by_length",
-    "iqplus_summarize_stub", "mm_resize_dims", "mm_frame_sample",
-    # (2) new or materially changed in round 3
-    "dedup_containment_prefix", "sample_weighted_reservoir",
-    "txt_quality_logreg", "sketch_heavy_hitters", "ann_pq_topk",
-    "ann_ivfpq_topk", "dedup_text_components", "stream_topk_users_5min",
-    "mix_temperature_sample", "ann_ivf_recall",
-    "dedup_minhash_lsh_pairs", "txt_char_entropy", "stream_anomaly_zscore",
-    "dedup_ngram_jaccard_prefix", "ann_ivf_topk", "ann_ivf_seed_topk",
-    "ann_ivf_kmeans_topk",
-    "dedup_ngram_jaccard_exact_baseline", "evt_value_zscore",
-    "evt_asof_last_purchase",
-    # (3) previously driver-green (r01 ∪ r02), re-verify in
-    # registration order after the above
+# (1) queries new or materially changed THIS round (pinned below —
+# they need recertification regardless of history); (2) everything
+# else ordered by certification AGE read from the CORRECTNESS_r*.json
+# files the driver leaves at the repo root — never-certified first,
+# then oldest newest-row first, registration order as tie-break. The
+# age ordering rotates automatically each round, so no query's newest
+# driver row can fall more than ~(registry/cap) rounds behind without
+# hand-maintenance of this list.
+_SWEEP_CHANGED: tuple[str, ...] = (
+    # new or materially changed in round 4
+    "ann_ivf_topk_prebuilt", "ann_ivfpq_topk_prebuilt",
+    "dedup_repeated_spans", "dedup_repeated_spans_excise",
+    "txt_char_entropy", "sample_weighted_reservoir",
+    "mix_temperature_sample",
 )
 
 
+def _certified_rounds() -> dict[str, int]:
+    """Newest driver-correctness round per query name, from the
+    CORRECTNESS_r{N}.json files at the repo root (absent files — e.g.
+    a fresh checkout — just mean 'never certified')."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            newest[name] = max(newest.get(name, 0), rnd)
+    return newest
+
+
 def _sweep_order() -> list[str]:
-    first = [n for n in _SWEEP_FIRST if n in _REGISTRY]
-    rest = [n for n in _REGISTRY if n not in set(first)]
-    return first + rest
+    cert = _certified_rounds()
+    pos = {n: i for i, n in enumerate(_REGISTRY)}
+    changed = [n for n in _SWEEP_CHANGED if n in _REGISTRY]
+    rest = sorted(
+        (n for n in _REGISTRY if n not in set(changed)),
+        key=lambda n: (cert.get(n, 0), pos[n]),
+    )
+    return changed + rest
 
 
 def queries() -> dict[str, QueryFn]:
