@@ -532,3 +532,124 @@ def test_semdedup_checkpoint_dir_same_result(spark, tmp_path):
         ).collect()
     }
     assert base == ck
+
+
+def test_ivf_build_index_serves_identical_results(spark, tmp_path):
+    """Artifact round trip: ivf_build_index → parquet → ivf_topk
+    (centroids=artifact) must be row-identical to in-query training
+    (parquet round-trips doubles exactly), and the serving call must
+    not touch the training path at all."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf_idx")
+    similarity.ivf_build_index(emb, path, n_centroids=4, dim=8)
+    in_query = similarity.ivf_topk(
+        emb, q, n_centroids=4, nprobe=2, k=5, dim=8
+    ).collect()
+    served = similarity.ivf_topk(
+        emb, q, nprobe=2, k=5, centroids=spark.read.parquet(path)
+    ).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, in_query))
+    # the serving call must not retrain: poisoning the trainer proves
+    # the artifact path never reaches it
+    orig = similarity.train_ivf_centroids
+    try:
+        def _boom(*a, **k):  # noqa: ANN002, ANN003
+            raise AssertionError("serving path invoked quantizer training")
+
+        similarity.train_ivf_centroids = _boom
+        again = similarity.ivf_topk(
+            emb, q, nprobe=2, k=5, centroids=spark.read.parquet(path)
+        ).collect()
+    finally:
+        similarity.train_ivf_centroids = orig
+    assert sorted(map(tuple, again)) == sorted(map(tuple, in_query))
+
+
+def test_ivfpq_build_index_serves_identical_results(spark, tmp_path):
+    """Both IVF-PQ artifacts (coarse + codebooks) round-trip: serving
+    from parquet equals in-query training row-for-row."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (i, [float((i % 4) * 20 + x) for x in rng.standard_normal(8)])
+        for i in range(48)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivfpq_idx")
+    similarity.ivfpq_build_index(
+        emb, path, n_centroids=4, m=2, ks=4, dim=8
+    )
+    in_query = similarity.ivfpq_topk(
+        emb, q, n_centroids=4, nprobe=2, m=2, ks=4, k=5, dim=8
+    ).collect()
+    served = similarity.ivfpq_topk(
+        emb,
+        q,
+        nprobe=2,
+        m=2,
+        ks=4,
+        k=5,
+        dim=8,
+        coarse=spark.read.parquet(path + "/coarse"),
+        codebooks=spark.read.parquet(path + "/codebooks"),
+    ).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, in_query))
+
+
+def test_repeated_spans_finds_and_merges_cross_doc_spans(spark):
+    """Two docs share an 8+-token run; overlapping duplicated k-grams
+    must merge into ONE maximal span per doc, and a doc-unique text
+    must produce no spans."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one two {shared} outro"),
+            (2, f"{shared} completely different ending words here now"),
+            (3, "unique text " * 10),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.span_start, r.span_len)
+        for r in dedup.repeated_spans(docs, k=8).collect()
+    }
+    # shared run = 10 tokens; doc 1 has 3 tokens before it, doc 2 none
+    assert got == {1: (4, 10), 2: (1, 10)}
+
+
+def test_repeated_spans_requires_distinct_docs(spark):
+    """A span repeated only WITHIN one doc is not cross-document."""
+    run = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, f"{run} filler words {run}"), (2, "nothing shared here at all")],
+        ["doc_id", "text"],
+    )
+    assert dedup.repeated_spans(docs, k=8).count() == 0
+
+
+def test_excise_repeated_spans_cuts_all_occurrences(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"keep one {shared} keep two"),
+            (2, f"{shared}"),
+            (3, "untouched document stays put"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.clean_text
+        for r in dedup.excise_repeated_spans(docs, k=8).collect()
+    }
+    assert got == {
+        1: "keep one keep two",
+        2: "",
+        3: "untouched document stays put",
+    }

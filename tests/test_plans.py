@@ -317,4 +317,41 @@ def test_dedup_verify_joins_never_broadcast_sets(dfs):
     the verify lookups and no broadcast of a set relation."""
     for name in ("dedup_containment_prefix", "dedup_ngram_jaccard_prefix"):
         plan = pi.explain_formatted(dfs[name])
+        # BOTH verify sides must hold the hint: a single ShuffledHashJoin
+        # would keep this green while the other side regressed to the
+        # AQE broadcast the hint exists to prevent
+        assert plan.count("ShuffledHashJoin") >= 2, name
+        # broadcasting EXPLODED scalar shingle keys is fine (that join
+        # carries no array); what must never broadcast is a relation
+        # holding a shingle-SET array column (sh_a/sh_b/shingles)
+        for block in plan.split("\n\n"):
+            if block.splitlines() and "BroadcastExchange" in block.splitlines()[0]:
+                assert not any(
+                    payload in block
+                    for payload in ("sh_a#", "sh_b#", "shingles#")
+                ), f"{name}: set relation broadcast\n{block}"
+
+
+def test_repeated_spans_bucketed_never_all_pairs(dfs):
+    """Span dedup must stay bucketed: gram-hash/gram-text equi-joins
+    only (no cartesian/BNL anywhere), and the token-array verify
+    rejoin pins SHUFFLE_HASH — an array-payload relation AQE must not
+    broadcast (the measured 100x-probe OOM mode)."""
+    for name in ("dedup_repeated_spans", "dedup_repeated_spans_excise"):
+        plan = pi.explain_formatted(dfs[name])
+        assert not pi.uses_cartesian_or_bnl(dfs[name]), name
         assert "ShuffledHashJoin" in plan, name
+
+
+def test_ivf_prebuilt_serving_plan_reads_artifact(dfs):
+    """The artifact-served IVF plan must source its quantizer from the
+    persisted parquet index (the artifact path appears as a scan
+    relation) and stay equi-join-only. Zero-training is proven
+    separately by the poisoned-trainer unit test
+    (test_ivf_build_index_serves_identical_results): in-query training
+    runs EAGERLY via localCheckpoint, so it is invisible to explain —
+    plan-shape counts cannot distinguish the two."""
+    for name in ("ann_ivf_topk_prebuilt", "ann_ivfpq_topk_prebuilt"):
+        plan = pi.explain_formatted(dfs[name])
+        assert "tugas2_ann_index" in plan, name
+        assert not pi.uses_cartesian_or_bnl(dfs[name]), name

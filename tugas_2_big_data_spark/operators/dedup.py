@@ -824,3 +824,166 @@ def incremental_new_docs(
     fresh = b.join(seen_fingerprints.select("fp"), "fp", "left_anti")
     keep = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
     return fresh.join(keep, [id_col, "fp"], "left_semi").drop("fp")
+
+
+def _span_tokens(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, _w: array<string>) token arrays for the span-dedup family:
+    normalized (case-folded, whitespace-collapsed) whitespace tokens,
+    docs shorter than k tokens dropped (they can hold no k-token span).
+    fan_out first — the per-position gram hashing downstream is the
+    compute-dense part (same rationale as shingle_sets)."""
+    return (
+        fan_out(df)
+        .filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            F.split(normalized(text_col), " ").alias("_w"),
+        )
+        .filter(F.size("_w") >= k)
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Cross-document repeated-span identification — the ExactSubstr
+    operation of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (the dedupe-any-repeated-k-token-span pass
+    every LLM corpus pipeline runs): find every maximal token span
+    that appears verbatim in ≥2 DISTINCT documents and emit the
+    removal list (doc_id, span_start, span_len), token positions
+    1-based, overlapping/adjacent duplicated k-grams merged into
+    maximal spans per doc.
+
+    Plan, bucketed end-to-end (never all-pairs):
+    1. Map-only k-gram HASHING (hash60 of each k-token window) +
+       posexplode → (doc, pos, gram-hash) — the only corpus-sized
+       relation, carrying 8-byte hashes, not text.
+    2. Hot hashes: ONE hash-shuffle groupBy(gram_hash) keeping hashes
+       seen in ≥2 distinct docs (min(doc)≠max(doc)) — Lee et al.'s
+       suffix-array dup-range scan re-expressed as the scalable
+       group-by; a 60-bit hash collision can only ADD candidates here,
+       never drop a true repeat (same text ⇒ same hash), so step 3
+       makes the result EXACT, not probabilistic.
+    3. Verify: candidates (semi-join on gram-hash) re-derive their
+       actual gram TEXT by slicing the token array, and only gram
+       texts in ≥2 distinct docs survive — the string payload is
+       touched for surviving candidates only. The token-array rejoin
+       carries an array payload, so it pins SHUFFLE_HASH (the AQE
+       broadcast-mis-estimate hazard measured at the 100× probe tier).
+    4. Islands: per-doc gaps-and-islands window merge of overlapping
+       k-gram positions into maximal spans — state is one cumulative
+       max per doc partition.
+
+    The DuckDB oracle groups directly on gram text (no hash stage),
+    proving the hash prune is a pure optimization with identical
+    output."""
+    toks = _span_tokens(df, text_col, id_col, k)
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - (k - 1)),
+                lambda i: hashing.hash60(
+                    F.concat_ws(" ", F.slice("_w", i, k))
+                ),
+            )
+        ).alias("_p0", "_gh"),
+    ).select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "_gh")
+    hot = (
+        grams.groupBy("_gh")
+        .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select("_gh")
+    )
+    cand = grams.join(hot, "_gh", "left_semi").select(id_col, "pos")
+    ctext = cand.join(toks.hint("shuffle_hash"), id_col).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.concat_ws(" ", F.slice("_w", F.col("pos"), k)).alias("_gt"),
+    )
+    vg = (
+        ctext.groupBy("_gt")
+        .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select("_gt")
+    )
+    dup = ctext.join(vg, "_gt", "left_semi").select(id_col, "pos")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        F.col("pos") > F.coalesce(prev_end, F.lit(-1)), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        dup.withColumn("_brk", brk)
+        .withColumn("_island", F.sum("_brk").over(w))
+        .groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k - F.min("pos")).cast("long").alias("span_len"),
+        )
+        .select(id_col, "span_start", "span_len")
+    )
+
+
+def excise_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Apply the `repeated_spans` removal list: every duplicated span
+    occurrence is cut from every document and the surviving tokens are
+    re-joined (normalized-token space, single spaces) — the
+    full-excision variant of Lee et al.'s span dedup (no canonical
+    copy kept; rare-but-cross-doc boilerplate is exactly what it
+    targets). Docs with no repeated span pass through with only
+    normalization; a doc excised to nothing yields ''.
+
+    Plan: the span list aggregates to one array per affected doc
+    (collect_list — bounded by the doc's own span count), joins back
+    to the corpus on doc id, and the cut is an in-row token filter —
+    no exploded token shuffle."""
+    spans_by_doc = repeated_spans(df, text_col, id_col, k).groupBy(
+        id_col
+    ).agg(
+        F.collect_list(F.struct("span_start", "span_len")).alias("_spans")
+    )
+    toks = (
+        fan_out(df)
+        .filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.split(normalized(text_col), " ").alias("_w"))
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("_w"),
+            lambda t, i: F.struct(
+                t.alias("t"), (i + 1).cast("long").alias("p")
+            ),
+        ),
+        lambda s: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (s["p"] >= sp["span_start"])
+            & (s["p"] < sp["span_start"] + sp["span_len"]),
+        ),
+    )
+    return toks.join(spans_by_doc, id_col, "left").select(
+        F.col(id_col),
+        F.when(
+            F.col("_spans").isNull(), F.concat_ws(" ", F.col("_w"))
+        )
+        .otherwise(
+            F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))
+        )
+        .alias("clean_text"),
+    )

@@ -160,22 +160,21 @@ def weighted_reservoir_exact_n(
     driver (P·n rows), NEVER a global sort. Deterministic and
     rerun-stable (md5 draw, not an RNG), so the sample is auditable.
     Rows with weight ≤ 0 are excluded (their key is undefined).
-    `es_key` is rounded for the cross-engine compare; the ORDER uses
-    the unrounded key with id tie-break.
+    The ORDER uses the ROUNDED key (9 decimals) with id tie-break:
+    pow() is not guaranteed bit-identical across libm implementations,
+    so ordering by the raw key could pick different rows at the rank-n
+    cutoff on a 1-ulp divergence — rounding first makes the cutoff a
+    decision on identical values on every engine.
     """
     u = (hash_unit24(id_col, seed) + F.lit(0.5)) / F.lit(float(HEX24))
     w = F.col(weight_col).cast("double")
-    key = F.pow(u, F.lit(1.0) / w)
+    key = F.round(F.pow(u, F.lit(1.0) / w), 9)
     return (
         df.filter(w > 0)
-        .withColumn("_es", key)
-        .orderBy(F.desc("_es"), F.col(id_col))
+        .withColumn("es_key", key)
+        .orderBy(F.desc("es_key"), F.col(id_col))
         .limit(n)
-        .select(
-            F.col(id_col),
-            F.col(weight_col),
-            F.round(F.col("_es"), 9).alias("es_key"),
-        )
+        .select(F.col(id_col), F.col(weight_col), F.col("es_key"))
     )
 
 
@@ -251,15 +250,22 @@ def temperature_rates(
         (F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) / F.col("_z")).alias(
             "weight"
         ),
-        F.least(
-            F.lit(1.0),
-            F.col("_total")
-            * F.lit(budget_frac)
-            * (
-                F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
-                / F.col("_z")
-            )
-            / F.col("n_docs"),
+        # rounded to 9 decimals BEFORE any threshold compare: the rate
+        # contains pow(n, alpha), and a cross-libm ulp difference could
+        # flip rows sitting exactly on the keep boundary — rounding
+        # makes the boundary value identical on every engine
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("_total")
+                * F.lit(budget_frac)
+                * (
+                    F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+                    / F.col("_z")
+                )
+                / F.col("n_docs"),
+            ),
+            9,
         ).alias("keep_rate"),
     )
 

@@ -170,6 +170,139 @@ def _cell_assigner(centroids: DataFrame):
     return assign
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int | None = None,
+    quantizer: str = "kmeans",
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Train the IVF coarse quantizer: (cid, cvec) rows. The default
+    is the production k-means quantizer with the √N `ivf_ncentroids`
+    cell policy and the `ivf_train_stride` sample cap; `"seed"` is the
+    k-lowest-id exact-baseline quantizer kept for tests. This is the
+    INDEX-BUILD half of IVF, factored out so `ivf_build_index` can
+    persist its output as an artifact and `ivf_topk` can run it
+    in-query when no artifact exists."""
+    if n_centroids is None or quantizer == "kmeans":
+        n_rows = corpus.count()
+    if n_centroids is None:
+        n_centroids = ivf_ncentroids(n_rows)
+    if quantizer == "kmeans":
+        from tugas_2_big_data_spark.operators.sampling import hash_unit24
+
+        stride = ivf_train_stride(n_rows, n_centroids)
+        train = corpus
+        if stride > 1:
+            train = corpus.filter(
+                hash_unit24(id_col, IVF_TRAIN_SEED) % stride == 0
+            )
+        return kmeans_centroids(
+            train,
+            k=n_centroids,
+            iters=kmeans_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+        )
+    if quantizer == "seed":
+        return corpus.orderBy(id_col).limit(n_centroids).select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+    raise ValueError(f"unknown quantizer: {quantizer!r}")
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int | None = None,
+    quantizer: str = "kmeans",
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Train the IVF coarse quantizer ONCE and persist it as a parquet
+    index artifact at `path` — the 100-TB deployment shape: index-build
+    cost (quantizer training + its corpus count) is paid per index
+    REBUILD, not per query batch. Serve with
+    `ivf_topk(..., centroids=spark.read.parquet(path))`, whose plan
+    then contains zero training jobs (a k-row artifact scan, the
+    broadcast one-row assign state, and the cell equi-join). Parquet
+    round-trips doubles exactly, so artifact-served results are
+    bit-identical to in-query training. Artifact invalidation is the
+    caller's index-rebuild cadence (re-run on corpus change / recall
+    regression — see `ann_ivf_recall`)."""
+    from tugas_2_big_data_spark.sources import sinks
+
+    cents = train_ivf_centroids(
+        corpus,
+        n_centroids=n_centroids,
+        quantizer=quantizer,
+        kmeans_iters=kmeans_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+    )
+    sinks.write_parquet(cents, path)
+
+
+def pq_build_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 4,
+    ks: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Train the m PQ codebooks ONCE and persist the one-row state
+    (`_cs{s}` array<array<double>> columns) as a parquet artifact —
+    the codebook twin of `ivf_build_index`, and the fix for the
+    trained-state nondeterminism noted in `pq_codebooks`: one training
+    run, bit-stable artifact thereafter."""
+    from tugas_2_big_data_spark.sources import sinks
+
+    state = pq_codebooks(
+        corpus, m=m, ks=ks, iters=iters,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    sinks.write_parquet(state, path)
+
+
+def ivfpq_build_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    m: int = 4,
+    ks: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Persist BOTH IVF-PQ artifacts: coarse centroids at
+    `{path}/coarse`, PQ codebooks at `{path}/codebooks`. Serve with
+    `ivfpq_topk(..., coarse=..., codebooks=...)`."""
+    import posixpath
+
+    from tugas_2_big_data_spark.sources import sinks
+
+    coarse = kmeans_centroids(
+        corpus, k=n_centroids, iters=iters,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    sinks.write_parquet(coarse, posixpath.join(path, "coarse"))
+    pq_build_index(
+        corpus, posixpath.join(path, "codebooks"),
+        m=m, ks=ks, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -214,42 +347,24 @@ def ivf_topk(
     from pyspark.sql import Window
 
     if centroids is None:
-        n_rows = None
-        if n_centroids is None or quantizer == "kmeans":
-            n_rows = corpus.count()
-        if n_centroids is None:
-            n_centroids = ivf_ncentroids(n_rows)
+        centroids = train_ivf_centroids(
+            corpus,
+            n_centroids=n_centroids,
+            quantizer=quantizer,
+            kmeans_iters=kmeans_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+        )
         if quantizer == "kmeans":
-            from tugas_2_big_data_spark.operators.sampling import hash_unit24
-
-            stride = ivf_train_stride(n_rows, n_centroids)
-            train = corpus
-            if stride > 1:
-                train = corpus.filter(
-                    hash_unit24(id_col, IVF_TRAIN_SEED) % stride == 0
-                )
             # materialize the trained quantizer once (k rows): without
             # this the whole Lloyd chain re-evaluates inside BOTH
             # assignment branches (corpus + queries) on every action —
             # measured 2.4 s → 0.6 s per materialization at sf0.1. This
             # is the in-operator form of "persist the centroids as an
-            # index artifact"; callers with a real artifact store pass
-            # `centroids=` instead.
-            centroids = kmeans_centroids(
-                train,
-                k=n_centroids,
-                iters=kmeans_iters,
-                id_col=id_col,
-                vec_col=vec_col,
-                dim=dim,
-            ).localCheckpoint()
-        elif quantizer == "seed":
-            centroids = corpus.orderBy(id_col).limit(n_centroids).select(
-                F.col(id_col).alias("cid"),
-                F.col(vec_col).cast("array<double>").alias("cvec"),
-            )
-        else:
-            raise ValueError(f"unknown quantizer: {quantizer!r}")
+            # index artifact"; callers with a real artifact store use
+            # `ivf_build_index` + `centroids=` instead.
+            centroids = centroids.localCheckpoint()
     assign = _cell_assigner(centroids)
 
     c = assign(
@@ -417,6 +532,19 @@ def pq_codebooks(
     deterministic per-subspace spec of `_kmeans_state` — k-lowest-id
     seeds, left-to-right DOUBLE squared-L2, cid tie-break, empty
     clusters keep their previous codeword).
+
+    Known residual nondeterminism: codeword UPDATES use F.avg over
+    doubles, whose accumulation order follows physical partitioning
+    and partial-merge order — so trained codebooks are deterministic
+    only up to the last ulp across reruns/engines (unlike the DISTANCE
+    math, which pins a left-to-right fold). In practice the oracle
+    compare has never flipped on it (means of ≤ a few thousand values;
+    rel_tol 1e-6 absorbs the ulp), and a code-assignment flip would
+    need two codewords within an ulp of equidistant. Pinning the means
+    would require sorted collect + in-row fold — a driver-sized
+    materialization of every cluster, the wrong trade at scale. If a
+    deployment needs bit-stable artifacts, train once and PERSIST the
+    codebooks (see `pq_build_index`) rather than re-deriving them.
 
     Returns ONE one-row DataFrame holding every codebook:
     `_cs{s}: array<array<double>>` (ks × dim/m doubles each) —
@@ -651,9 +779,16 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    coarse: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the two ANN legs composed — the production index shape
     for billion-vector search (what FAISS IndexIVFPQ ships).
+
+    Pass `coarse` ((cid, cvec) rows) and `codebooks` (the one-row
+    `_cs{s}` state) from `ivfpq_build_index` artifacts to serve
+    without retraining — the 100-TB shape; omitted pieces train
+    in-query.
 
     IVF prunes WHICH vectors a query touches (probe `nprobe` of
     `n_centroids` cells ⇒ ~nprobe/n_centroids of the corpus); PQ
@@ -680,16 +815,19 @@ def ivfpq_topk(
     from pyspark.sql import Window
 
     sub = dim // m
-    coarse = kmeans_centroids(
-        corpus, k=n_centroids, iters=iters,
-        id_col=id_col, vec_col=vec_col, dim=dim,
-    )
+    if coarse is None:
+        coarse = kmeans_centroids(
+            corpus, k=n_centroids, iters=iters,
+            id_col=id_col, vec_col=vec_col, dim=dim,
+        )
     assign = _cell_assigner(coarse)
 
-    state = pq_codebooks(
-        corpus, m=m, ks=ks, iters=iters,
-        id_col=id_col, vec_col=vec_col, dim=dim,
-    ).localCheckpoint()
+    state = codebooks
+    if state is None:
+        state = pq_codebooks(
+            corpus, m=m, ks=ks, iters=iters,
+            id_col=id_col, vec_col=vec_col, dim=dim,
+        ).localCheckpoint()
     enc = (
         assign(
             fan_out(corpus).select(

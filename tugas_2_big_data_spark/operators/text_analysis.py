@@ -108,40 +108,61 @@ def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     style quality rules): near-zero entropy = one repeated character,
     very high = random noise; natural language sits in a narrow band.
 
-    MAP-ONLY in-row computation: the char list, its sorted distinct
-    alphabet, per-symbol counts, and the -Σ p·log2 p fold all stay
-    inside the row (O(|alphabet|·len) per doc, |alphabet| ≤ ~100 for
-    text). The alphabet is SORTED so the floating-point sum runs in
-    identical order on both engines. Empty docs yield NULL.
+    MAP-ONLY in-row computation, ONE pass over the sorted chars:
+    sort the char array once (O(len log len)), then read per-symbol
+    counts as differences of run BOUNDARIES (positions where the
+    sorted array changes symbol) instead of re-filtering the whole
+    array per distinct symbol — the previous O(|alphabet|·len) form
+    was the 2nd-slowest bench query for this avoidable reason
+    (4.2 s → ~1 s at sf0.1). Boundaries ascend in sorted-symbol
+    order, so the -Σ p·log2 p fold visits the exact same p values in
+    the exact same order as the alphabet-ordered form — the
+    floating-point sum is bit-identical on both engines. Empty docs
+    yield NULL.
     """
     t = F.trim(F.col(text_col))
+    # 1-based positions of the LAST occurrence of each distinct symbol
+    # in the sorted char array (each intermediate is PROJECTED as a
+    # column before reuse — referencing it twice inside a HOF would
+    # re-evaluate the whole sort per reference, SCALE.md pitfall 1)
+    bounds = F.filter(
+        F.sequence(F.lit(1), F.size("_srt")),
+        lambda i: (i == F.size("_srt"))
+        | (F.get("_srt", i - 1) != F.get("_srt", i)),
+    )
+    counts = F.transform(
+        F.col("_bounds"),
+        lambda b, j: (
+            b - F.coalesce(F.get("_bounds", j - 1), F.lit(0))
+        ).cast("double"),
+    )
     entropy = F.round(
         F.aggregate(
-            F.transform(
-                F.array_sort(F.array_distinct(F.col("_chars"))),
-                lambda c: F.size(
-                    F.filter(F.col("_chars"), lambda x: x == c)
-                ).cast("double")
-                / F.col("_n"),
-            ),
+            F.transform(counts, lambda c: c / F.col("_n")),
             F.lit(0.0),
             lambda acc, p: acc - p * F.log2(p),
         ),
         9,
     )
     return (
-        # length guard BEFORE building the index sequence: Spark's
-        # sequence(1, 0) steps DOWNWARD ([1, 0]), it is not empty
-        df.filter(F.length(t) > 0)
+        # length guard BEFORE building the boundary sequence: Spark's
+        # sequence(1, 0) steps DOWNWARD ([1, 0]), it is not empty.
+        # fan_out: the sort+fold projection is compute-dense and the
+        # documents table is few-splits at small sf (parallelism floor)
+        fan_out(df.filter(F.length(t) > 0))
         .select(F.col(id_col), t.alias("_t"))
         .select(
             F.col(id_col),
             F.length("_t").cast("double").alias("_n"),
-            F.transform(
-                F.sequence(F.lit(1), F.length("_t")),
-                lambda i: F.col("_t").substr(i, F.lit(1)),
-            ).alias("_chars"),
+            # split("") yields the char array directly (no per-index
+            # substr HOF); sorting the integer CODE POINTS instead of
+            # 1-char strings is the same order (binary string compare
+            # = codepoint ascending) with far cheaper comparisons
+            F.array_sort(
+                F.transform(F.split("_t", ""), lambda c: F.ascii(c))
+            ).alias("_srt"),
         )
+        .select(F.col(id_col), F.col("_n"), bounds.alias("_bounds"))
         .select(F.col(id_col), entropy.alias("entropy_bits"))
     )
 

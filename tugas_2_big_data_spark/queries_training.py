@@ -267,6 +267,105 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_K = 8
+
+# Oracle for the span-dedup family: groups directly on gram TEXT (no
+# hash stage), proving the Spark path's hash60 prune is a pure
+# optimization — identical output, not a probabilistic approximation.
+_SPANS_CTES = f"""
+stoks AS (
+  SELECT doc_id,
+    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                 ' ') AS w
+  FROM ({CORPUS_SQL}) WHERE length(trim(text)) > 0
+),
+sgrams AS (
+  SELECT doc_id, i AS pos,
+    array_to_string(list_slice(w, i, i + {_SPAN_K - 1}), ' ') AS gt
+  FROM stoks, UNNEST(generate_series(1, len(w) - {_SPAN_K - 1})) AS u(i)
+  WHERE len(w) >= {_SPAN_K}
+),
+shot AS (
+  SELECT gt FROM sgrams GROUP BY gt HAVING min(doc_id) <> max(doc_id)
+),
+sdup AS (
+  SELECT doc_id, pos FROM sgrams WHERE gt IN (SELECT gt FROM shot)
+),
+sisl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > coalesce(max(pos + {_SPAN_K}) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+    THEN 1 ELSE 0 END AS brk
+  FROM sdup
+),
+sgrp AS (
+  SELECT doc_id, pos, sum(brk) OVER (
+    PARTITION BY doc_id ORDER BY pos) AS island
+  FROM sisl
+),
+sspans AS (
+  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + {_SPAN_K} - min(pos) AS BIGINT) AS span_len
+  FROM sgrp GROUP BY doc_id, island
+)
+"""
+
+_SPANS_SQL = f"""
+WITH {_SPANS_CTES}
+SELECT doc_id, span_start, span_len FROM sspans
+"""
+
+
+@register("dedup_repeated_spans", _SPANS_SQL)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-SPAN identification (Lee et al.
+    ExactSubstr, the dedupe-any-repeated-k-token-span pass): every
+    maximal token span appearing verbatim in ≥2 distinct docs, as a
+    (doc_id, span_start, span_len) removal list. Doc-level dedup
+    (exact/minhash/containment) misses exactly this — two distinct
+    documents sharing one boilerplate paragraph. Bucketed end-to-end:
+    k-gram hash60 → hot-hash groupBy → gram-text verify → per-doc
+    island merge (dedup.repeated_spans)."""
+    return dedup.repeated_spans(corpus(spark, sf_dir), k=_SPAN_K)
+
+
+_EXCISE_SQL = f"""
+WITH {_SPANS_CTES},
+atoks AS (
+  SELECT doc_id,
+    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                 ' ') AS w
+  FROM ({CORPUS_SQL}) WHERE length(trim(text)) > 0
+),
+keptt AS (
+  SELECT t.doc_id, u.i AS pos, t.w[u.i] AS tok
+  FROM atoks t, UNNEST(generate_series(1, len(t.w))) AS u(i)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sspans s
+    WHERE s.doc_id = t.doc_id
+      AND u.i >= s.span_start AND u.i < s.span_start + s.span_len
+  )
+)
+SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text
+FROM atoks t LEFT JOIN (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM keptt GROUP BY doc_id
+) k USING (doc_id)
+"""
+
+
+@register("dedup_repeated_spans_excise", _EXCISE_SQL)
+def dedup_repeated_spans_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the repeated-span removal list: cut every duplicated span
+    occurrence from every doc (full excision — cross-doc boilerplate
+    is removed everywhere) and re-join the surviving normalized
+    tokens; a doc excised to nothing yields ''. In-row token filter
+    against the per-doc span array — the corpus text is never
+    exploded (dedup.excise_repeated_spans)."""
+    return dedup.excise_repeated_spans(corpus(spark, sf_dir), k=_SPAN_K)
+
+
 def _text_components_sql() -> str:
     return f"""
 WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
@@ -963,6 +1062,57 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), nprobe=2, k=5)
 
 
+def _ann_artifact_dir(sf_dir: str, kind: str) -> str:
+    """Per-corpus ANN index-artifact directory (temp-dir scoped): keyed
+    by the embeddings table's absolute path AND mtime, so a regenerated
+    corpus under the same path gets a fresh key instead of serving a
+    stale index. The temp-dir location stands in for the artifact
+    store a real deployment would use (the 100-TB story is the same:
+    build writes once per rebuild cadence, serving reads)."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    paths = [p] if os.path.isfile(p) else (
+        glob.glob(os.path.join(p, "**"), recursive=True) or [p]
+    )
+    mtime = max(int(os.path.getmtime(x)) for x in paths if os.path.exists(x))
+    key = hashlib.md5(f"{os.path.abspath(p)}:{mtime}".encode()).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), "tugas2_ann_index", key, kind
+    )
+
+
+@register(
+    "ann_ivf_topk_prebuilt",
+    _ivf_kmeans_sql(k_sql=_SQRT_K_SQL, pts_sql=_IVF_TRAIN_PTS_SQL),
+)
+def ann_ivf_topk_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF SERVING path a 100-TB deployment actually runs: the
+    trained coarse quantizer is a persisted parquet artifact
+    (similarity.ivf_build_index, built once per index-rebuild cadence)
+    and the query-time plan contains ZERO training jobs — a k-row
+    artifact scan, the broadcast one-row assign state, and the cell
+    equi-join. Identical oracle to `ann_ivf_topk`: parquet round-trips
+    doubles exactly, so artifact-served results are bit-identical to
+    in-query training; what changes is WHERE the index-build cost is
+    paid (here: the first build, amortized across every later query
+    batch — the build+serve-fused number `ann_ivf_topk` measures is
+    the rebuild case, this is the steady state)."""
+    from tugas_2_big_data_spark.sources.sinks import _path_exists
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    path = _ann_artifact_dir(sf_dir, "ivf_centroids")
+    if not _path_exists(spark, path):
+        similarity.ivf_build_index(emb, path)
+    cents = spark.read.parquet(path)
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), nprobe=2, k=5, centroids=cents
+    )
+
+
 def _ivf_recall_sql() -> str:
     ivf = _ivf_kmeans_sql(k_sql=_SQRT_K_SQL, pts_sql=_IVF_TRAIN_PTS_SQL)
     return f"""
@@ -1142,6 +1292,33 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus neither fits in memory raw nor may be scanned per query."""
     emb = load_table(spark, "embeddings", sf_dir)
     return similarity.ivfpq_topk(emb, emb.filter(F.col("vec_id") < 5))
+
+
+@register("ann_ivfpq_topk_prebuilt", _ivfpq_sql())
+def ann_ivfpq_topk_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ served from persisted artifacts (coarse centroids + PQ
+    codebooks, similarity.ivfpq_build_index): the query-time plan
+    encodes+probes against two small artifact scans instead of
+    re-running three Lloyd training loops — and the persisted
+    codebooks also freeze the F.avg trained-state nondeterminism
+    documented in `pq_codebooks` (one training run, bit-stable
+    artifact thereafter). Same oracle as `ann_ivfpq_topk`."""
+    import os
+
+    from tugas_2_big_data_spark.sources.sinks import _path_exists
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    path = _ann_artifact_dir(sf_dir, "ivfpq")
+    coarse_p = os.path.join(path, "coarse")
+    books_p = os.path.join(path, "codebooks")
+    if not (_path_exists(spark, coarse_p) and _path_exists(spark, books_p)):
+        similarity.ivfpq_build_index(emb, path)
+    return similarity.ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        coarse=spark.read.parquet(coarse_p),
+        codebooks=spark.read.parquet(books_p),
+    )
 
 
 @register("ann_pq_topk", _pq_sql())
@@ -1777,18 +1954,18 @@ def sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.weighted_keep(docs, "n_chars", 500)
 
 
-# the raw key keeps a DISTINCT name (es_raw): DuckDB binds a bare
-# ORDER BY es_key to the rounded OUTPUT alias, which near the rank-50
-# cutoff could order differently from Spark's unrounded-key sort
+# the ORDER uses the ROUNDED key on both engines: pow() is not
+# bit-identical across libms, so the rank-50 cutoff must be decided on
+# values the rounding has already made identical (id breaks ties)
 _RESERVOIR_SQL = f"""
-SELECT doc_id, n_chars, round(es_raw, 9) AS es_key FROM (
+SELECT doc_id, n_chars, es_key FROM (
   SELECT doc_id, n_chars,
-    pow((({_hex24_sql("md5(CAST(doc_id AS VARCHAR) || ':13')")}) + 0.5)
+    round(pow((({_hex24_sql("md5(CAST(doc_id AS VARCHAR) || ':13')")}) + 0.5)
           / 16777216.0,
-        1.0 / CAST(n_chars AS DOUBLE)) AS es_raw
+        1.0 / CAST(n_chars AS DOUBLE)), 9) AS es_key
   FROM documents WHERE n_chars > 0
 )
-ORDER BY es_raw DESC, doc_id LIMIT 50
+ORDER BY es_key DESC, doc_id LIMIT 50
 """
 
 
@@ -1852,10 +2029,13 @@ tot AS (
   FROM counts
 ),
 rates AS (
+  -- keep_rate rounded to 9 decimals before the threshold compare,
+  -- matching sampling.temperature_rates: pow() ulp differences across
+  -- libms must not flip boundary rows
   SELECT lang,
-    least(1.0,
+    round(least(1.0,
       t.total * 0.5 * (pow(CAST(c.n_docs AS DOUBLE), 0.5) / t.z)
-        / c.n_docs) AS keep_rate
+        / c.n_docs), 9) AS keep_rate
   FROM counts c CROSS JOIN tot t
 )
 SELECT d.doc_id, d.lang
