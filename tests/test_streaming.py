@@ -245,3 +245,82 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the 10:00 window closed at watermark 10:50 and was emitted with
     # pass-1 rows only; the late event_id=4 must NOT be counted
     assert got.get("2024-01-01 10:00:00") == 2, got
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Checkpoint RECOVERY, not just replay idempotency: drain half the
+    input (time-ordered files), stop the query, add the rest, restart
+    from the SAME checkpoint dir, drain. The combined parquet output
+    must equal an uninterrupted run's — including tumbling windows that
+    STRADDLE the restart boundary, whose counts are only right if the
+    restarted query restored the first run's partial window state and
+    watermark from the checkpoint (and did not re-emit already-written
+    windows)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "events", SF_UNIT)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cutoff = lo + (hi - lo) / 2  # deliberately NOT window-aligned
+
+    def stage(df, dst, prefix):
+        tmp = str(tmp_path / f"_stage_{prefix}")
+        df.coalesce(2).write.mode("overwrite").parquet(tmp)
+        import os
+
+        os.makedirs(dst, exist_ok=True)
+        for i, f in enumerate(
+            sorted(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+        ):
+            shutil.copy(f"{tmp}/{f}", f"{dst}/{prefix}-{i}.parquet")
+
+    def drain(src, out, ckpt):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = se.stream_to_parquet_partitions(
+            se.tumbling_agg(stream).withColumn(
+                "wday", F.to_date("window_start")
+            ),
+            out,
+            ["wday"],
+            ckpt,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # interrupted run: first half, stop, add second half, restart
+    src_a = str(tmp_path / "src_interrupted")
+    out_a = str(tmp_path / "out_interrupted")
+    ckpt_a = str(tmp_path / "ckpt_interrupted")
+    stage(ev.filter(F.col("ts") < cutoff), src_a, "00")
+    drain(src_a, out_a, ckpt_a)
+    stage(ev.filter(F.col("ts") >= cutoff), src_a, "01")
+    drain(src_a, out_a, ckpt_a)  # restart from the same checkpoint
+
+    # uninterrupted reference: same files, one continuous drain
+    src_b = str(tmp_path / "src_reference")
+    out_b = str(tmp_path / "out_reference")
+    stage(ev.filter(F.col("ts") < cutoff), src_b, "00")
+    stage(ev.filter(F.col("ts") >= cutoff), src_b, "01")
+    drain(src_b, out_b, str(tmp_path / "ckpt_reference"))
+
+    def rows(path):
+        return {
+            (r["window_start"], r["event_type"]): (
+                r["n_events"],
+                round(r["total_value"], 6),
+            )
+            for r in spark.read.parquet(path).collect()
+        }
+
+    a, b = rows(out_a), rows(out_b)
+    assert len(a) > 0
+    assert a == b
