@@ -535,10 +535,10 @@ def test_semdedup_checkpoint_dir_same_result(spark, tmp_path):
 
 
 def test_ivf_build_index_serves_identical_results(spark, tmp_path):
-    """Artifact round trip: ivf_build_index → parquet → ivf_topk
-    (centroids=artifact) must be row-identical to in-query training
-    (parquet round-trips doubles exactly), and the serving call must
-    not touch the training path at all."""
+    """Full-index round trip: ivf_build_index persists centroids + the
+    inverted file; ivf_topk_from_index must be row-identical to
+    in-query training (parquet round-trips doubles exactly), and the
+    serving call must never touch training OR the raw corpus."""
     import numpy as np
 
     rng = np.random.default_rng(7)
@@ -550,29 +550,56 @@ def test_ivf_build_index_serves_identical_results(spark, tmp_path):
     in_query = similarity.ivf_topk(
         emb, q, n_centroids=4, nprobe=2, k=5, dim=8
     ).collect()
-    served = similarity.ivf_topk(
-        emb, q, nprobe=2, k=5, centroids=spark.read.parquet(path)
+    served = similarity.ivf_topk_from_index(
+        spark, path, q, nprobe=2, k=5
     ).collect()
     assert sorted(map(tuple, served)) == sorted(map(tuple, in_query))
-    # the serving call must not retrain: poisoning the trainer proves
-    # the artifact path never reaches it
-    orig = similarity.train_ivf_centroids
+    # the serving call must not retrain or re-assign: poisoning both
+    # the trainer and the assigner proves serving reaches neither
+    orig_train = similarity.train_ivf_centroids
     try:
         def _boom(*a, **k):  # noqa: ANN002, ANN003
-            raise AssertionError("serving path invoked quantizer training")
+            raise AssertionError("serving path invoked index-build code")
 
         similarity.train_ivf_centroids = _boom
-        again = similarity.ivf_topk(
-            emb, q, nprobe=2, k=5, centroids=spark.read.parquet(path)
+        again = similarity.ivf_topk_from_index(
+            spark, path, q, nprobe=2, k=5
         ).collect()
     finally:
-        similarity.train_ivf_centroids = orig
+        similarity.train_ivf_centroids = orig_train
     assert sorted(map(tuple, again)) == sorted(map(tuple, in_query))
+    # the explicit-quantizer parameter keeps working too
+    via_param = similarity.ivf_topk(
+        emb, q, nprobe=2, k=5,
+        centroids=spark.read.parquet(path + "/centroids"),
+    ).collect()
+    assert sorted(map(tuple, via_param)) == sorted(map(tuple, in_query))
+
+
+def test_pq_build_index_serves_identical_results(spark, tmp_path):
+    """PQ full-index round trip: codebooks + codes table persisted;
+    pq_topk_from_index (codes scan + broadcast LUTs, no encode pass)
+    equals in-query training row-for-row."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float((0.0 if i % 2 == 0 else 50.0) + x) for x in rng.standard_normal(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 4)
+    path = str(tmp_path / "pq_idx")
+    similarity.pq_build_index(emb, path, m=2, ks=4, dim=8)
+    in_query = similarity.pq_topk(emb, q, m=2, ks=4, k=5, dim=8).collect()
+    served = similarity.pq_topk_from_index(spark, path, q, k=5).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, in_query))
 
 
 def test_ivfpq_build_index_serves_identical_results(spark, tmp_path):
-    """Both IVF-PQ artifacts (coarse + codebooks) round-trip: serving
-    from parquet equals in-query training row-for-row."""
+    """IVF-PQ full-index round trip (coarse + codebooks + cell-assigned
+    codes table): serving from the artifacts equals in-query training
+    row-for-row."""
     import numpy as np
 
     rng = np.random.default_rng(9)
@@ -589,16 +616,8 @@ def test_ivfpq_build_index_serves_identical_results(spark, tmp_path):
     in_query = similarity.ivfpq_topk(
         emb, q, n_centroids=4, nprobe=2, m=2, ks=4, k=5, dim=8
     ).collect()
-    served = similarity.ivfpq_topk(
-        emb,
-        q,
-        nprobe=2,
-        m=2,
-        ks=4,
-        k=5,
-        dim=8,
-        coarse=spark.read.parquet(path + "/coarse"),
-        codebooks=spark.read.parquet(path + "/codebooks"),
+    served = similarity.ivfpq_topk_from_index(
+        spark, path, q, nprobe=2, k=5
     ).collect()
     assert sorted(map(tuple, served)) == sorted(map(tuple, in_query))
 

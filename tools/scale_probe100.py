@@ -69,7 +69,9 @@ PROBE = [
     # number a 100-TB deployment cares about (vs the build+serve-fused
     # ratio the non-prebuilt rows measure)
     "ann_ivf_topk_prebuilt",
+    "ann_pq_topk_prebuilt",
     "ann_ivfpq_topk_prebuilt",
+    "dedup_repeated_spans",         # k-gram hash buckets, text verify
 ]
 
 # Zipfian-vocabulary corpus variant: the prefix-filter dedups claim

@@ -225,17 +225,27 @@ def ivf_build_index(
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> None:
-    """Train the IVF coarse quantizer ONCE and persist it as a parquet
-    index artifact at `path` — the 100-TB deployment shape: index-build
-    cost (quantizer training + its corpus count) is paid per index
-    REBUILD, not per query batch. Serve with
-    `ivf_topk(..., centroids=spark.read.parquet(path))`, whose plan
-    then contains zero training jobs (a k-row artifact scan, the
-    broadcast one-row assign state, and the cell equi-join). Parquet
+    """Build the COMPLETE IVF index artifact at `path` — centroids at
+    `{path}/centroids` AND the inverted file itself at
+    `{path}/invfile` ((cid, nbr_id, nbr_vec), hive-partitioned by
+    cid).
+
+    Persisting only the centroids is NOT enough at scale: the
+    dominant IVF cost is the full-corpus CELL-ASSIGNMENT pass
+    (N·nlist distance evals + an nlist-wide in-row sort per vector —
+    measured ~94 s serving-only at the 100× probe with a
+    centroids-only artifact, i.e. no better than retraining, because
+    the sample-capped training was never the expensive part). A real
+    IVF index IS its inverted lists; assignment is index-BUILD work,
+    paid here once per rebuild cadence. Serving
+    (`ivf_topk_from_index`) then only assigns the QUERY batch and
+    equi-joins on cid — and the cid partitioning lets dynamic
+    partition pruning skip every unprobed cell's files. Parquet
     round-trips doubles exactly, so artifact-served results are
-    bit-identical to in-query training. Artifact invalidation is the
-    caller's index-rebuild cadence (re-run on corpus change / recall
-    regression — see `ann_ivf_recall`)."""
+    bit-identical to in-query training. Rebuild on corpus change /
+    recall regression (see `ann_ivf_recall`)."""
+    import posixpath
+
     from tugas_2_big_data_spark.sources import sinks
 
     cents = train_ivf_centroids(
@@ -246,8 +256,82 @@ def ivf_build_index(
         id_col=id_col,
         vec_col=vec_col,
         dim=dim,
+    ).localCheckpoint()
+    sinks.write_parquet(cents, posixpath.join(path, "centroids"))
+    assign = _cell_assigner(cents)
+    cells = assign(
+        fan_out(corpus).select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).cast("array<double>").alias("nbr_vec"),
+        ),
+        "nbr_id",
+        "nbr_vec",
+        1,
     )
-    sinks.write_parquet(cents, path)
+    # repartition BY CID before the partitioned write: without it every
+    # write task fans out a file into every cell directory (tasks ×
+    # nlist tiny files); with it each cell's vectors coalesce into its
+    # own file(s) — the contiguous inverted-list layout serving scans
+    sinks.write_parquet(
+        cells.select("cid", "nbr_id", "nbr_vec").repartition(F.col("cid")),
+        posixpath.join(path, "invfile"),
+        partition_by=["cid"],
+    )
+
+
+def _ivf_rank(q_assigned: DataFrame, cells: DataFrame, k: int) -> DataFrame:
+    """Shared IVF serve core: probed-cell equi-join + exact cosine +
+    per-query top-k (ties on nbr_id). `cells` = (cid, nbr_id, nbr_vec)
+    from either the in-query assignment or a persisted inverted file."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("nbr_id")
+    )
+    return (
+        q_assigned.join(cells, "cid")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("query_vec"), F.col("nbr_vec")))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "nbr_id", F.round("cosine", 9).alias("cosine"), "rk"
+        )
+    )
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve IVF top-k from an `ivf_build_index` artifact: assign the
+    QUERY batch to its nprobe cells (broadcast one-row centroid state)
+    and equi-join the persisted inverted file on cid — per-query work
+    is O(nprobe·N/nlist) scoring, with NO full-corpus pass of any
+    kind; the cid hive-partitioning makes unprobed cells prunable at
+    the scan."""
+    import posixpath
+
+    cents = spark.read.parquet(posixpath.join(path, "centroids"))
+    cells = spark.read.parquet(posixpath.join(path, "invfile")).select(
+        F.col("cid").cast("long"), "nbr_id", "nbr_vec"
+    )
+    assign = _cell_assigner(cents)
+    q = assign(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("query_vec"),
+        ),
+        "query_id",
+        "query_vec",
+        nprobe,
+    )
+    return _ivf_rank(q, cells, k)
 
 
 def pq_build_index(
@@ -260,18 +344,99 @@ def pq_build_index(
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> None:
-    """Train the m PQ codebooks ONCE and persist the one-row state
-    (`_cs{s}` array<array<double>> columns) as a parquet artifact —
-    the codebook twin of `ivf_build_index`, and the fix for the
-    trained-state nondeterminism noted in `pq_codebooks`: one training
-    run, bit-stable artifact thereafter."""
+    """Build the COMPLETE PQ index artifact: codebooks (one-row
+    `_cs{s}` state) at `{path}/codebooks` AND the encoded corpus
+    (nbr_id, code0..code{m-1}) at `{path}/codes` — the compressed
+    index itself (m small ints replace dim floats per vector; at
+    100 TB of raw embeddings the codes table is the ~1.5 TB relation
+    serving actually scans). Encoding is the full-corpus pass, so it
+    belongs to index BUILD, not to every query batch. The persisted
+    state also freezes the trained-codebook nondeterminism noted in
+    `pq_codebooks`: one training run, bit-stable artifact thereafter.
+    Serve with `pq_topk_from_index`."""
+    import posixpath
+
     from tugas_2_big_data_spark.sources import sinks
 
+    sub = dim // m
     state = pq_codebooks(
         corpus, m=m, ks=ks, iters=iters,
         id_col=id_col, vec_col=vec_col, dim=dim,
+    ).localCheckpoint()
+    sinks.write_parquet(state, posixpath.join(path, "codebooks"))
+    encoded = (
+        fan_out(corpus)
+        .select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .crossJoin(F.broadcast(state))
+        .select("nbr_id", *_pq_code_cols(m, sub))
     )
-    sinks.write_parquet(state, path)
+    sinks.write_parquet(encoded, posixpath.join(path, "codes"))
+
+
+def _pq_serve_state(spark, path: str):
+    """Read a PQ codebook artifact and derive (state, m, sub) — the
+    subspace count from the `_cs{s}` column names, the subspace width
+    from one codeword of the one-row state (a one-row collect)."""
+    import posixpath
+
+    state = spark.read.parquet(posixpath.join(path, "codebooks"))
+    m = len([c for c in state.columns if c.startswith("_cs")])
+    sub = state.select(F.size(F.get("_cs0", 0))).first()[0]
+    return state, m, sub
+
+
+def _pq_rank(encoded: DataFrame, qluts: DataFrame, m: int, k: int) -> DataFrame:
+    """Shared PQ serve core: broadcast the per-query LUTs onto the
+    codes relation, ADC-score (m array lookups per pair), per-query
+    top-k ascending with nbr_id ties."""
+    from pyspark.sql import Window
+
+    dist = _pq_adc_dist(m)
+    scored = (
+        encoded.join(
+            F.broadcast(qluts), F.col("nbr_id") != F.col("query_id")
+        )
+        .withColumn("adc_dist", dist)
+        .select("query_id", "nbr_id", "adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "nbr_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .withColumn("adc_dist", F.round("adc_dist", 9))
+        .select("query_id", "nbr_id", "adc_dist", "rk")
+    )
+
+
+def pq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve PQ ADC top-k from a `pq_build_index` artifact: the only
+    corpus-sized input is the CODES table (m small ints + id per
+    vector — no raw-vector scan, no encode pass); the query batch
+    computes its LUTs against the persisted codebooks and broadcasts
+    them."""
+    import posixpath
+
+    state, m, sub = _pq_serve_state(spark, path)
+    encoded = spark.read.parquet(posixpath.join(path, "codes"))
+    qluts = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+        .crossJoin(F.broadcast(state))
+        .select("query_id", *_pq_lut_cols(m, sub))
+    )
+    return _pq_rank(encoded, qluts, m, k)
 
 
 def ivfpq_build_index(
@@ -285,21 +450,100 @@ def ivfpq_build_index(
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> None:
-    """Persist BOTH IVF-PQ artifacts: coarse centroids at
-    `{path}/coarse`, PQ codebooks at `{path}/codebooks`. Serve with
-    `ivfpq_topk(..., coarse=..., codebooks=...)`."""
+    """Build the COMPLETE IVF-PQ index artifact: coarse centroids at
+    `{path}/coarse`, PQ codebooks at `{path}/codebooks`, and the
+    cell-assigned encoded corpus (cid, nbr_id, code0..code{m-1}) at
+    `{path}/codes` (hive-partitioned by cid — unprobed cells prune at
+    the scan). Both full-corpus passes (cell assignment + PQ encode)
+    are index-BUILD work; serving (`ivfpq_topk_from_index`) touches
+    only the query batch and the probed slices of the codes table."""
     import posixpath
 
     from tugas_2_big_data_spark.sources import sinks
 
+    sub = dim // m
     coarse = kmeans_centroids(
         corpus, k=n_centroids, iters=iters,
         id_col=id_col, vec_col=vec_col, dim=dim,
-    )
+    ).localCheckpoint()
     sinks.write_parquet(coarse, posixpath.join(path, "coarse"))
-    pq_build_index(
-        corpus, posixpath.join(path, "codebooks"),
-        m=m, ks=ks, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim,
+    state = pq_codebooks(
+        corpus, m=m, ks=ks, iters=iters,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    ).localCheckpoint()
+    sinks.write_parquet(state, posixpath.join(path, "codebooks"))
+    assign = _cell_assigner(coarse)
+    enc = (
+        assign(
+            fan_out(corpus).select(
+                F.col(id_col).alias("nbr_id"),
+                F.col(vec_col).cast("array<double>").alias("_v"),
+            ),
+            "nbr_id",
+            "_v",
+            1,
+        )
+        .crossJoin(F.broadcast(state))
+        .select("cid", "nbr_id", *_pq_code_cols(m, sub))
+    )
+    # same repartition-by-cid rationale as the IVF inverted file
+    sinks.write_parquet(
+        enc.repartition(F.col("cid")),
+        posixpath.join(path, "codes"),
+        partition_by=["cid"],
+    )
+
+
+def ivfpq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve IVF-PQ from an `ivfpq_build_index` artifact: assign the
+    query batch to nprobe cells (persisted coarse centroids), compute
+    its LUTs (persisted codebooks), equi-join the probed slices of the
+    persisted codes table on cid, ADC-score — per-query cost
+    O(nprobe/nlist · N) array lookups over the compressed index, with
+    zero full-corpus passes at serve time."""
+    import posixpath
+
+    from pyspark.sql import Window
+
+    state, m, sub = _pq_serve_state(spark, path)
+    coarse = spark.read.parquet(posixpath.join(path, "coarse"))
+    enc = spark.read.parquet(posixpath.join(path, "codes")).select(
+        F.col("cid").cast("long"),
+        "nbr_id",
+        *[f"code{s}" for s in range(m)],
+    )
+    assign = _cell_assigner(coarse)
+    qluts = (
+        assign(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("_qv"),
+            ),
+            "query_id",
+            "_qv",
+            nprobe,
+        )
+        .crossJoin(F.broadcast(state))
+        .select("query_id", "cid", *_pq_lut_cols(m, sub))
+    )
+    dist = _pq_adc_dist(m)
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "nbr_id")
+    return (
+        qluts.join(enc, "cid")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .withColumn("adc_dist", dist)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .withColumn("adc_dist", F.round("adc_dist", 9))
+        .select("query_id", "nbr_id", "adc_dist", "rk")
     )
 
 
@@ -341,11 +585,11 @@ def ivf_topk(
     sample (`ivf_train_stride`, portable md5 draw — Faiss practice),
     so index-build cost is one full-corpus assignment pass (N·k,
     inherent to flat IVF) plus a sample-bounded training loop. At
-    100 TB, persist the trained centroids as an index artifact and
-    pass `centroids=` instead of retraining per query batch.
+    100 TB, build the full index artifact ONCE (`ivf_build_index` —
+    centroids AND inverted file; the assignment pass is the expensive
+    part, so persisting centroids alone buys little) and serve with
+    `ivf_topk_from_index`.
     """
-    from pyspark.sql import Window
-
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus,
@@ -385,15 +629,7 @@ def ivf_topk(
         "query_vec",
         nprobe,
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
-    return (
-        q.join(c, "cid")
-        .filter(F.col("nbr_id") != F.col("query_id"))
-        .withColumn("cosine", cosine(F.col("query_vec"), F.col("nbr_vec")))
-        .withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "nbr_id", F.round("cosine", 9).alias("cosine"), "rk")
-    )
+    return _ivf_rank(q, c, k)
 
 
 def _kmeans_state(
@@ -690,8 +926,11 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN: asymmetric-distance (ADC) top-k.
+    Pass `codebooks` (the one-row `_cs{s}` state from `pq_build_index`)
+    to serve from a persisted artifact instead of training in-query.
 
     The memory end of the ANN design space. IVF prunes WHICH vectors a
     query touches; PQ shrinks WHAT is stored per vector: m codes of
@@ -727,11 +966,14 @@ def pq_topk(
     # the trained state is ONE row (m·ks·dim/m doubles); localCheckpoint
     # materializes the Lloyd chain once instead of once per consumer
     # branch (encode + LUTs). On a cluster this is the "persist the
-    # trained codebooks as an index artifact" step.
-    state = pq_codebooks(
-        corpus, m=m, ks=ks, iters=iters,
-        id_col=id_col, vec_col=vec_col, dim=dim,
-    ).localCheckpoint()
+    # trained codebooks as an index artifact" step — done for real by
+    # pq_build_index + the codebooks parameter.
+    state = codebooks
+    if state is None:
+        state = pq_codebooks(
+            corpus, m=m, ks=ks, iters=iters,
+            id_col=id_col, vec_col=vec_col, dim=dim,
+        ).localCheckpoint()
 
     encoded = (
         fan_out(corpus)
@@ -749,22 +991,7 @@ def pq_topk(
     ).crossJoin(F.broadcast(state))
 
     qluts = q.select("query_id", *_pq_lut_cols(m, sub))
-
-    dist = _pq_adc_dist(m)
-    scored = (
-        encoded.join(
-            F.broadcast(qluts), F.col("nbr_id") != F.col("query_id")
-        )
-        .withColumn("adc_dist", dist)
-        .select("query_id", "nbr_id", "adc_dist")
-    )
-    w = Window.partitionBy("query_id").orderBy("adc_dist", "nbr_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= k)
-        .withColumn("adc_dist", F.round("adc_dist", 9))
-        .select("query_id", "nbr_id", "adc_dist", "rk")
-    )
+    return _pq_rank(encoded, qluts, m, k)
 
 
 def ivfpq_topk(

@@ -55,6 +55,7 @@ def register(name: str, oracle: str | None):
 _SWEEP_CHANGED: tuple[str, ...] = (
     # new or materially changed in round 4
     "ann_ivf_topk_prebuilt", "ann_ivfpq_topk_prebuilt",
+    "ann_pq_topk_prebuilt",
     "dedup_repeated_spans", "dedup_repeated_spans_excise",
     "txt_char_entropy", "sample_weighted_reservoir",
     "mix_temperature_sample",
