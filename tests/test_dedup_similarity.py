@@ -672,3 +672,46 @@ def test_excise_repeated_spans_cuts_all_occurrences(spark):
         2: "",
         3: "untouched document stays put",
     }
+
+
+def test_incremental_near_dup_bipartite(spark):
+    """Batch docs match their seen near-originals; batch-vs-batch and
+    seen-vs-seen pairs are out of scope; unrelated batch docs match
+    nothing. Passing a persisted band state must equal the derived
+    one."""
+    seen = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely different seen document with other words"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog today"),
+            (102, "nothing in common with anything stored before now"),
+            (103, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        ["doc_id", "text"],
+    )
+    seen_sets = dedup.shingle_sets(seen)
+    batch_sets = dedup.shingle_sets(batch)
+    got = {
+        (r.new_id, r.seen_id)
+        for r in dedup.incremental_near_dup(
+            batch_sets, seen_sets, threshold=0.5
+        ).collect()
+    }
+    # 101/103 are near-dups of seen doc 1; the 101-103 batch-internal
+    # pair must NOT appear; 102 matches nothing
+    assert got == {(101, 1), (103, 1)}
+    bands = dedup.lsh_band_keys(
+        dedup.minhash_signatures_from_sets(seen_sets, 8), 8, 4
+    )
+    via_state = {
+        (r.new_id, r.seen_id)
+        for r in dedup.incremental_near_dup(
+            batch_sets, seen_sets, threshold=0.5, seen_bands=bands
+        ).collect()
+    }
+    assert via_state == got

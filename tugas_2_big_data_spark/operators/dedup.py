@@ -191,15 +191,15 @@ def minhash_signatures_from_sets(
     return sets.select(F.col(id_col), *cols)
 
 
-def lsh_candidate_pairs(
+def lsh_band_keys(
     signatures: DataFrame, k: int = 8, bands: int = 4, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Docs sharing any band of minhashes → candidate pairs (id_a < id_b).
-
-    Banding: k hashes split into `bands` groups of k/bands; band key is
-    the concatenation. Self-join on (band_id, band_key) replaces the
-    O(n²) signature comparison with an equi-join Spark shuffles by key.
-    """
+    """(id, band_id, key) LSH bucket rows from minhash signatures —
+    banding: k hashes split into `bands` groups of k/bands; band key is
+    the concatenation. This relation IS the persistable LSH state of a
+    corpus (bands·1 short strings per doc): `lsh_candidate_pairs`
+    self-joins it; `incremental_near_dup` joins a new batch's bands
+    against a persisted copy of it."""
     rows_per_band = k // bands
     band_exprs = []
     for b in range(bands):
@@ -207,9 +207,20 @@ def lsh_candidate_pairs(
         band_exprs.append(
             F.struct(F.lit(b).alias("band_id"), F.concat_ws("|", *cols).alias("key"))
         )
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode(F.array(*band_exprs)).alias("band")
     ).select(id_col, "band.band_id", "band.key")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, k: int = 8, bands: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Docs sharing any band of minhashes → candidate pairs (id_a < id_b).
+
+    The self-join on (band_id, band_key) replaces the O(n²) signature
+    comparison with an equi-join Spark shuffles by key.
+    """
+    banded = lsh_band_keys(signatures, k, bands, id_col)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -986,4 +997,85 @@ def excise_repeated_spans(
             F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))
         )
         .alias("clean_text"),
+    )
+
+
+def incremental_near_dup(
+    batch_sets: DataFrame,
+    seen_sets: DataFrame,
+    threshold: float = 0.5,
+    k: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    seen_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental NEAR-dup detection: which docs of a new ingest batch
+    are near-duplicates (Jaccard ≥ threshold) of the already-ingested
+    corpus — the fuzzy sibling of `incremental_new_docs`, which only
+    catches byte-identical re-ingests. Every continuously-crawled
+    corpus needs both: the same article re-crawled with a new timestamp
+    or boilerplate is a NEAR dup of something already stored.
+
+    Output: (new_id, seen_id, n_common, jaccard), one row per detected
+    (batch doc, seen doc) near-dup relation. Filtering the batch is
+    then a left-anti join on new_id.
+
+    Scale shape — all work is BATCH-sized, never corpus-sized:
+    1. The seen corpus is represented by two persistable state
+       relations, never rescanned: its LSH band keys
+       (`lsh_band_keys` — bands short strings per doc) and its shingle
+       sets (for the exact verify; with `hashed_shingle_sets`, ~8
+       bytes per distinct shingle). Pass `seen_bands` from the
+       persisted state; it is derived from `seen_sets` only as a
+       convenience when omitted.
+    2. Candidates: the batch's band keys equi-join the seen band state
+       — the bucket join touches only buckets the batch hashes into.
+    3. Verify: exact Jaccard via two set lookups
+       (SHUFFLE_HASH-hinted — array payloads must never ride an AQE
+       broadcast), semi-joined down to candidate rows first, so only
+       candidate seen-docs' sets are ever materialized.
+
+    Batch-vs-batch duplicates are deliberately out of scope here (run
+    `lsh_candidate_pairs` + verify within the batch for that; the
+    composition mirrors `incremental_new_docs`' two-phase contract).
+    """
+    if seen_bands is None:
+        seen_bands = lsh_band_keys(
+            minhash_signatures_from_sets(seen_sets, k, id_col), k, bands, id_col
+        )
+    new_bands = lsh_band_keys(
+        minhash_signatures_from_sets(batch_sets, k, id_col), k, bands, id_col
+    )
+    cand = (
+        new_bands.alias("n")
+        .join(
+            seen_bands.alias("s"),
+            (F.col("n.band_id") == F.col("s.band_id"))
+            & (F.col("n.key") == F.col("s.key")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"s.{id_col}").alias("seen_id"),
+        )
+        .distinct()
+    )
+    a = batch_sets.select(
+        F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_a")
+    )
+    b = seen_sets.select(
+        F.col(id_col).alias("seen_id"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        cand.join(a.hint("shuffle_hash"), "new_id")
+        .join(b.hint("shuffle_hash"), "seen_id")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "seen_id", "n_common", "jaccard")
     )

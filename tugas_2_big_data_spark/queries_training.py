@@ -176,6 +176,76 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_verify_sets(sets, cand, threshold=0.5)
 
 
+# Bipartite (batch → seen) twin of _LSH_PAIRS_SQL: the corpus's
+# injected copies (ids ≥ 10000) play the NEW ingest batch, the
+# originals (ids < 10000) the already-ingested corpus — both sides'
+# signatures/shingles come from the same CTEs, split by id range.
+_INCR_NEAR_DUP_SQL = f"""
+WITH sig AS ({_minhash_select(8)}),
+banded AS (
+  SELECT doc_id, band_id, key FROM (
+    SELECT doc_id, unnest([
+      struct_pack(band_id := 0, key := h0 || '|' || h1),
+      struct_pack(band_id := 1, key := h2 || '|' || h3),
+      struct_pack(band_id := 2, key := h4 || '|' || h5),
+      struct_pack(band_id := 3, key := h6 || '|' || h7)
+    ], recursive := true)
+    FROM sig
+  )
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS seen_id
+  FROM banded n JOIN banded s
+    ON n.band_id = s.band_id AND n.key = s.key
+   AND n.doc_id >= 10000 AND s.doc_id < 10000
+),
+sh AS ({SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT n.doc_id AS new_id, s.doc_id AS seen_id,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM sh n JOIN sh s ON n.shingle = s.shingle
+   AND n.doc_id >= 10000 AND s.doc_id < 10000
+  GROUP BY 1, 2
+)
+SELECT c.new_id, c.seen_id, c.n_common,
+       c.n_common / (sn.sz + ss.sz - c.n_common) AS jaccard
+FROM common c
+JOIN cand USING (new_id, seen_id)
+JOIN sizes sn ON sn.doc_id = c.new_id
+JOIN sizes ss ON ss.doc_id = c.seen_id
+WHERE c.n_common / (sn.sz + ss.sz - c.n_common) >= 0.5
+"""
+
+
+@register("dedup_incremental_near_dup", _INCR_NEAR_DUP_SQL)
+def dedup_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup detection (dedup.incremental_near_dup): the
+    corpus's injected copies (exact +10000, extended +100000) arrive as
+    a new ingest batch against the original documents as the
+    already-ingested corpus — each batch doc is matched to the seen
+    docs it near-duplicates (LSH bucket join against the persistable
+    seen-band state, exact Jaccard ≥ 0.5 verify). The fuzzy sibling of
+    `dedup_incremental_batch`: a re-crawl with fresh boilerplate is
+    invisible to the fingerprint anti-join but caught here. All
+    per-batch work is batch-sized; the seen corpus is represented only
+    by its band-key and shingle-set state relations."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+            )
+        )
+    )
+    seen_sets = dedup.shingle_sets(docs).localCheckpoint()
+    batch_sets = dedup.shingle_sets(batch).localCheckpoint()
+    return dedup.incremental_near_dup(batch_sets, seen_sets, threshold=0.5)
+
+
 def _jaccard_sql(sh_sql: str) -> str:
     return f"""
 WITH sh AS ({sh_sql}),
