@@ -715,3 +715,29 @@ def test_incremental_near_dup_bipartite(spark):
         ).collect()
     }
     assert via_state == got
+
+
+def test_repeated_spans_keep_first_exempts_lowest_doc(spark):
+    """keep='first': the lowest-id doc holding each duplicated gram
+    keeps its copy — only the higher-id occurrences are listed; and
+    excision leaves doc 1 intact while cutting doc 2."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one two {shared} outro"),
+            (2, f"{shared} different ending words here now indeed"),
+            (3, "unrelated text " * 8),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.span_start, r.span_len)
+        for r in dedup.repeated_spans(docs, k=8, keep="first").collect()
+    }
+    assert got == {2: (1, 10)}  # doc 1 (lowest id) keeps its copy
+    cleaned = {
+        r.doc_id: r.clean_text
+        for r in dedup.excise_repeated_spans(docs, k=8, keep="first").collect()
+    }
+    assert cleaned[1] == f"intro one two {shared} outro"
+    assert cleaned[2] == "different ending words here now indeed"

@@ -861,6 +861,7 @@ def repeated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    keep: str = "none",
 ) -> DataFrame:
     """Cross-document repeated-span identification — the ExactSubstr
     operation of Lee et al., "Deduplicating Training Data Makes
@@ -871,14 +872,26 @@ def repeated_spans(
     1-based, overlapping/adjacent duplicated k-grams merged into
     maximal spans per doc.
 
+    `keep` picks the policy: "none" (default) lists every occurrence —
+    full excision, the boilerplate-removal mode; "first" exempts each
+    duplicated gram's occurrence in its LOWEST-id document — the
+    keep-one-copy mode Lee et al. apply to training corpora (content
+    survives once, position-level: a doc can be canonical for one gram
+    and excised for another).
+
     Plan, bucketed end-to-end (never all-pairs):
-    1. Map-only k-gram HASHING (hash60 of each k-token window) +
+    1. Map-only k-gram HASHING (xxhash64 of each k-token window) +
        posexplode → (doc, pos, gram-hash) — the only corpus-sized
-       relation, carrying 8-byte hashes, not text.
+       relation, carrying 8-byte hashes, not text. xxhash64, NOT the
+       portable md5-based hash60: the prune hash never reaches the
+       output or the oracle (step 3 re-verifies on gram TEXT), so the
+       one stage that touches every gram can use the cheap JVM-native
+       hash — the md5 formulation spent most of its 100×-probe wall
+       here.
     2. Hot hashes: ONE hash-shuffle groupBy(gram_hash) keeping hashes
        seen in ≥2 distinct docs (min(doc)≠max(doc)) — Lee et al.'s
        suffix-array dup-range scan re-expressed as the scalable
-       group-by; a 60-bit hash collision can only ADD candidates here,
+       group-by; a hash collision can only ADD candidates here,
        never drop a true repeat (same text ⇒ same hash), so step 3
        makes the result EXACT, not probabilistic.
     3. Verify: candidates (semi-join on gram-hash) re-derive their
@@ -900,9 +913,7 @@ def repeated_spans(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.size("_w") - (k - 1)),
-                lambda i: hashing.hash60(
-                    F.concat_ws(" ", F.slice("_w", i, k))
-                ),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_w", i, k))),
             )
         ).alias("_p0", "_gh"),
     ).select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "_gh")
@@ -922,9 +933,19 @@ def repeated_spans(
         ctext.groupBy("_gt")
         .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
         .filter(F.col("_lo") != F.col("_hi"))
-        .select("_gt")
     )
-    dup = ctext.join(vg, "_gt", "left_semi").select(id_col, "pos")
+    if keep == "none":
+        dup = ctext.join(vg.select("_gt"), "_gt", "left_semi").select(
+            id_col, "pos"
+        )
+    elif keep == "first":
+        dup = (
+            ctext.join(vg.select("_gt", "_lo"), "_gt")
+            .filter(F.col(id_col) != F.col("_lo"))
+            .select(id_col, "pos")
+        )
+    else:
+        raise ValueError(f"unknown keep policy: {keep!r}")
 
     from pyspark.sql import Window
 
@@ -952,20 +973,21 @@ def excise_repeated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    keep: str = "none",
 ) -> DataFrame:
-    """Apply the `repeated_spans` removal list: every duplicated span
-    occurrence is cut from every document and the surviving tokens are
-    re-joined (normalized-token space, single spaces) — the
-    full-excision variant of Lee et al.'s span dedup (no canonical
-    copy kept; rare-but-cross-doc boilerplate is exactly what it
-    targets). Docs with no repeated span pass through with only
+    """Apply the `repeated_spans` removal list: duplicated span
+    occurrences are cut and the surviving tokens re-joined
+    (normalized-token space, single spaces). `keep="none"` removes
+    every occurrence (boilerplate removal); `keep="first"` leaves the
+    lowest-id document's copy intact (Lee et al.'s keep-one training
+    dedup). Docs with no removed span pass through with only
     normalization; a doc excised to nothing yields ''.
 
     Plan: the span list aggregates to one array per affected doc
     (collect_list — bounded by the doc's own span count), joins back
     to the corpus on doc id, and the cut is an in-row token filter —
     no exploded token shuffle."""
-    spans_by_doc = repeated_spans(df, text_col, id_col, k).groupBy(
+    spans_by_doc = repeated_spans(df, text_col, id_col, k, keep).groupBy(
         id_col
     ).agg(
         F.collect_list(F.struct("span_start", "span_len")).alias("_spans")

@@ -57,7 +57,7 @@ _SWEEP_CHANGED: tuple[str, ...] = (
     "ann_ivf_topk_prebuilt", "ann_ivfpq_topk_prebuilt",
     "ann_pq_topk_prebuilt",
     "dedup_repeated_spans", "dedup_repeated_spans_excise",
-    "dedup_incremental_near_dup",
+    "dedup_repeated_spans_keep_first", "dedup_incremental_near_dup",
     "txt_char_entropy", "sample_weighted_reservoir",
     "mix_temperature_sample",
 )

@@ -339,10 +339,22 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_K = 8
 
-# Oracle for the span-dedup family: groups directly on gram TEXT (no
-# hash stage), proving the Spark path's hash60 prune is a pure
-# optimization — identical output, not a probabilistic approximation.
-_SPANS_CTES = f"""
+
+def _spans_ctes(keep: str = "none") -> str:
+    """Oracle CTE chain for the span-dedup family: groups directly on
+    gram TEXT (no hash stage), proving the Spark path's xxhash64 prune
+    is a pure optimization — identical output, not a probabilistic
+    approximation. keep="first" exempts each duplicated gram's
+    occurrence in its lowest-id doc (dedup.repeated_spans keep
+    policy)."""
+    if keep == "none":
+        sdup = "SELECT doc_id, pos FROM sgrams WHERE gt IN (SELECT gt FROM shot)"
+    else:
+        sdup = (
+            "SELECT g.doc_id, g.pos FROM sgrams g "
+            "JOIN shot h ON g.gt = h.gt WHERE g.doc_id <> h.lo"
+        )
+    return f"""
 stoks AS (
   SELECT doc_id,
     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
@@ -356,10 +368,11 @@ sgrams AS (
   WHERE len(w) >= {_SPAN_K}
 ),
 shot AS (
-  SELECT gt FROM sgrams GROUP BY gt HAVING min(doc_id) <> max(doc_id)
+  SELECT gt, min(doc_id) AS lo FROM sgrams
+  GROUP BY gt HAVING min(doc_id) <> max(doc_id)
 ),
 sdup AS (
-  SELECT doc_id, pos FROM sgrams WHERE gt IN (SELECT gt FROM shot)
+  {sdup}
 ),
 sisl AS (
   SELECT doc_id, pos,
@@ -382,7 +395,7 @@ sspans AS (
 """
 
 _SPANS_SQL = f"""
-WITH {_SPANS_CTES}
+WITH {_spans_ctes()}
 SELECT doc_id, span_start, span_len FROM sspans
 """
 
@@ -395,13 +408,35 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, span_start, span_len) removal list. Doc-level dedup
     (exact/minhash/containment) misses exactly this — two distinct
     documents sharing one boilerplate paragraph. Bucketed end-to-end:
-    k-gram hash60 → hot-hash groupBy → gram-text verify → per-doc
-    island merge (dedup.repeated_spans)."""
+    k-gram xxhash prune → hot-hash groupBy → gram-text verify →
+    per-doc island merge (dedup.repeated_spans)."""
     return dedup.repeated_spans(corpus(spark, sf_dir), k=_SPAN_K)
 
 
+_SPANS_FIRST_SQL = f"""
+WITH {_spans_ctes("first")}
+SELECT doc_id, span_start, span_len FROM sspans
+"""
+
+
+@register("dedup_repeated_spans_keep_first", _SPANS_FIRST_SQL)
+def dedup_repeated_spans_keep_first(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keep-one-copy span dedup (dedup.repeated_spans keep="first"):
+    the removal list exempts each duplicated gram's occurrence in its
+    LOWEST-id document, so shared content survives exactly once in the
+    corpus — the policy Lee et al. apply to training data, vs the
+    full-excision list of `dedup_repeated_spans` (boilerplate
+    removal). Position-level: a doc can be canonical for one span and
+    excised for another."""
+    return dedup.repeated_spans(
+        corpus(spark, sf_dir), k=_SPAN_K, keep="first"
+    )
+
+
 _EXCISE_SQL = f"""
-WITH {_SPANS_CTES},
+WITH {_spans_ctes()},
 atoks AS (
   SELECT doc_id,
     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
