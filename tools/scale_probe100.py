@@ -96,12 +96,21 @@ def build_zipf(spark, dst: str, n_docs: int) -> None:
     by inverse-CDF log-uniform sampling (rank = floor(V^u), pdf ∝ 1/r)
     from a V=50k vocabulary, seeded by (doc_id, position) md5 — rerun-
     stable, no RNG. Every 10th doc gets an exact-duplicate twin
-    (doc_id + offset), so the true-pair rate is constant and output
+    (doc_id + 500_000), so the true-pair rate is constant and output
     grows linearly with corpus size, isolating the prefix filter's
-    candidate-pruning behavior on a heavy-tailed token distribution."""
+    candidate-pruning behavior on a heavy-tailed token distribution.
+
+    doc_ids are SPARSE (i·1_000_000; twins ≡ 500_000 mod 1e6): the
+    probed queries run through `corpus()`, which injects +10_000 and
+    +100_000 copy ids — dense 1..N ids at the 100× tier would collide
+    with those offsets (~N/7 doc_ids appearing twice with different
+    texts), corrupting exactly the measurement this corpus exists to
+    make. With the sparse layout every id class (base ≡0, twin
+    ≡500_000, corpus() copies ≡10_000/100_000/510_000/600_000 mod 1e6)
+    is disjoint."""
     os.makedirs(dst, exist_ok=True)
     base = spark.range(1, n_docs + 1).select(
-        F.col("id").alias("doc_id"),
+        (F.col("id") * 1_000_000).alias("doc_id"),
         F.array_join(
             F.transform(
                 F.sequence(F.lit(1), F.lit(ZIPF_WORDS)),
@@ -137,8 +146,8 @@ def build_zipf(spark, dst: str, n_docs: int) -> None:
             " ",
         ).alias("text"),
     )
-    twins = base.filter(F.col("doc_id") % 10 == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(KEY_OFFSET)
+    twins = base.filter(F.col("doc_id") % 10_000_000 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(500_000)
     )
     docs = base.unionByName(twins).select(
         "doc_id",

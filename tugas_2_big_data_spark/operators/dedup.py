@@ -986,16 +986,19 @@ def excise_repeated_spans(
     Plan: the span list aggregates to one array per affected doc
     (collect_list — bounded by the doc's own span count), joins back
     to the corpus on doc id, and the cut is an in-row token filter —
-    no exploded token shuffle."""
+    no exploded token shuffle.
+
+    Unlike the span FINDER (which may drop sub-k docs — they can hold
+    no span), the excision must return EVERY input row: a cleaning
+    operator that silently loses empty/whitespace-only docs would
+    shrink downstream corpus counts. Empty docs come back as ''."""
     spans_by_doc = repeated_spans(df, text_col, id_col, k, keep).groupBy(
         id_col
     ).agg(
         F.collect_list(F.struct("span_start", "span_len")).alias("_spans")
     )
-    toks = (
-        fan_out(df)
-        .filter(F.length(F.trim(F.col(text_col))) > 0)
-        .select(F.col(id_col), F.split(normalized(text_col), " ").alias("_w"))
+    toks = fan_out(df).select(
+        F.col(id_col), F.split(normalized(text_col), " ").alias("_w")
     )
     kept = F.filter(
         F.transform(

@@ -64,9 +64,13 @@ _SWEEP_CHANGED: tuple[str, ...] = (
 
 
 def _certified_rounds() -> dict[str, int]:
-    """Newest driver-correctness round per query name, from the
-    CORRECTNESS_r{N}.json files at the repo root (absent files — e.g.
-    a fresh checkout — just mean 'never certified')."""
+    """Newest PASSING driver-correctness round per query name, from the
+    CORRECTNESS_r{N}.json files at the repo root (absent files — e.g. a
+    fresh checkout — just mean 'never certified'). A FAILED row is not
+    certification: counting it would sort the failing query to the back
+    of the capped sweep as 'freshly checked' — exactly the starvation
+    this ordering exists to prevent — so failures keep the query at its
+    previous age (or never-certified) and it re-runs first."""
     import glob
     import json
     import os
@@ -84,8 +88,17 @@ def _certified_rounds() -> dict[str, int]:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
-        for name in rows:
-            newest[name] = max(newest.get(name, 0), rnd)
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            passed = (
+                row.get("err") is None
+                and row.get("rows_match") is not False
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if passed:
+                newest[name] = max(newest.get(name, 0), rnd)
     return newest
 
 

@@ -122,7 +122,13 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures_from_sets(sets, k=8)
 
 
-_LSH_PAIRS_SQL = f"""
+def _lsh_verified_pairs_sql(a_col: str, b_col: str, pair_pred: str) -> str:
+    """ONE copy of the minhash→banding→candidates→exact-Jaccard-verify
+    oracle chain, shared by the self-pair and the incremental bipartite
+    queries — `pair_pred` (over aliases x=left, y=right) is the only
+    thing that differs, so k/bands/band-key changes cannot diverge
+    between the two oracles."""
+    return f"""
 WITH sig AS ({_minhash_select(8)}),
 banded AS (
   SELECT doc_id, band_id, key FROM (
@@ -136,26 +142,31 @@ banded AS (
   )
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
-    ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id
+  SELECT DISTINCT x.doc_id AS {a_col}, y.doc_id AS {b_col}
+  FROM banded x JOIN banded y
+    ON x.band_id = y.band_id AND x.key = y.key AND ({pair_pred})
 ),
 sh AS ({SHINGLES_SQL}),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  SELECT x.doc_id AS {a_col}, y.doc_id AS {b_col},
          CAST(count(*) AS BIGINT) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND ({pair_pred})
   GROUP BY 1, 2
 )
-SELECT c.id_a, c.id_b, c.n_common,
-       c.n_common / (sa.sz + sb.sz - c.n_common) AS jaccard
+SELECT c.{a_col}, c.{b_col}, c.n_common,
+       c.n_common / (sx.sz + sy.sz - c.n_common) AS jaccard
 FROM common c
-JOIN cand USING (id_a, id_b)
-JOIN sizes sa ON sa.doc_id = c.id_a
-JOIN sizes sb ON sb.doc_id = c.id_b
-WHERE c.n_common / (sa.sz + sb.sz - c.n_common) >= 0.5
+JOIN cand USING ({a_col}, {b_col})
+JOIN sizes sx ON sx.doc_id = c.{a_col}
+JOIN sizes sy ON sy.doc_id = c.{b_col}
+WHERE c.n_common / (sx.sz + sy.sz - c.n_common) >= 0.5
 """
+
+
+_LSH_PAIRS_SQL = _lsh_verified_pairs_sql(
+    "id_a", "id_b", "x.doc_id < y.doc_id"
+)
 
 
 @register("dedup_minhash_lsh_pairs", _LSH_PAIRS_SQL)
@@ -176,46 +187,13 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_verify_sets(sets, cand, threshold=0.5)
 
 
-# Bipartite (batch → seen) twin of _LSH_PAIRS_SQL: the corpus's
-# injected copies (ids ≥ 10000) play the NEW ingest batch, the
-# originals (ids < 10000) the already-ingested corpus — both sides'
-# signatures/shingles come from the same CTEs, split by id range.
-_INCR_NEAR_DUP_SQL = f"""
-WITH sig AS ({_minhash_select(8)}),
-banded AS (
-  SELECT doc_id, band_id, key FROM (
-    SELECT doc_id, unnest([
-      struct_pack(band_id := 0, key := h0 || '|' || h1),
-      struct_pack(band_id := 1, key := h2 || '|' || h3),
-      struct_pack(band_id := 2, key := h4 || '|' || h5),
-      struct_pack(band_id := 3, key := h6 || '|' || h7)
-    ], recursive := true)
-    FROM sig
-  )
-),
-cand AS (
-  SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS seen_id
-  FROM banded n JOIN banded s
-    ON n.band_id = s.band_id AND n.key = s.key
-   AND n.doc_id >= 10000 AND s.doc_id < 10000
-),
-sh AS ({SHINGLES_SQL}),
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-common AS (
-  SELECT n.doc_id AS new_id, s.doc_id AS seen_id,
-         CAST(count(*) AS BIGINT) AS n_common
-  FROM sh n JOIN sh s ON n.shingle = s.shingle
-   AND n.doc_id >= 10000 AND s.doc_id < 10000
-  GROUP BY 1, 2
+# Bipartite (batch → seen) twin of _LSH_PAIRS_SQL via the shared
+# builder: the corpus's injected copies (ids ≥ 10000) play the NEW
+# ingest batch, the originals (ids < 10000) the already-ingested
+# corpus — only the pair predicate differs.
+_INCR_NEAR_DUP_SQL = _lsh_verified_pairs_sql(
+    "new_id", "seen_id", "x.doc_id >= 10000 AND y.doc_id < 10000"
 )
-SELECT c.new_id, c.seen_id, c.n_common,
-       c.n_common / (sn.sz + ss.sz - c.n_common) AS jaccard
-FROM common c
-JOIN cand USING (new_id, seen_id)
-JOIN sizes sn ON sn.doc_id = c.new_id
-JOIN sizes ss ON ss.doc_id = c.seen_id
-WHERE c.n_common / (sn.sz + ss.sz - c.n_common) >= 0.5
-"""
 
 
 @register("dedup_incremental_near_dup", _INCR_NEAR_DUP_SQL)
@@ -438,10 +416,12 @@ def dedup_repeated_spans_keep_first(
 _EXCISE_SQL = f"""
 WITH {_spans_ctes()},
 atoks AS (
+  -- no length filter: the excision returns EVERY corpus row (empty
+  -- docs as ''), unlike the span finder's sub-k pruning
   SELECT doc_id,
     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
                  ' ') AS w
-  FROM ({CORPUS_SQL}) WHERE length(trim(text)) > 0
+  FROM ({CORPUS_SQL})
 ),
 keptt AS (
   SELECT t.doc_id, u.i AS pos, t.w[u.i] AS tok
@@ -1183,11 +1163,40 @@ def _ann_artifact_dir(sf_dir: str, kind: str) -> str:
     paths = [p] if os.path.isfile(p) else (
         glob.glob(os.path.join(p, "**"), recursive=True) or [p]
     )
-    mtime = max(int(os.path.getmtime(x)) for x in paths if os.path.exists(x))
+    # nanosecond mtime: second-truncated keys let a corpus regenerated
+    # within the same second serve a stale index
+    mtime = max(os.stat(x).st_mtime_ns for x in paths if os.path.exists(x))
     key = hashlib.md5(f"{os.path.abspath(p)}:{mtime}".encode()).hexdigest()[:16]
     return os.path.join(
         tempfile.gettempdir(), "tugas2_ann_index", key, kind
     )
+
+
+def _ensure_artifact(spark, path: str, probe_sub: str, build_fn) -> None:
+    """Build-once guard for the temp-dir artifact store, safe against
+    CONCURRENT sessions (e.g. bench + a test fixture racing on the same
+    corpus): a bare exists-then-build lets two sessions overwrite each
+    other mid-read. Build into a pid-suffixed staging dir, then
+    atomically rename into place — the rename loser (target already
+    exists) discards its staging copy and serves the winner's. Local-fs
+    semantics are fine here: the temp store stands in for a real
+    artifact store, whose writers coordinate via their own commit
+    protocol."""
+    import os
+    import shutil
+
+    from tugas_2_big_data_spark.sources.sinks import _path_exists
+
+    if _path_exists(spark, f"{path}/{probe_sub}"):
+        return
+    tmp = f"{path}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build_fn(tmp)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register(
@@ -1206,12 +1215,11 @@ def ann_ivf_topk_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trips doubles exactly, so artifact-served results are
     bit-identical to in-query training; what changes is WHERE the
     index-build cost is paid."""
-    from tugas_2_big_data_spark.sources.sinks import _path_exists
-
     emb = load_table(spark, "embeddings", sf_dir)
     path = _ann_artifact_dir(sf_dir, "ivf")
-    if not _path_exists(spark, f"{path}/invfile"):
-        similarity.ivf_build_index(emb, path)
+    _ensure_artifact(
+        spark, path, "invfile", lambda p: similarity.ivf_build_index(emb, p)
+    )
     return similarity.ivf_topk_from_index(
         spark, path, emb.filter(F.col("vec_id") < 5), nprobe=2, k=5
     )
@@ -1408,12 +1416,11 @@ def ann_ivfpq_topk_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted codebooks also freeze the F.avg trained-state
     nondeterminism documented in `pq_codebooks`. Same oracle as
     `ann_ivfpq_topk`."""
-    from tugas_2_big_data_spark.sources.sinks import _path_exists
-
     emb = load_table(spark, "embeddings", sf_dir)
     path = _ann_artifact_dir(sf_dir, "ivfpq")
-    if not _path_exists(spark, f"{path}/codes"):
-        similarity.ivfpq_build_index(emb, path)
+    _ensure_artifact(
+        spark, path, "codes", lambda p: similarity.ivfpq_build_index(emb, p)
+    )
     return similarity.ivfpq_topk_from_index(
         spark, path, emb.filter(F.col("vec_id") < 5), nprobe=2, k=5
     )
@@ -1426,12 +1433,11 @@ def ann_pq_topk_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     at query time is the m-small-ints-per-vector codes relation — no
     raw-vector scan, no encode pass. Completes the artifact-serving
     trio (IVF / PQ / IVF-PQ). Same oracle as `ann_pq_topk`."""
-    from tugas_2_big_data_spark.sources.sinks import _path_exists
-
     emb = load_table(spark, "embeddings", sf_dir)
     path = _ann_artifact_dir(sf_dir, "pq")
-    if not _path_exists(spark, f"{path}/codes"):
-        similarity.pq_build_index(emb, path)
+    _ensure_artifact(
+        spark, path, "codes", lambda p: similarity.pq_build_index(emb, p)
+    )
     return similarity.pq_topk_from_index(
         spark, path, emb.filter(F.col("vec_id") < 5), k=5
     )
