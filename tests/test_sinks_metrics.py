@@ -132,3 +132,47 @@ def test_merge_upsert_missing_target_creates(spark, tmp_path):
     upd = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
     sinks.merge_upsert(upd, path, keys=["id"])
     assert spark.read.parquet(path).count() == 2
+
+
+def test_ensure_artifact_build_once_and_race_loser_cleanup(spark, tmp_path):
+    """The prebuilt-ANN artifact guard: builds only when the probe
+    subpath is missing, never rebuilds once present, and a rename
+    loser (target appeared between check and rename) discards its
+    staging copy instead of clobbering the winner."""
+    import os
+
+    from tugas_2_big_data_spark.queries_training import _ensure_artifact
+
+    path = str(tmp_path / "store" / "idx")
+    calls = []
+
+    def build(p):
+        calls.append(p)
+        os.makedirs(os.path.join(p, "probe"), exist_ok=True)
+        with open(os.path.join(p, "probe", "part"), "w") as f:
+            f.write("v1")
+
+    _ensure_artifact(spark, path, "probe", build)
+    assert calls == [f"{path}.tmp-{os.getpid()}"]
+    assert os.path.exists(os.path.join(path, "probe", "part"))
+    # second call: artifact exists, build must NOT run again
+    _ensure_artifact(spark, path, "probe", build)
+    assert len(calls) == 1
+
+    # race: target appears AFTER the existence check (simulated by a
+    # build_fn that also creates the final path) — the rename fails and
+    # the loser's staging dir is discarded, winner's content survives
+    path2 = str(tmp_path / "store" / "idx2")
+
+    def racing_build(p):
+        os.makedirs(os.path.join(path2, "probe"), exist_ok=True)
+        with open(os.path.join(path2, "probe", "part"), "w") as f:
+            f.write("winner")
+        os.makedirs(os.path.join(p, "probe"), exist_ok=True)
+        with open(os.path.join(p, "probe", "part"), "w") as f:
+            f.write("loser")
+
+    _ensure_artifact(spark, path2, "probe", racing_build)
+    with open(os.path.join(path2, "probe", "part")) as f:
+        assert f.read() == "winner"
+    assert not os.path.exists(f"{path2}.tmp-{os.getpid()}")

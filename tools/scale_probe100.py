@@ -72,6 +72,7 @@ PROBE = [
     "ann_pq_topk_prebuilt",
     "ann_ivfpq_topk_prebuilt",
     "dedup_repeated_spans",         # k-gram hash buckets, text verify
+    "dedup_repeated_spans_excise",  # in-row span cut, full corpus out
     "dedup_incremental_near_dup",   # batch bands vs seen LSH state
 ]
 
