@@ -355,3 +355,9 @@ def test_ivf_prebuilt_serving_plan_reads_artifact(dfs):
         plan = pi.explain_formatted(dfs[name])
         assert "tugas2_ann_index" in plan, name
         assert not pi.uses_cartesian_or_bnl(dfs[name]), name
+
+
+def test_pipeline_span_clean_no_cartesian(dfs):
+    """The composed exact-dedup ∘ span-excision pipeline stays inside
+    key-equi-joins end-to-end."""
+    assert not pi.uses_cartesian_or_bnl(dfs["pipeline_span_clean"])

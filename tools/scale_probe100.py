@@ -74,6 +74,7 @@ PROBE = [
     "dedup_repeated_spans",         # k-gram hash buckets, text verify
     "dedup_repeated_spans_excise",  # in-row span cut, full corpus out
     "dedup_incremental_near_dup",   # batch bands vs seen LSH state
+    "pipeline_span_clean",          # exact dedup ∘ keep-first excision
 ]
 
 # Zipfian-vocabulary corpus variant: the prefix-filter dedups claim

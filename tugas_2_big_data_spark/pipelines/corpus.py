@@ -113,3 +113,36 @@ def enrich_and_filter(
             & F.col("lang_pred").isin(*langs)
         )
     )
+
+
+def span_clean_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Exact dedup ∘ keep-one-copy span excision — the two removal
+    passes a pretraining corpus runs in sequence (Lee et al.): drop
+    byte-identical re-ingests first (cheap fingerprint groupBy, and it
+    keeps the span stage from seeing N copies of every duplicated
+    gram), then excise cross-document repeated spans from the
+    survivors, keeping each span's occurrence in its lowest-id doc.
+    Returns (doc_id, clean_text), one row per exact-dedup survivor.
+
+    Stage order matters for cost, not correctness: exact dedup first
+    shrinks the span stage's gram relation by the duplicate factor;
+    running spans first would fingerprint every copy of every dup.
+    The survivors relation is localCheckpointed once — the span finder
+    and the excision re-tokenizer both consume it (the no-cache
+    fan-out trap, SURVEY.md §4)."""
+    docs = fan_out(docs)
+    fp = docs.withColumn("_fp", F.md5(dedup.normalized(text_col)))
+    keep_exact = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    survivors = (
+        fp.join(keep_exact, [id_col, "_fp"], "left_semi")
+        .select(id_col, text_col)
+        .localCheckpoint()
+    )
+    return dedup.excise_repeated_spans(
+        survivors, text_col, id_col, k=k, keep="first"
+    )

@@ -318,13 +318,16 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_K = 8
 
 
-def _spans_ctes(keep: str = "none") -> str:
+def _spans_ctes(keep: str = "none", src: str | None = None) -> str:
     """Oracle CTE chain for the span-dedup family: groups directly on
     gram TEXT (no hash stage), proving the Spark path's xxhash64 prune
     is a pure optimization — identical output, not a probabilistic
     approximation. keep="first" exempts each duplicated gram's
     occurrence in its lowest-id doc (dedup.repeated_spans keep
-    policy)."""
+    policy); `src` is the (doc_id, text) source relation (defaults to
+    the dup-injected corpus) so pipelines can run the chain over an
+    upstream stage."""
+    src = CORPUS_SQL if src is None else src
     if keep == "none":
         sdup = "SELECT doc_id, pos FROM sgrams WHERE gt IN (SELECT gt FROM shot)"
     else:
@@ -337,7 +340,7 @@ stoks AS (
   SELECT doc_id,
     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
                  ' ') AS w
-  FROM ({CORPUS_SQL}) WHERE length(trim(text)) > 0
+  FROM ({src}) WHERE length(trim(text)) > 0
 ),
 sgrams AS (
   SELECT doc_id, i AS pos,
@@ -413,15 +416,19 @@ def dedup_repeated_spans_keep_first(
     )
 
 
-_EXCISE_SQL = f"""
-WITH {_spans_ctes()},
+def _excise_tail_sql(src: str | None = None) -> str:
+    """Excision CTEs + final select over an `sspans` CTE already in
+    scope: re-tokenize `src`, drop positions covered by a span, re-join
+    in position order. No length filter — the excision returns EVERY
+    source row (empty docs as ''), unlike the span finder's sub-k
+    pruning."""
+    src = CORPUS_SQL if src is None else src
+    return f"""
 atoks AS (
-  -- no length filter: the excision returns EVERY corpus row (empty
-  -- docs as ''), unlike the span finder's sub-k pruning
   SELECT doc_id,
     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
                  ' ') AS w
-  FROM ({CORPUS_SQL})
+  FROM ({src})
 ),
 keptt AS (
   SELECT t.doc_id, u.i AS pos, t.w[u.i] AS tok
@@ -437,6 +444,12 @@ FROM atoks t LEFT JOIN (
   SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
   FROM keptt GROUP BY doc_id
 ) k USING (doc_id)
+"""
+
+
+_EXCISE_SQL = f"""
+WITH {_spans_ctes()},
+{_excise_tail_sql()}
 """
 
 
@@ -1595,6 +1608,37 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tugas_2_big_data_spark.pipelines import corpus as corpus_pipeline
 
     return corpus_pipeline.clean_corpus(corpus(spark, sf_dir))
+
+
+def _span_clean_sql() -> str:
+    ssurv_src = "SELECT doc_id, text FROM ssurv"
+    return f"""
+WITH raw AS ({CORPUS_SQL}),
+sfp AS (
+  SELECT doc_id, text,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fpv
+  FROM raw
+),
+skeep AS (SELECT fpv, min(doc_id) AS doc_id FROM sfp GROUP BY fpv),
+ssurv AS (
+  SELECT f.doc_id, f.text FROM sfp f JOIN skeep k USING (fpv, doc_id)
+),
+{_spans_ctes("first", src=ssurv_src)},
+{_excise_tail_sql(src=ssurv_src)}
+"""
+
+
+@register("pipeline_span_clean", _span_clean_sql())
+def pipeline_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup ∘ keep-one-copy span excision composed end-to-end
+    (pipelines/corpus.span_clean_corpus) — the two removal passes a
+    pretraining corpus runs in sequence: fingerprint keep-min first
+    (so the span stage never fingerprints N copies of a duplicated
+    gram), then cross-document repeated spans excised from the
+    survivors with each span's lowest-id occurrence kept."""
+    from tugas_2_big_data_spark.pipelines import corpus as corpus_pipeline
+
+    return corpus_pipeline.span_clean_corpus(corpus(spark, sf_dir))
 
 
 def _embed_components_sql() -> str:
