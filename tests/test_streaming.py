@@ -324,3 +324,49 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     a, b = rows(out_a), rows(out_b)
     assert len(a) > 0
     assert a == b
+
+
+def test_streaming_near_dup_matches_batch(spark):
+    """The streaming near-dup gate (set carried through the band join,
+    dropDuplicates candidates, stream-static verify) must produce
+    exactly the batch operator's rows after a full drain."""
+    from pyspark.sql import functions as F
+
+    from tugas_2_big_data_spark.operators import dedup
+
+    docs = load_table(spark, "documents", SF_UNIT).select("doc_id", "text")
+    seen_sets = dedup.shingle_sets(docs).localCheckpoint()
+    seen_bands = dedup.lsh_band_keys(
+        dedup.minhash_signatures_from_sets(seen_sets, 8), 8, 4
+    )
+
+    def as_batch(src):
+        return (
+            src.filter(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+            .unionByName(
+                src.filter(F.col("doc_id") % 10 == 0).select(
+                    (F.col("doc_id") + 100000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+                )
+            )
+        )
+
+    stream_src = se.read_documents_stream(spark, SF_UNIT).select(
+        "doc_id", "text"
+    )
+    streamed = {
+        (r.new_id, r.seen_id, r.n_common, round(r.jaccard, 9))
+        for r in se.run_to_memory(
+            se.streaming_near_dup(as_batch(stream_src), seen_bands, seen_sets),
+            "t_near_dup_parity",
+            "append",
+        ).collect()
+    }
+    batch = {
+        (r.new_id, r.seen_id, r.n_common, round(r.jaccard, 9))
+        for r in dedup.incremental_near_dup(
+            dedup.shingle_sets(as_batch(docs)), seen_sets, threshold=0.5
+        ).collect()
+    }
+    assert streamed == batch and streamed

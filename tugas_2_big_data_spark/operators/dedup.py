@@ -167,6 +167,25 @@ def minhash_signatures(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
+def minhash_sig_cols(k: int = 8) -> list[Column]:
+    """The k in-row minhash signature expressions over a `shingles`
+    array column — min(md5(seed:shingle)) via array_min(transform(...))
+    — exposed as raw Columns so callers that must KEEP other columns
+    alongside the signature (the streaming near-dup carries the set
+    through the band join) project them in one select."""
+    def _hasher(seed: int):
+        # 1-arg lambda factory: pyspark higher-order functions dispatch
+        # on lambda arity (2 params would mean "(element, index)")
+        return lambda s: hashing.seeded_md5(s, seed)
+
+    return [
+        F.array_min(F.transform(F.col("shingles"), _hasher(seed))).alias(
+            f"h{seed}"
+        )
+        for seed in range(k)
+    ]
+
+
 def minhash_signatures_from_sets(
     sets: DataFrame, k: int = 8, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -177,38 +196,32 @@ def minhash_signatures_from_sets(
     embarrassingly parallel at any scale. Identical values to
     ``minhash_signatures`` on the exploded relation.
     """
-    def _hasher(seed: int):
-        # 1-arg lambda factory: pyspark higher-order functions dispatch
-        # on lambda arity (2 params would mean "(element, index)")
-        return lambda s: hashing.seeded_md5(s, seed)
+    return sets.select(F.col(id_col), *minhash_sig_cols(k))
 
-    cols = [
-        F.array_min(F.transform(F.col("shingles"), _hasher(seed))).alias(
-            f"h{seed}"
+
+def band_exprs(k: int = 8, bands: int = 4) -> list[Column]:
+    """The LSH band structs over h0..h{k-1} signature columns: k hashes
+    split into `bands` groups of k/bands, band key = concatenation."""
+    rows_per_band = k // bands
+    out = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)]
+        out.append(
+            F.struct(F.lit(b).alias("band_id"), F.concat_ws("|", *cols).alias("key"))
         )
-        for seed in range(k)
-    ]
-    return sets.select(F.col(id_col), *cols)
+    return out
 
 
 def lsh_band_keys(
     signatures: DataFrame, k: int = 8, bands: int = 4, id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, band_id, key) LSH bucket rows from minhash signatures —
-    banding: k hashes split into `bands` groups of k/bands; band key is
-    the concatenation. This relation IS the persistable LSH state of a
-    corpus (bands·1 short strings per doc): `lsh_candidate_pairs`
-    self-joins it; `incremental_near_dup` joins a new batch's bands
-    against a persisted copy of it."""
-    rows_per_band = k // bands
-    band_exprs = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)]
-        band_exprs.append(
-            F.struct(F.lit(b).alias("band_id"), F.concat_ws("|", *cols).alias("key"))
-        )
+    banding via `band_exprs`. This relation IS the persistable LSH
+    state of a corpus (bands·1 short strings per doc):
+    `lsh_candidate_pairs` self-joins it; `incremental_near_dup` joins a
+    new batch's bands against a persisted copy of it."""
     return signatures.select(
-        F.col(id_col), F.explode(F.array(*band_exprs)).alias("band")
+        F.col(id_col), F.explode(F.array(*band_exprs(k, bands))).alias("band")
     ).select(id_col, "band.band_id", "band.key")
 
 

@@ -329,3 +329,49 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return se.run_to_memory(flagged, _sink_name("q_stream_anomaly"), "append")
+
+
+# safe import: queries.py registers queries_training BEFORE this module
+from tugas_2_big_data_spark.queries_training import (  # noqa: E402
+    _INCR_NEAR_DUP_SQL,
+)
+
+
+@register(
+    "stream_incremental_near_dup",
+    # the BATCH bipartite oracle: after a full drain the streaming
+    # result must equal dedup_incremental_near_dup's — batch/stream
+    # parity enforced by the same value gate
+    _INCR_NEAR_DUP_SQL,
+)
+def stream_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest near-dup gate as a REAL streaming query: the
+    corpus's injected copies arrive as a document stream and each
+    micro-batch is LSH-checked against the static seen-corpus band/set
+    state (streaming.events.streaming_near_dup) — the dedup gate a
+    continuously-crawled corpus puts in front of its ingest sink.
+    Same oracle as the batch `dedup_incremental_near_dup`."""
+    from tugas_2_big_data_spark.operators import dedup
+    from tugas_2_big_data_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    seen_sets = dedup.shingle_sets(docs).localCheckpoint()
+    seen_bands = dedup.lsh_band_keys(
+        dedup.minhash_signatures_from_sets(seen_sets, 8), 8, 4
+    )
+
+    src = se.read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    batch = (
+        src.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        .unionByName(
+            src.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+            )
+        )
+    )
+    out = se.streaming_near_dup(batch, seen_bands, seen_sets)
+    return se.run_to_memory(
+        out, _sink_name("q_stream_near_dup"), "append"
+    )

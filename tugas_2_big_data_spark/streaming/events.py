@@ -280,3 +280,91 @@ def enrich_with_static_dim(
     return events.join(
         F.broadcast(dim), events[on_left] == dim[on_right], "inner"
     )
+
+
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the documents parquet — the
+    continuous-ingest shape for text corpora (same explicit schema as
+    the batch catalog loader)."""
+    return (
+        spark.readStream.schema(TABLES["documents"])
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_near_dup(
+    stream_docs: DataFrame,
+    seen_bands: DataFrame,
+    seen_sets: DataFrame,
+    threshold: float = 0.5,
+    k: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Continuous-ingest NEAR-dup detection: each micro-batch of
+    arriving documents is checked against the STATIC seen-corpus LSH
+    state — the streaming form of `dedup.incremental_near_dup`, and
+    the dedup gate a continuously-crawled training corpus puts in
+    front of its ingest sink. Output per detected relation:
+    (new_id, seen_id, n_common, jaccard).
+
+    Streaming-specific plan shape (the batch operator cannot run as-is
+    on a stream):
+    - The shingle SET rides THROUGH the band join instead of being
+      re-joined afterwards — the batch formulation's candidates⋈sets
+      rejoin would be a stream-stream join (unbounded state); carrying
+      the array costs band-match-sized duplication instead.
+    - Candidate dedup is `dropDuplicates` on (new_id, seen_id) —
+      streaming-stateful, exact; every row of a key carries the same
+      set payload, so keep-first semantics are value-identical.
+    - Both joins are stream-STATIC (band state, set state): stateless
+      per micro-batch, re-planned against the static side, broadcast
+      at scale exactly as in batch.
+    - No fan_out / no localCheckpoint: width probes and eager actions
+      are illegal on streaming DataFrames; the shingle/signature
+      projections are map-only anyway.
+
+    After a full drain the result set equals the batch operator's —
+    the oracle gate enforces that parity with the same bipartite SQL.
+    """
+    from tugas_2_big_data_spark.operators import dedup
+
+    sets = dedup.shingle_sets(stream_docs, id_col=id_col, widen=False)
+    ex = sets.select(
+        F.col(id_col).alias("new_id"),
+        F.col("shingles").alias("sh_a"),
+        *dedup.minhash_sig_cols(k),
+    )
+    banded = ex.select(
+        "new_id",
+        "sh_a",
+        F.explode(F.array(*dedup.band_exprs(k, bands))).alias("band"),
+    ).select("new_id", "sh_a", "band.band_id", "band.key")
+    sbands = seen_bands.select(
+        F.col(id_col).alias("seen_id"), "band_id", "key"
+    )
+    cand = (
+        banded.join(sbands, ["band_id", "key"])
+        .select("new_id", "sh_a", "seen_id")
+        .dropDuplicates(["new_id", "seen_id"])
+    )
+    ssets = seen_sets.select(
+        F.col(id_col).alias("seen_id"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        cand.join(ssets, "seen_id")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "seen_id", "n_common", "jaccard")
+    )
