@@ -751,3 +751,28 @@ def test_repeated_spans_keep_first_exempts_lowest_doc(spark):
     }
     assert cleaned[1] == f"intro one two {shared} outro"
     assert cleaned[2] == "different ending words here now indeed"
+
+
+def test_incremental_embedding_near_dup_bipartite(spark):
+    """Batch vectors match their rescaled seen originals (cosine 1.0 in
+    the same sign bucket); orthogonal batch vectors match nothing;
+    seen-vs-seen pairs are out of scope."""
+    seen = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, [2.0, 0.0, 0.0, 0.0]),   # rescaled copy of 1
+            (102, [0.0, 0.0, 0.0, -1.0]),  # unrelated direction
+        ],
+        ["vec_id", "embedding"],
+    )
+    state = similarity.lsh_bucket_state(seen, n_planes=6, dim=4)
+    got = {
+        (r.new_id, r.seen_id, r.cosine)
+        for r in similarity.incremental_embedding_near_dup(
+            batch, state, threshold=0.999, n_planes=6, dim=4
+        ).collect()
+    }
+    assert got == {(101, 1, 1.0)}

@@ -75,6 +75,7 @@ PROBE = [
     "dedup_repeated_spans_excise",  # in-row span cut, full corpus out
     "dedup_incremental_near_dup",   # batch bands vs seen LSH state
     "pipeline_span_clean",          # exact dedup ∘ keep-first excision
+    "ann_incremental_near_dup",     # batch buckets vs seen LSH state
 ]
 
 # Zipfian-vocabulary corpus variant: the prefix-filter dedups claim

@@ -1397,3 +1397,72 @@ def hash_embed(
         ),
     )
     return t.select(F.col(id_col).alias("vec_id"), vec.alias("embedding"))
+
+
+def lsh_bucket_state(
+    corpus: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """(id, vec, bucket) — the persistable hyperplane-LSH state of an
+    embedding corpus: each vector with its sign-pattern bucket key.
+    Map-only; at scale this is the artifact an embedding-ingest dedup
+    gate keeps (write parquet partitioned/bucketed by `bucket`), the
+    vector twin of the text family's `dedup.lsh_band_keys` +
+    shingle-set state."""
+    planes = hyperplanes(n_planes, dim, seed)
+    return (
+        fan_out(corpus)
+        .select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .withColumn("bucket", lsh_bucket(F.col("vec"), planes))
+    )
+
+
+def incremental_embedding_near_dup(
+    batch: DataFrame,
+    seen_state: DataFrame,
+    threshold: float = 0.999,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Incremental NEAR-dup detection for EMBEDDINGS: which vectors of
+    a new ingest batch are near-duplicates (cosine ≥ threshold) of the
+    already-ingested corpus — the vector-modality twin of
+    `dedup.incremental_near_dup`, closing the incremental story across
+    both modalities (a re-encoded or rescaled copy of a stored item
+    lands in the same hyperplane bucket and cosine-matches exactly).
+
+    Output: (new_id, seen_id, cosine). All per-batch work is
+    batch-sized: the batch buckets map-only (same planes/seed as the
+    state), then ONE equi-join against the persisted `lsh_bucket_state`
+    touches only buckets the batch hashes into, and the exact cosine
+    verify prices candidate rows only — never corpus × batch.
+    """
+    planes = hyperplanes(n_planes, dim, seed)
+    b = (
+        batch.select(
+            F.col(id_col).alias("new_id"),
+            F.col(vec_col).cast("array<double>").alias("new_vec"),
+        )
+        .withColumn("bucket", lsh_bucket(F.col("new_vec"), planes))
+    )
+    s = seen_state.select(
+        F.col(id_col).alias("seen_id"),
+        F.col("vec").alias("seen_vec"),
+        "bucket",
+    )
+    return (
+        b.join(s, "bucket")
+        .withColumn("cosine", cosine(F.col("new_vec"), F.col("seen_vec")))
+        .filter(F.col("cosine") >= threshold)
+        .select("new_id", "seen_id", F.round("cosine", 9).alias("cosine"))
+    )

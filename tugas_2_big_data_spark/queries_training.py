@@ -907,6 +907,57 @@ def ann_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_near_dup_pairs(c, n_planes=8, dim=64, threshold=0.999)
 
 
+def _ann_incr_near_dup_sql() -> str:
+    planes = similarity.hyperplanes(8, 64, seed=7)
+    plane_sql = [
+        "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]" for p in planes
+    ]
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(vec, {p}) > 0 THEN '1' ELSE '0' END)"
+        for p in plane_sql
+    )
+    return f"""
+WITH seen AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+batch AS (
+  SELECT vec_id + 10000 AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> x * 2.0) AS vec
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+sb AS (SELECT vec_id, vec, {bits} AS bucket FROM seen),
+bb AS (SELECT vec_id, vec, {bits} AS bucket FROM batch)
+SELECT b.vec_id AS new_id, s.vec_id AS seen_id,
+       round(list_cosine_similarity(b.vec, s.vec), 9) AS cosine
+FROM bb b JOIN sb s ON b.bucket = s.bucket
+WHERE list_cosine_similarity(b.vec, s.vec) >= 0.999
+"""
+
+
+@register("ann_incremental_near_dup", _ann_incr_near_dup_sql())
+def ann_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection for EMBEDDINGS
+    (similarity.incremental_embedding_near_dup): rescaled copies of
+    every 20th stored vector arrive as a new ingest batch and are
+    matched against the seen corpus's persistable hyperplane-bucket
+    state — one bucket equi-join + exact cosine verify, all work
+    batch-sized. The vector-modality twin of
+    `dedup_incremental_near_dup`, closing the incremental-ingest story
+    across both modalities (a re-encoded/rescaled duplicate lands in
+    the same sign-pattern bucket and cosine-matches at 1.0)."""
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    seen_state = similarity.lsh_bucket_state(emb, n_planes=8, dim=64)
+    batch = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 2.0
+        ).alias("embedding"),
+    )
+    return similarity.incremental_embedding_near_dup(
+        batch, seen_state, threshold=0.999
+    )
+
+
 _ANN_IVF_SQL = """
 WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
 cents AS (
