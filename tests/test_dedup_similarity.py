@@ -776,3 +776,27 @@ def test_incremental_embedding_near_dup_bipartite(spark):
         ).collect()
     }
     assert got == {(101, 1, 1.0)}
+
+
+def test_benchmark_span_overlap_bipartite(spark):
+    """Training spans verbatim in the benchmark are listed (merged to
+    maximal spans); training-internal repeats and benchmark-internal
+    text produce nothing; clean docs stay clean."""
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota"
+    training = spark.createDataFrame(
+        [
+            (1, f"own words first {leak} own words after"),
+            (2, "fully original training content with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(900, f"benchmark question setup {leak} benchmark answer")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in dedup.benchmark_span_overlap(training, bench, k=8).collect()
+    }
+    # leak = 9 tokens at positions 4..12 of doc 1
+    assert got == {(1, 4, 9)}

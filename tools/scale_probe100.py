@@ -76,6 +76,7 @@ PROBE = [
     "dedup_incremental_near_dup",   # batch bands vs seen LSH state
     "pipeline_span_clean",          # exact dedup ∘ keep-first excision
     "ann_incremental_near_dup",     # batch buckets vs seen LSH state
+    "decontaminate_spans",          # training grams vs benchmark set
 ]
 
 # Zipfian-vocabulary corpus variant: the prefix-filter dedups claim

@@ -1117,3 +1117,83 @@ def incremental_near_dup(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "seen_id", "n_common", "jaccard")
     )
+
+
+def benchmark_span_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Span-level benchmark DECONTAMINATION: every maximal token span
+    of a training document that appears verbatim anywhere in the
+    benchmark/eval corpus, as a (doc_id, span_start, span_len) removal
+    list — the GPT-3/Lee-et-al. decontamination pass, at span rather
+    than whole-doc granularity (`text_analysis.contamination_rates`
+    flags documents by overlap RATE; this pinpoints the overlapping
+    text itself so the doc can be kept with the leak excised).
+
+    The bipartite form of `repeated_spans`, same bucketed shape: both
+    sides k-gram-hash map-only (xxhash64 prune — never reaches the
+    output; the gram-TEXT verify restores exactness), candidates =
+    doc grams semi-joined against the DISTINCT benchmark hash set
+    (benchmark side is typically tiny — broadcastable), survivors
+    re-derive text on both sides and verify by exact gram-text match,
+    then the per-doc island merge. Benchmark positions are never
+    emitted — only the training corpus is being cleaned."""
+    toks_d = _span_tokens(docs, text_col, id_col, k)
+    toks_b = _span_tokens(benchmark, text_col, id_col, k)
+
+    def grams_of(toks):
+        return toks.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - (k - 1)),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice("_w", i, k))
+                    ),
+                )
+            ).alias("_p0", "_gh"),
+        ).select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "_gh")
+
+    gd = grams_of(toks_d)
+    gb_hashes = grams_of(toks_b).select("_gh").distinct()
+    cand = gd.join(gb_hashes, "_gh", "left_semi").select(id_col, "pos")
+    ctext = cand.join(toks_d.hint("shuffle_hash"), id_col).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.concat_ws(" ", F.slice("_w", F.col("pos"), k)).alias("_gt"),
+    )
+    bench_cand = grams_of(toks_b).join(
+        gd.select("_gh").distinct(), "_gh", "left_semi"
+    )
+    btext = (
+        bench_cand.join(toks_b.hint("shuffle_hash"), id_col)
+        .select(
+            F.concat_ws(" ", F.slice("_w", F.col("pos"), k)).alias("_gt")
+        )
+        .distinct()
+    )
+    dup = ctext.join(btext, "_gt", "left_semi").select(id_col, "pos")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        F.col("pos") > F.coalesce(prev_end, F.lit(-1)), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        dup.withColumn("_brk", brk)
+        .withColumn("_island", F.sum("_brk").over(w))
+        .groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k - F.min("pos")).cast("long").alias("span_len"),
+        )
+        .select(id_col, "span_start", "span_len")
+    )

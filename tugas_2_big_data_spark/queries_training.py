@@ -464,6 +464,76 @@ def dedup_repeated_spans_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.excise_repeated_spans(corpus(spark, sf_dir), k=_SPAN_K)
 
 
+_DECON_SQL = f"""
+WITH tdocs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+),
+bdocs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0
+),
+dtoks AS (
+  SELECT doc_id,
+    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                 ' ') AS w
+  FROM tdocs WHERE length(trim(text)) > 0
+),
+btoks AS (
+  SELECT doc_id,
+    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                 ' ') AS w
+  FROM bdocs WHERE length(trim(text)) > 0
+),
+dgrams AS (
+  SELECT doc_id, i AS pos,
+    array_to_string(list_slice(w, i, i + {_SPAN_K - 1}), ' ') AS gt
+  FROM dtoks, UNNEST(generate_series(1, len(w) - {_SPAN_K - 1})) AS u(i)
+  WHERE len(w) >= {_SPAN_K}
+),
+bgrams AS (
+  SELECT DISTINCT
+    array_to_string(list_slice(w, i, i + {_SPAN_K - 1}), ' ') AS gt
+  FROM btoks, UNNEST(generate_series(1, len(w) - {_SPAN_K - 1})) AS u(i)
+  WHERE len(w) >= {_SPAN_K}
+),
+ddup AS (
+  SELECT doc_id, pos FROM dgrams WHERE gt IN (SELECT gt FROM bgrams)
+),
+disl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > coalesce(max(pos + {_SPAN_K}) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+    THEN 1 ELSE 0 END AS brk
+  FROM ddup
+),
+dgrp AS (
+  SELECT doc_id, pos, sum(brk) OVER (
+    PARTITION BY doc_id ORDER BY pos) AS island
+  FROM disl
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_SPAN_K} - min(pos) AS BIGINT) AS span_len
+FROM dgrp GROUP BY doc_id, island
+"""
+
+
+@register("decontaminate_spans", _DECON_SQL)
+def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination
+    (dedup.benchmark_span_overlap): every 13th document plays the eval
+    benchmark; every training-doc span that appears verbatim in it is
+    emitted as a removal list — the GPT-3/Lee-et-al. decontamination
+    pass at span granularity, complementing `txt_contamination`'s
+    per-doc overlap RATE with the overlapping text's exact location
+    (keep the doc, excise the leak). Oracle has no hash stage: the
+    xxhash prune is verified to be invisible, as in the span-dedup
+    family."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    training = docs.filter(F.col("doc_id") % 13 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 13 == 0)
+    return dedup.benchmark_span_overlap(training, benchmark, k=_SPAN_K)
+
+
 def _text_components_sql() -> str:
     return f"""
 WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
