@@ -73,6 +73,7 @@ PROBE = [
     "ann_ivfpq_topk_prebuilt",
     "dedup_repeated_spans",         # k-gram hash buckets, text verify
     "dedup_repeated_spans_excise",  # in-row span cut, full corpus out
+    "dedup_repeated_spans_keep_first",  # lowest-id occurrence exempt
     "dedup_incremental_near_dup",   # batch bands vs seen LSH state
     "pipeline_span_clean",          # exact dedup ∘ keep-first excision
     "ann_incremental_near_dup",     # batch buckets vs seen LSH state
