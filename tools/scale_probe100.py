@@ -78,6 +78,7 @@ PROBE = [
     "pipeline_span_clean",          # exact dedup ∘ keep-first excision
     "ann_incremental_near_dup",     # batch buckets vs seen LSH state
     "decontaminate_spans",          # training grams vs benchmark set
+    "decontaminate_excise",         # cleaned corpus w/ leaks cut
 ]
 
 # Zipfian-vocabulary corpus variant: the prefix-filter dedups claim

@@ -1005,9 +1005,28 @@ def excise_repeated_spans(
     no span), the excision must return EVERY input row: a cleaning
     operator that silently loses empty/whitespace-only docs would
     shrink downstream corpus counts. Empty docs come back as ''."""
-    spans_by_doc = repeated_spans(df, text_col, id_col, k, keep).groupBy(
-        id_col
-    ).agg(
+    return apply_span_removal(
+        df, repeated_spans(df, text_col, id_col, k, keep), text_col, id_col
+    )
+
+
+def apply_span_removal(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply any (doc_id, span_start, span_len) removal list to a
+    corpus: covered token positions are cut and survivors re-joined
+    (normalized-token space, single spaces) — the shared applier behind
+    `excise_repeated_spans` and the benchmark-decontamination excision.
+    Returns EVERY input row (empty docs as '').
+
+    Plan: the span list aggregates to one array per affected doc
+    (collect_list — bounded by the doc's own span count), joins back
+    to the corpus on doc id, and the cut is an in-row token filter —
+    no exploded token shuffle."""
+    spans_by_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_len")).alias("_spans")
     )
     toks = fan_out(df).select(

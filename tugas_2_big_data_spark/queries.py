@@ -60,6 +60,7 @@ _SWEEP_CHANGED: tuple[str, ...] = (
     "dedup_repeated_spans_keep_first", "dedup_incremental_near_dup",
     "pipeline_span_clean", "stream_incremental_near_dup",
     "ann_incremental_near_dup", "decontaminate_spans",
+    "decontaminate_excise",
     "txt_char_entropy", "sample_weighted_reservoir",
     "mix_temperature_sample",
 )

@@ -464,8 +464,8 @@ def dedup_repeated_spans_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.excise_repeated_spans(corpus(spark, sf_dir), k=_SPAN_K)
 
 
-_DECON_SQL = f"""
-WITH tdocs AS (
+_DECON_CTES = f"""
+tdocs AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
 ),
 bdocs AS (
@@ -510,10 +510,17 @@ dgrp AS (
   SELECT doc_id, pos, sum(brk) OVER (
     PARTITION BY doc_id ORDER BY pos) AS island
   FROM disl
+),
+sspans AS (
+  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + {_SPAN_K} - min(pos) AS BIGINT) AS span_len
+  FROM dgrp GROUP BY doc_id, island
 )
-SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-       CAST(max(pos) + {_SPAN_K} - min(pos) AS BIGINT) AS span_len
-FROM dgrp GROUP BY doc_id, island
+"""
+
+_DECON_SQL = f"""
+WITH {_DECON_CTES}
+SELECT doc_id, span_start, span_len FROM sspans
 """
 
 
@@ -532,6 +539,26 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     training = docs.filter(F.col("doc_id") % 13 != 0)
     benchmark = docs.filter(F.col("doc_id") % 13 == 0)
     return dedup.benchmark_span_overlap(training, benchmark, k=_SPAN_K)
+
+
+_DECON_EXCISE_SQL = f"""
+WITH {_DECON_CTES},
+{_excise_tail_sql(src="SELECT doc_id, text FROM tdocs")}
+"""
+
+
+@register("decontaminate_excise", _DECON_EXCISE_SQL)
+def decontaminate_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the benchmark-decontamination removal list
+    (dedup.apply_span_removal — the shared in-row span cutter): the
+    cleaned training corpus with every benchmark-overlapping span
+    excised, one row per training doc ('' if fully excised) — keep the
+    doc, remove the leak."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    training = docs.filter(F.col("doc_id") % 13 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 13 == 0)
+    spans = dedup.benchmark_span_overlap(training, benchmark, k=_SPAN_K)
+    return dedup.apply_span_removal(training, spans)
 
 
 def _text_components_sql() -> str:
