@@ -170,10 +170,32 @@ def _materialize(df) -> int:
     return h
 
 
+def _calibrate(spark) -> float:
+    """Fixed synthetic calibration job — hash-agg over a generated
+    range, no IO, no shuffle — timed as a pure host-throughput anchor.
+    Two rounds of bench triage established that this box drifts a
+    uniform 1.3-1.4x with concurrent load; normalizing per-query
+    regression checks by (calibration_now / calibration_baseline)
+    makes the flags fire on PLAN regressions, not host mood. min-of-2
+    after one warmup, same steady-state policy as the queries."""
+    from pyspark.sql import functions as F
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 12_000_000_000, 1, 32).select(
+            F.sum(F.xxhash64("id"))
+        ).collect()
+        return time.perf_counter() - t0
+
+    run()  # warmup (codegen compile)
+    return round(min(run(), run()), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="bench")
+    cal_start = _calibrate(spark)
     registry = q.queries()
     timings: dict[str, float] = {}
     names = [n for n in HEADLINE if n in registry]
@@ -204,39 +226,57 @@ def main() -> None:
         print(f"[bench] {name}: {timings[name]:.3f}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
+    cal_end = _calibrate(spark)
+    cal_now = round((cal_start + cal_end) / 2, 3)
     # Per-query regression gate vs the frozen round-3 honest baseline
     # (BENCH_BASELINE.json — the first run after the materializer fix,
     # so deltas against it are real slowdowns, not measurement drift).
-    # Flag >1.5× with an absolute floor of 0.3 s: local[32] timing noise
-    # on sub-0.5 s queries routinely exceeds 1.5× ratio-only. A query
-    # that trips the threshold gets ONE confirmation re-run first —
-    # in-bench GC/JIT pressure produced 2-3× one-off spikes on
-    # untouched plans (round-4 triage: every flag was noise), and the
-    # extra timing is paid only by would-be flags.
-    regressions: dict[str, list[float]] = {}
+    # The per-query bar is normalized by the host-calibration ratio
+    # (this run's synthetic-anchor time / the baseline's) so uniform
+    # machine drift — which tripped every flag in rounds 3-4 — no
+    # longer fires; what's left is >1.5× beyond what the host explains,
+    # with an absolute floor of 0.3 s (local[32] noise on sub-0.5 s
+    # queries routinely exceeds 1.5× ratio-only). A query that trips
+    # the bar gets ONE confirmation re-run, recorded SEPARATELY as
+    # rerun_s: published timings/total stay uniform min-of-2 for every
+    # query (mixing best-of-3 for flagged entries quietly improved the
+    # total on any run that tripped a flag).
+    regressions: dict[str, dict[str, float]] = {}
+    cal_base = None
     base_path = os.path.join(REPO_DIR, "BENCH_BASELINE.json")
     try:
         with open(base_path) as f:
             baseline = json.load(f)
         base_q = baseline.get("queries", {})
+        cal_base = baseline.get("calibration_s")
+        cal_ratio = (
+            max(cal_now / cal_base, 1.0) if cal_base else 1.0
+        )
         if baseline.get("sf") == sf_num:
+
+            def flagged(t: float, b: float) -> bool:
+                bn = b * cal_ratio
+                return t > 1.5 * bn and t - bn > 0.3
+
             for name, t in sorted(timings.items()):
                 b = base_q.get(name)
-                if b is None or not (t > 1.5 * b and t - b > 0.3):
+                if b is None or not flagged(t, b):
                     continue
                 t0 = time.perf_counter()
                 _materialize(registry[name](spark, sf_dir))
-                t = min(t, time.perf_counter() - t0)
-                timings[name] = round(t, 3)
-                if t > 1.5 * b and t - b > 0.3:
-                    regressions[name] = [b, round(t, 3)]
+                rerun = round(time.perf_counter() - t0, 3)
+                if flagged(rerun, b):
+                    regressions[name] = {
+                        "baseline_s": b,
+                        "run_s": t,
+                        "rerun_s": rerun,
+                    }
                 else:
                     print(
                         f"[bench] {name}: flag cleared on re-run "
-                        f"({timings[name]:.3f}s)",
+                        f"({rerun:.3f}s)",
                         file=sys.stderr,
                     )
-            total = round(sum(timings.values()), 3)
     except (OSError, ValueError):
         pass
     full = {
@@ -245,6 +285,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "regressions_vs_baseline": regressions,
+        "calibration_s": cal_now,
+        "calibration_start_s": cal_start,
+        "calibration_end_s": cal_end,
+        "calibration_baseline_s": cal_base,
         "sf": sf_num,
     }
     full_path = os.path.join(REPO_DIR, "BENCH_FULL.json")
@@ -263,6 +307,8 @@ def main() -> None:
         "queries_total_count": len(timings),
         "queries_file": "BENCH_FULL.json",
         "regressions_vs_baseline": regressions,
+        "calibration_s": cal_now,
+        "calibration_baseline_s": cal_base,
         "sf": sf_num,
     }
     print(json.dumps(summary, separators=(",", ":")))

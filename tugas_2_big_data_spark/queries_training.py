@@ -1309,15 +1309,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_artifact_dir(sf_dir: str, kind: str) -> str:
-    """Per-corpus ANN index-artifact directory (temp-dir scoped): keyed
-    by the embeddings table's absolute path AND mtime, so a regenerated
-    corpus under the same path gets a fresh key instead of serving a
-    stale index. The temp-dir location stands in for the artifact
-    store a real deployment would use (the 100-TB story is the same:
-    build writes once per rebuild cadence, serving reads)."""
+    """Per-corpus ANN index-artifact directory (temp-dir scoped),
+    layered as <path-hash>/<mtime_ns>/<kind>: the corpus path keys the
+    outer dir, its mtime the inner one, so a regenerated corpus under
+    the same path gets a fresh key instead of serving a stale index —
+    and every OLDER mtime dir under the same path-hash is pruned here
+    (a regenerated corpus otherwise orphans its previous key's IVF/PQ/
+    IVF-PQ artifacts forever; same-mtime concurrent sessions share one
+    key, so pruning never races a live reader). The temp-dir location
+    stands in for the artifact store a real deployment would use (the
+    100-TB story is the same: build writes once per rebuild cadence,
+    serving reads)."""
     import glob
     import hashlib
     import os
+    import shutil
     import tempfile
 
     p = os.path.join(sf_dir, "embeddings.parquet")
@@ -1327,10 +1333,18 @@ def _ann_artifact_dir(sf_dir: str, kind: str) -> str:
     # nanosecond mtime: second-truncated keys let a corpus regenerated
     # within the same second serve a stale index
     mtime = max(os.stat(x).st_mtime_ns for x in paths if os.path.exists(x))
-    key = hashlib.md5(f"{os.path.abspath(p)}:{mtime}".encode()).hexdigest()[:16]
-    return os.path.join(
-        tempfile.gettempdir(), "tugas2_ann_index", key, kind
-    )
+    key = hashlib.md5(os.path.abspath(p).encode()).hexdigest()[:16]
+    corpus_dir = os.path.join(tempfile.gettempdir(), "tugas2_ann_index", key)
+    try:
+        for entry in os.listdir(corpus_dir):
+            base = entry.split(".tmp-")[0]
+            if base.isdigit() and int(base) < mtime:
+                shutil.rmtree(
+                    os.path.join(corpus_dir, entry), ignore_errors=True
+                )
+    except OSError:
+        pass
+    return os.path.join(corpus_dir, str(mtime), kind)
 
 
 def _ensure_artifact(spark, path: str, probe_sub: str, build_fn) -> None:
@@ -1357,7 +1371,14 @@ def _ensure_artifact(spark, path: str, probe_sub: str, build_fn) -> None:
     try:
         os.rename(tmp, path)
     except OSError:
+        # expected loser path: a concurrent winner already renamed its
+        # copy into place — discard ours and serve theirs. But a rename
+        # that failed for any OTHER reason (permissions, cross-device
+        # tempdir) must not be swallowed: the artifact would be missing
+        # and the downstream parquet read would fail far from the cause.
         shutil.rmtree(tmp, ignore_errors=True)
+        if not _path_exists(spark, f"{path}/{probe_sub}"):
+            raise
 
 
 @register(
