@@ -875,6 +875,7 @@ def repeated_spans(
     id_col: str = "doc_id",
     k: int = 8,
     keep: str = "none",
+    materialize: bool = True,
 ) -> DataFrame:
     """Cross-document repeated-span identification — the ExactSubstr
     operation of Lee et al., "Deduplicating Training Data Makes
@@ -919,8 +920,20 @@ def repeated_spans(
 
     The DuckDB oracle groups directly on gram text (no hash stage),
     proving the hash prune is a pure optimization with identical
-    output."""
+    output.
+
+    ``materialize`` (default) localCheckpoints the two reused
+    relations — the token arrays (consumed by the gram leg AND the
+    verify rejoin: without it the whole corpus is normalized+split
+    twice) and the hashed gram relation (consumed by the hot-hash
+    groupBy AND the candidate semi-join: without it every gram is
+    xxhash64'd twice) — the same single-shingling policy as
+    `jaccard_pairs_prefix`. On a multi-node cluster swap for
+    persist(DISK_ONLY) or a reliable checkpoint (localCheckpoint dies
+    with its executor)."""
     toks = _span_tokens(df, text_col, id_col, k)
+    if materialize:
+        toks = toks.localCheckpoint()
     grams = toks.select(
         F.col(id_col),
         F.posexplode(
@@ -930,6 +943,8 @@ def repeated_spans(
             )
         ).alias("_p0", "_gh"),
     ).select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "_gh")
+    if materialize:
+        grams = grams.localCheckpoint()
     hot = (
         grams.groupBy("_gh")
         .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
@@ -987,6 +1002,7 @@ def excise_repeated_spans(
     id_col: str = "doc_id",
     k: int = 8,
     keep: str = "none",
+    materialize: bool = True,
 ) -> DataFrame:
     """Apply the `repeated_spans` removal list: duplicated span
     occurrences are cut and the surviving tokens re-joined
@@ -1006,7 +1022,10 @@ def excise_repeated_spans(
     operator that silently loses empty/whitespace-only docs would
     shrink downstream corpus counts. Empty docs come back as ''."""
     return apply_span_removal(
-        df, repeated_spans(df, text_col, id_col, k, keep), text_col, id_col
+        df,
+        repeated_spans(df, text_col, id_col, k, keep, materialize),
+        text_col,
+        id_col,
     )
 
 
@@ -1144,6 +1163,7 @@ def benchmark_span_overlap(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    materialize: bool = True,
 ) -> DataFrame:
     """Span-level benchmark DECONTAMINATION: every maximal token span
     of a training document that appears verbatim anywhere in the
@@ -1160,9 +1180,21 @@ def benchmark_span_overlap(
     (benchmark side is typically tiny — broadcastable), survivors
     re-derive text on both sides and verify by exact gram-text match,
     then the per-doc island merge. Benchmark positions are never
-    emitted — only the training corpus is being cleaned."""
+    emitted — only the training corpus is being cleaned.
+
+    ``materialize`` (default) localCheckpoints every reused relation:
+    both token-array sides (each feeds its gram leg AND its text
+    rejoin), the benchmark gram relation (feeds the distinct-hash
+    filter AND the benchmark candidate leg), and the corpus gram
+    relation gd (feeds the candidate semi-join AND the benchmark-side
+    distinct-hash filter — without it the whole corpus is gram-hashed
+    twice, the repeated-lineage trap this family pays at the 100×
+    probe tier). Cluster note as in `repeated_spans`."""
     toks_d = _span_tokens(docs, text_col, id_col, k)
     toks_b = _span_tokens(benchmark, text_col, id_col, k)
+    if materialize:
+        toks_d = toks_d.localCheckpoint()
+        toks_b = toks_b.localCheckpoint()
 
     def grams_of(toks):
         return toks.select(
@@ -1178,16 +1210,18 @@ def benchmark_span_overlap(
         ).select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "_gh")
 
     gd = grams_of(toks_d)
-    gb_hashes = grams_of(toks_b).select("_gh").distinct()
+    gb = grams_of(toks_b)
+    if materialize:
+        gd = gd.localCheckpoint()
+        gb = gb.localCheckpoint()
+    gb_hashes = gb.select("_gh").distinct()
     cand = gd.join(gb_hashes, "_gh", "left_semi").select(id_col, "pos")
     ctext = cand.join(toks_d.hint("shuffle_hash"), id_col).select(
         F.col(id_col),
         F.col("pos"),
         F.concat_ws(" ", F.slice("_w", F.col("pos"), k)).alias("_gt"),
     )
-    bench_cand = grams_of(toks_b).join(
-        gd.select("_gh").distinct(), "_gh", "left_semi"
-    )
+    bench_cand = gb.join(gd.select("_gh").distinct(), "_gh", "left_semi")
     btext = (
         bench_cand.join(toks_b.hint("shuffle_hash"), id_col)
         .select(
