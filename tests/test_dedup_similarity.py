@@ -800,3 +800,98 @@ def test_benchmark_span_overlap_bipartite(spark):
     }
     # leak = 9 tokens at positions 4..12 of doc 1
     assert got == {(1, 4, 9)}
+
+
+def test_merge_fingerprint_state_gates_second_batch(spark):
+    """The exact-dedup ingest loop must EVOLVE: a copy of a batch-1
+    accepted doc arriving in batch 2 is caught only by the merged
+    state — the frozen state wrongly accepts it."""
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb ccc"), (2, "ddd eee fff")], ["doc_id", "text"]
+    )
+    state0 = dedup.fingerprint_groups(docs).select("fp")
+    b1 = spark.createDataFrame(
+        [(10, "aaa bbb ccc"), (11, "fresh new text one")],
+        ["doc_id", "text"],
+    )
+    acc1 = dedup.incremental_new_docs(b1, state0)
+    assert {r.doc_id for r in acc1.collect()} == {11}
+    state1 = dedup.merge_fingerprint_state(state0, acc1)
+    b2 = spark.createDataFrame(
+        [(20, "fresh new text one"), (21, "another fresh doc")],
+        ["doc_id", "text"],
+    )
+    frozen = {r.doc_id for r in dedup.incremental_new_docs(b2, state0).collect()}
+    evolved = {r.doc_id for r in dedup.incremental_new_docs(b2, state1).collect()}
+    assert frozen == {20, 21}  # the stale gate misses the plant
+    assert evolved == {21}
+
+
+def test_merge_near_dup_state_gates_second_batch(spark):
+    """The near-dup ingest loop must EVOLVE: a near-dup of a batch-1
+    accepted doc is invisible to the frozen band/set state and caught
+    by the merged one."""
+    seen = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    seen_sets = dedup.shingle_sets(seen)
+    seen_bands = dedup.lsh_band_keys(
+        dedup.minhash_signatures_from_sets(seen_sets)
+    )
+    b1 = spark.createDataFrame(
+        [(10, "zebra yak xylophone walrus vulture tiger snake rabbit")],
+        ["doc_id", "text"],
+    )
+    b1_sets = dedup.shingle_sets(b1)
+    m1 = dedup.incremental_near_dup(
+        b1_sets, seen_sets, threshold=0.5, seen_bands=seen_bands
+    )
+    assert m1.count() == 0  # batch 1 is genuinely fresh -> accepted
+    bands1, sets1 = dedup.merge_near_dup_state(seen_bands, seen_sets, b1_sets)
+    b2 = spark.createDataFrame(
+        [(20, "zebra yak xylophone walrus vulture tiger snake rabbit extra")],
+        ["doc_id", "text"],
+    )
+    b2_sets = dedup.shingle_sets(b2)
+    frozen = dedup.incremental_near_dup(
+        b2_sets, seen_sets, threshold=0.5, seen_bands=seen_bands
+    )
+    evolved = dedup.incremental_near_dup(
+        b2_sets, sets1, threshold=0.5, seen_bands=bands1
+    )
+    assert frozen.count() == 0  # the stale gate misses the plant
+    assert {(r.new_id, r.seen_id) for r in evolved.collect()} == {(20, 10)}
+
+
+def test_merge_bucket_state_gates_second_batch(spark):
+    """The embedding ingest loop must EVOLVE: a rescaled copy of a
+    batch-1 accepted vector is invisible to the frozen bucket state
+    and caught by the merged one."""
+    seen = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    state0 = similarity.lsh_bucket_state(seen, n_planes=6, dim=4)
+    b1 = spark.createDataFrame(
+        [(10, [0.0, 0.0, 1.0, 0.0])], ["vec_id", "embedding"]
+    )
+    m1 = similarity.incremental_embedding_near_dup(
+        b1, state0, threshold=0.999, n_planes=6, dim=4
+    )
+    assert m1.count() == 0
+    state1 = similarity.merge_bucket_state(state0, b1, n_planes=6, dim=4)
+    b2 = spark.createDataFrame(
+        [(20, [0.0, 0.0, 2.0, 0.0]), (21, [0.0, 0.0, 0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    frozen = similarity.incremental_embedding_near_dup(
+        b2, state0, threshold=0.999, n_planes=6, dim=4
+    )
+    evolved = similarity.incremental_embedding_near_dup(
+        b2, state1, threshold=0.999, n_planes=6, dim=4
+    )
+    assert frozen.count() == 0  # the stale gate misses the plant
+    assert {(r.new_id, r.seen_id, r.cosine) for r in evolved.collect()} == {
+        (20, 10, 1.0)
+    }

@@ -850,6 +850,28 @@ def incremental_new_docs(
     return fresh.join(keep, [id_col, "fp"], "left_semi").drop("fp")
 
 
+def merge_fingerprint_state(
+    seen_fingerprints: DataFrame,
+    accepted: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """State-merge half of the incremental exact-dedup loop: fold a
+    batch's ACCEPTED docs into the fingerprint state, producing the
+    state the NEXT batch is gated against (state₁ = state₀ ⊎
+    fp(accepted)).
+
+    APPEND-ONLY by design — no distinct, no reshuffle: the output of
+    `incremental_new_docs` is already disjoint from the seen set (the
+    anti-join) and fp-unique within the batch (the min-id keep), so a
+    union suffices, and at 100 TB that matters: the state is a ~2 TB
+    fingerprint table that gets a batch-sized parquet APPEND per
+    ingest, never a state-sized rewrite. Per-batch cost is independent
+    of state size."""
+    return seen_fingerprints.select("fp").unionByName(
+        accepted.select(F.md5(normalized(text_col)).alias("fp"))
+    )
+
+
 def _span_tokens(
     df: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
@@ -1154,6 +1176,38 @@ def incremental_near_dup(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "seen_id", "n_common", "jaccard")
+    )
+
+
+def merge_near_dup_state(
+    seen_bands: DataFrame,
+    seen_sets: DataFrame,
+    accepted_sets: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """State-merge half of the incremental NEAR-dup loop: fold the
+    ACCEPTED batch docs' shingle sets into the two persistable state
+    relations `incremental_near_dup` gates against, returning
+    (bands₁, sets₁) = (bands₀ ⊎ bands(accepted), sets₀ ⊎ accepted).
+
+    APPEND-ONLY: the accepted docs' band keys are re-derived map-only
+    from their (batch-sized) shingle sets — the same k/bands scheme as
+    the check, so a doc accepted now is findable by every later batch
+    — and both states grow by a union, never a reshuffle. At scale
+    each is a parquet APPEND (band state partitioned by band_id/key
+    bucket, set state by id), so per-batch merge cost is batch-sized
+    and independent of how much corpus the state already covers."""
+    new_bands = lsh_band_keys(
+        minhash_signatures_from_sets(accepted_sets, k, id_col),
+        k,
+        bands,
+        id_col,
+    )
+    return (
+        seen_bands.unionByName(new_bands),
+        seen_sets.unionByName(accepted_sets),
     )
 
 

@@ -1424,6 +1424,31 @@ def lsh_bucket_state(
     )
 
 
+def merge_bucket_state(
+    seen_state: DataFrame,
+    accepted: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """State-merge half of the incremental EMBEDDING near-dup loop:
+    fold a batch's ACCEPTED vectors into the persisted
+    `lsh_bucket_state`, producing the state the NEXT batch is gated
+    against (state₁ = state₀ ⊎ bucket_state(accepted)). Same
+    planes/seed as the state so later batches can find the newly
+    accepted vectors.
+
+    APPEND-ONLY: bucketing the accepted batch is map-only and
+    batch-sized, and the merge is a union — at scale, a parquet APPEND
+    to the bucket-partitioned state table — so per-batch cost is
+    independent of state size."""
+    return seen_state.unionByName(
+        lsh_bucket_state(accepted, n_planes, dim, id_col, vec_col, seed)
+    )
+
+
 def incremental_embedding_near_dup(
     batch: DataFrame,
     seen_state: DataFrame,

@@ -53,16 +53,13 @@ def register(name: str, oracle: str | None):
 # driver row can fall more than ~(registry/cap) rounds behind without
 # hand-maintenance of this list.
 _SWEEP_CHANGED: tuple[str, ...] = (
-    # new or materially changed in round 4
-    "ann_ivf_topk_prebuilt", "ann_ivfpq_topk_prebuilt",
-    "ann_pq_topk_prebuilt",
+    # new or materially changed in round 5
+    "dedup_incremental_two_batches",
+    "dedup_incremental_near_dup_two_batches",
+    "ann_incremental_two_batches",
     "dedup_repeated_spans", "dedup_repeated_spans_excise",
-    "dedup_repeated_spans_keep_first", "dedup_incremental_near_dup",
-    "pipeline_span_clean", "stream_incremental_near_dup",
-    "ann_incremental_near_dup", "decontaminate_spans",
-    "decontaminate_excise",
-    "txt_char_entropy", "sample_weighted_reservoir",
-    "mix_temperature_sample",
+    "dedup_repeated_spans_keep_first", "pipeline_span_clean",
+    "decontaminate_spans", "decontaminate_excise",
 )
 
 

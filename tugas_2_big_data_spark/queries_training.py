@@ -224,6 +224,213 @@ def dedup_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_near_dup(batch_sets, seen_sets, threshold=0.5)
 
 
+def _lsh_bipartite_parts(
+    a_src: str, b_src: str, a_col: str, b_col: str, prefix: str
+) -> list[str]:
+    """CTE parts for ONE bipartite incremental near-dup pass (minhash →
+    banding → bucket join → exact-Jaccard ≥ 0.5 verify) between two
+    (doc_id, text) sources, namespaced by `prefix` so several passes —
+    one per ingest batch — compose in a single WITH chain (the same
+    prefixing idiom as `_kmeans_cents_ctes`). Final CTE:
+    {prefix}pairs({a_col}, {b_col}, n_common, jaccard)."""
+    p = prefix
+    parts: list[str] = []
+    mins = ",\n    ".join(
+        f"min(md5('{s}:' || shingle)) AS h{s}" for s in range(8)
+    )
+    for side, src in (("a", a_src), ("b", b_src)):
+        parts.append(f"{p}sh_{side} AS ({_shingles_over(src)})")
+        parts.append(
+            f"{p}sig_{side} AS (SELECT doc_id,\n    {mins}\n"
+            f"  FROM {p}sh_{side} GROUP BY doc_id)"
+        )
+        parts.append(f"""{p}band_{side} AS (
+  SELECT doc_id, band_id, key FROM (
+    SELECT doc_id, unnest([
+      struct_pack(band_id := 0, key := h0 || '|' || h1),
+      struct_pack(band_id := 1, key := h2 || '|' || h3),
+      struct_pack(band_id := 2, key := h4 || '|' || h5),
+      struct_pack(band_id := 3, key := h6 || '|' || h7)
+    ], recursive := true)
+    FROM {p}sig_{side}
+  )
+)""")
+        parts.append(
+            f"{p}sz_{side} AS (SELECT doc_id, count(*) AS sz "
+            f"FROM {p}sh_{side} GROUP BY doc_id)"
+        )
+    parts.append(f"""{p}cand AS (
+  SELECT DISTINCT x.doc_id AS {a_col}, y.doc_id AS {b_col}
+  FROM {p}band_a x JOIN {p}band_b y
+    ON x.band_id = y.band_id AND x.key = y.key
+)""")
+    parts.append(f"""{p}common AS (
+  SELECT x.doc_id AS {a_col}, y.doc_id AS {b_col},
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM {p}sh_a x JOIN {p}sh_b y ON x.shingle = y.shingle
+  GROUP BY 1, 2
+)""")
+    parts.append(f"""{p}pairs AS (
+  SELECT c.{a_col}, c.{b_col}, c.n_common,
+         c.n_common / (sx.sz + sy.sz - c.n_common) AS jaccard
+  FROM {p}common c
+  JOIN {p}cand USING ({a_col}, {b_col})
+  JOIN {p}sz_a sx ON sx.doc_id = c.{a_col}
+  JOIN {p}sz_b sy ON sy.doc_id = c.{b_col}
+  WHERE c.n_common / (sx.sz + sy.sz - c.n_common) >= 0.5
+)""")
+    return parts
+
+
+# reversed-word-order text: the deterministic "genuinely fresh" doc
+# constructor for the two-batch queries — a reversed doc shares almost
+# no 3-word shingles with its source, so it clears the Jaccard gate,
+# while ITS OWN later near-dup (reversed + suffix) is only catchable
+# if the state evolved to contain it
+_REV_TEXT_SQL = (
+    "array_to_string(list_reverse("
+    "string_split_regex(trim(text), '\\s+')), ' ')"
+)
+
+
+def _rev_text_col() -> F.Column:
+    return F.concat_ws(
+        " ", F.reverse(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+
+
+_INCR2_B1_SQL = f"""
+  SELECT doc_id + 100000 AS doc_id, text || ' zzz qqq' AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, {_REV_TEXT_SQL} AS text
+  FROM documents WHERE doc_id % 13 = 0
+"""
+
+_INCR2_B2_SQL = f"""
+  SELECT doc_id + 300000 AS doc_id, {_REV_TEXT_SQL} || ' zzz qqq' AS text
+  FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 400000 AS doc_id, text
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _incr2_near_dup_sql() -> str:
+    docs_src = "SELECT doc_id, text FROM documents"
+    p1 = _lsh_bipartite_parts(
+        _INCR2_B1_SQL, docs_src, "new_id", "seen_id", "p1_"
+    )
+    seen1_src = (
+        f"{docs_src} UNION ALL SELECT doc_id, text FROM acc1"
+    )
+    p2 = _lsh_bipartite_parts(
+        _INCR2_B2_SQL, seen1_src, "new_id", "seen_id", "p2_"
+    )
+    ctes = ",\n".join(
+        p1
+        + [
+            f"""acc1 AS (
+  SELECT doc_id, text FROM ({_INCR2_B1_SQL})
+  WHERE doc_id NOT IN (SELECT new_id FROM p1_pairs)
+)"""
+        ]
+        + p2
+        + [
+            f"""acc2 AS (
+  SELECT doc_id FROM ({_INCR2_B2_SQL})
+  WHERE doc_id NOT IN (SELECT new_id FROM p2_pairs)
+)"""
+        ]
+    )
+    return f"""
+WITH {ctes}
+SELECT CAST(1 AS BIGINT) AS batch, doc_id FROM acc1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS batch, doc_id FROM acc2
+"""
+
+
+@register("dedup_incremental_near_dup_two_batches", _incr2_near_dup_sql())
+def dedup_incremental_near_dup_two_batches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental NEAR-dup loop CLOSED over two ingest batches —
+    check, merge state, check again against the UPDATED state
+    (dedup.incremental_near_dup + dedup.merge_near_dup_state):
+
+    batch₁ = near-dups of the seen corpus (+100000, suffix-extended —
+    rejected) ∪ genuinely fresh docs (+200000, reversed word order —
+    accepted); state₁ = state₀ ⊎ accepted(batch₁); batch₂ = near-dups
+    OF BATCH₁'S ACCEPTED DOCS (+300000, reversed + suffix — the
+    planted probe: only an EVOLVED state can catch them) ∪ exact
+    copies of the seen corpus (+400000 — still caught via state₀'s
+    half). Output: (batch, doc_id) of every accepted doc; a frozen
+    state would wrongly accept the +300000 plants and hash-mismatch.
+
+    All per-batch work is batch-sized: the checks bucket-join the
+    batch against the band state, and the merge is an append-only
+    union (band keys re-derived map-only from the accepted docs'
+    shingle sets) — per-batch cost independent of state size."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    b1 = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                _rev_text_col().alias("text"),
+            )
+        )
+    )
+    b2 = (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(_rev_text_col(), F.lit(" zzz qqq")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 400000).alias("doc_id"), "text"
+            )
+        )
+    )
+    seen_sets = dedup.shingle_sets(docs).localCheckpoint()
+    seen_bands = dedup.lsh_band_keys(
+        dedup.minhash_signatures_from_sets(seen_sets), 8, 4
+    )
+    b1_sets = dedup.shingle_sets(b1).localCheckpoint()
+    m1 = dedup.incremental_near_dup(
+        b1_sets, seen_sets, threshold=0.5, seen_bands=seen_bands
+    )
+    acc1 = b1.join(
+        m1.select(F.col("new_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    ).localCheckpoint()
+    acc1_sets = b1_sets.join(acc1.select("doc_id"), "doc_id", "left_semi")
+    bands1, sets1 = dedup.merge_near_dup_state(
+        seen_bands, seen_sets, acc1_sets
+    )
+    b2_sets = dedup.shingle_sets(b2).localCheckpoint()
+    m2 = dedup.incremental_near_dup(
+        b2_sets, sets1, threshold=0.5, seen_bands=bands1
+    )
+    acc2 = b2.join(
+        m2.select(F.col("new_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    return acc1.select(
+        F.lit(1).cast("long").alias("batch"), "doc_id"
+    ).unionByName(
+        acc2.select(F.lit(2).cast("long").alias("batch"), "doc_id")
+    )
+
+
 def _jaccard_sql(sh_sql: str) -> str:
     return f"""
 WITH sh AS ({sh_sql}),
@@ -1052,6 +1259,143 @@ def ann_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return similarity.incremental_embedding_near_dup(
         batch, seen_state, threshold=0.999
+    )
+
+
+def _ann_incr2_sql() -> str:
+    planes = similarity.hyperplanes(8, 64, seed=7)
+    plane_sql = [
+        "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]" for p in planes
+    ]
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(vec, {p}) > 0 THEN '1' ELSE '0' END)"
+        for p in plane_sql
+    )
+    return f"""
+WITH seen AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+b1 AS (
+  SELECT vec_id + 10000 AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> x * 2.0) AS vec
+  FROM embeddings WHERE vec_id % 20 = 0
+  UNION ALL
+  SELECT vec_id + 20000 AS vec_id, list_reverse(embedding::DOUBLE[]) AS vec
+  FROM embeddings WHERE vec_id % 17 = 0
+),
+sb AS (SELECT vec_id, vec, {bits} AS bucket FROM seen),
+bb1 AS (SELECT vec_id, vec, {bits} AS bucket FROM b1),
+m1 AS (
+  SELECT DISTINCT b.vec_id FROM bb1 b JOIN sb s ON b.bucket = s.bucket
+  WHERE list_cosine_similarity(b.vec, s.vec) >= 0.999
+),
+acc1 AS (
+  SELECT vec_id, vec FROM b1
+  WHERE vec_id NOT IN (SELECT vec_id FROM m1)
+),
+state1 AS (
+  SELECT * FROM sb
+  UNION ALL
+  SELECT vec_id, vec, {bits} AS bucket FROM acc1
+),
+b2 AS (
+  SELECT vec_id + 30000 AS vec_id,
+         list_transform(list_reverse(embedding::DOUBLE[]), x -> x * 3.0)
+           AS vec
+  FROM embeddings WHERE vec_id % 17 = 0
+  UNION ALL
+  SELECT vec_id + 40000 AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> x * 4.0) AS vec
+  FROM embeddings WHERE vec_id % 20 = 0
+  UNION ALL
+  SELECT vec_id + 50000 AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> -x) AS vec
+  FROM embeddings WHERE vec_id % 23 = 0
+),
+bb2 AS (SELECT vec_id, vec, {bits} AS bucket FROM b2),
+m2 AS (
+  SELECT DISTINCT b.vec_id FROM bb2 b JOIN state1 s ON b.bucket = s.bucket
+  WHERE list_cosine_similarity(b.vec, s.vec) >= 0.999
+),
+acc2 AS (
+  SELECT vec_id FROM b2 WHERE vec_id NOT IN (SELECT vec_id FROM m2)
+)
+SELECT CAST(1 AS BIGINT) AS batch, vec_id FROM acc1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS batch, vec_id FROM acc2
+"""
+
+
+@register("ann_incremental_two_batches", _ann_incr2_sql())
+def ann_incremental_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental EMBEDDING near-dup loop CLOSED over two ingest
+    batches (similarity.incremental_embedding_near_dup +
+    similarity.merge_bucket_state): batch₁ = rescaled copies of stored
+    vectors (+10000, ×2 — rejected) ∪ fresh reversed vectors (+20000 —
+    accepted); state₁ = state₀ ⊎ bucket_state(accepted); batch₂ =
+    RESCALED COPIES OF BATCH₁'S ACCEPTED VECTORS (+30000, reversed ×3
+    — the planted probe, catchable only by an evolved state) ∪ more
+    copies of the seen corpus (+40000, ×4 — caught via state₀'s half)
+    ∪ fresh negated vectors (+50000 — accepted; negation flips every
+    hyperplane sign, so they land in the complement bucket and never
+    cosine-match their source). Output: (batch, vec_id) of every
+    accepted vector.
+
+    Per-batch work is batch-sized on both halves of the loop: the
+    check bucket-joins the batch against the state, the merge appends
+    the accepted batch's bucketed rows — never a state-sized pass."""
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    dv = F.col("embedding").cast("array<double>")
+    b1 = (
+        emb.filter(F.col("vec_id") % 20 == 0)
+        .select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform(dv, lambda x: x * 2.0).alias("embedding"),
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") % 17 == 0).select(
+                (F.col("vec_id") + 20000).alias("vec_id"),
+                F.reverse(dv).alias("embedding"),
+            )
+        )
+    )
+    b2 = (
+        emb.filter(F.col("vec_id") % 17 == 0)
+        .select(
+            (F.col("vec_id") + 30000).alias("vec_id"),
+            F.transform(F.reverse(dv), lambda x: x * 3.0).alias("embedding"),
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") % 20 == 0).select(
+                (F.col("vec_id") + 40000).alias("vec_id"),
+                F.transform(dv, lambda x: x * 4.0).alias("embedding"),
+            )
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") % 23 == 0).select(
+                (F.col("vec_id") + 50000).alias("vec_id"),
+                F.transform(dv, lambda x: -x).alias("embedding"),
+            )
+        )
+    )
+    state0 = similarity.lsh_bucket_state(emb).localCheckpoint()
+    m1 = similarity.incremental_embedding_near_dup(b1, state0, threshold=0.999)
+    acc1 = b1.join(
+        m1.select(F.col("new_id").alias("vec_id")).distinct(),
+        "vec_id",
+        "left_anti",
+    ).localCheckpoint()
+    state1 = similarity.merge_bucket_state(state0, acc1)
+    m2 = similarity.incremental_embedding_near_dup(b2, state1, threshold=0.999)
+    acc2 = b2.join(
+        m2.select(F.col("new_id").alias("vec_id")).distinct(),
+        "vec_id",
+        "left_anti",
+    )
+    return acc1.select(
+        F.lit(1).cast("long").alias("batch"), "vec_id"
+    ).unionByName(
+        acc2.select(F.lit(2).cast("long").alias("batch"), "vec_id")
     )
 
 
@@ -2583,6 +2927,93 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("fp")
     batch = docs.filter(F.col("doc_id") % 3 != 0)
     return dedup.incremental_new_docs(batch, seen).select("doc_id")
+
+
+_FP_EXPR_SQL = (
+    "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+)
+
+_INCR2_EXACT_SQL = f"""
+WITH state0 AS (SELECT DISTINCT {_FP_EXPR_SQL} AS fp FROM documents),
+b1 AS (
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' zzz qqq' AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+b1f AS (SELECT doc_id, {_FP_EXPR_SQL} AS fp FROM b1),
+fresh1 AS (
+  SELECT doc_id, fp FROM b1f WHERE fp NOT IN (SELECT fp FROM state0)
+),
+acc1 AS (SELECT min(doc_id) AS doc_id, fp FROM fresh1 GROUP BY fp),
+state1 AS (SELECT fp FROM state0 UNION ALL SELECT fp FROM acc1),
+b2 AS (
+  SELECT doc_id + 200000 AS doc_id, text || ' zzz qqq' AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, text || ' bbb ccc' AS text
+  FROM documents WHERE doc_id % 13 = 0
+),
+b2f AS (SELECT doc_id, {_FP_EXPR_SQL} AS fp FROM b2),
+fresh2 AS (
+  SELECT doc_id, fp FROM b2f WHERE fp NOT IN (SELECT fp FROM state1)
+),
+acc2 AS (SELECT min(doc_id) AS doc_id, fp FROM fresh2 GROUP BY fp)
+SELECT CAST(1 AS BIGINT) AS batch, doc_id FROM acc1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS batch, doc_id FROM acc2
+"""
+
+
+@register("dedup_incremental_two_batches", _INCR2_EXACT_SQL)
+def dedup_incremental_two_batches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental EXACT-dedup loop CLOSED over two ingest batches
+    (dedup.incremental_new_docs + dedup.merge_fingerprint_state):
+    batch₁ = exact copies of the seen corpus (+10000 — rejected) ∪
+    fresh suffix-extended docs (+100000 — accepted); state₁ = state₀ ⊎
+    fp(accepted); batch₂ = EXACT COPIES OF BATCH₁'S ACCEPTED DOCS
+    (+200000, same extended text — the planted probe: a frozen state
+    would wrongly accept every one) ∪ fresh docs (+300000 — accepted).
+    Output: (batch, doc_id) of every accepted doc.
+
+    The state merge is an append-only union — at 100 TB, a batch-sized
+    parquet APPEND to the ~2 TB fingerprint table — so per-batch cost
+    is independent of how much corpus the state already covers."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    b1 = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+            )
+        )
+    )
+    b2 = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" bbb ccc")).alias("text"),
+            )
+        )
+    )
+    state0 = dedup.fingerprint_groups(docs).select("fp")
+    acc1 = dedup.incremental_new_docs(b1, state0).localCheckpoint()
+    state1 = dedup.merge_fingerprint_state(state0, acc1)
+    acc2 = dedup.incremental_new_docs(b2, state1)
+    return acc1.select(
+        F.lit(1).cast("long").alias("batch"), "doc_id"
+    ).unionByName(
+        acc2.select(F.lit(2).cast("long").alias("batch"), "doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
