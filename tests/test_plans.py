@@ -361,3 +361,18 @@ def test_pipeline_span_clean_no_cartesian(dfs):
     """The composed exact-dedup ∘ span-excision pipeline stays inside
     key-equi-joins end-to-end."""
     assert not pi.uses_cartesian_or_bnl(dfs["pipeline_span_clean"])
+
+
+def test_embedding_state_join_never_broadcasts_vectors(dfs):
+    """The incremental embedding gate's bucket join pins SHUFFLE_HASH
+    on the STATE side: the state carries the full seen vectors (array
+    payload — the measured AQE broadcast hazard), and it is the
+    corpus-sized relation, the one side that must never broadcast."""
+    for name in ("ann_incremental_near_dup", "ann_incremental_two_batches"):
+        plan = pi.explain_formatted(dfs[name])
+        assert "ShuffledHashJoin" in plan, name
+        for block in plan.split("\n\n"):
+            if block.splitlines() and "BroadcastExchange" in block.splitlines()[0]:
+                assert "seen_vec#" not in block, (
+                    f"{name}: state vectors broadcast\n{block}"
+                )

@@ -1471,6 +1471,14 @@ def incremental_embedding_near_dup(
     state), then ONE equi-join against the persisted `lsh_bucket_state`
     touches only buckets the batch hashes into, and the exact cosine
     verify prices candidate rows only — never corpus × batch.
+
+    The bucket join pins SHUFFLE_HASH on the state side: the state
+    carries the full seen VECTORS (an array payload), and the repo's
+    measured AQE hazard (a size-misestimated array relation riding a
+    broadcast) applies exactly here — the state is the corpus-sized
+    side, the one relation that must never broadcast. With the state
+    stored bucketed by `bucket`, the pinned shuffle join co-locates:
+    only the batch shuffles (see tools/probe_incremental_state.py).
     """
     planes = hyperplanes(n_planes, dim, seed)
     b = (
@@ -1486,7 +1494,7 @@ def incremental_embedding_near_dup(
         "bucket",
     )
     return (
-        b.join(s, "bucket")
+        b.join(s.hint("shuffle_hash"), "bucket")
         .withColumn("cosine", cosine(F.col("new_vec"), F.col("seen_vec")))
         .filter(F.col("cosine") >= threshold)
         .select("new_id", "seen_id", F.round("cosine", 9).alias("cosine"))
