@@ -250,6 +250,49 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_recall(
+    sets: DataFrame,
+    thresholds: tuple[float, ...] = (0.5, 0.7, 0.9),
+    k: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Measured CANDIDATE RECALL of the (k, bands) minhash banding
+    scheme against exact Jaccard ground truth, one row per threshold:
+    (threshold, n_truth, n_hits, recall) where n_truth = true pairs
+    with Jaccard ≥ threshold and n_hits = those surfaced as LSH
+    candidates. The banding trade (P[candidate] = 1-(1-s^(k/bands))^bands,
+    s = true Jaccard) is usually asserted from the formula; this
+    measures it on the actual corpus — the self-measurement query the
+    ANN side already ships (`ann_ivf_recall`), for the text-dedup side.
+    Operational use: run after retuning k/bands or when corpus shingle
+    statistics drift; a recall drop at the operating threshold means
+    the bands no longer match the duplicate profile.
+
+    Cost shape: ground truth is the exhaustive length-filtered
+    inverted-index join (`jaccard_pairs_from_sets`) — a measurement
+    pass over a SAMPLE at 100 TB, exactly like `ann_ivf_recall` runs
+    its exact leg on a query sample, never the full corpus."""
+    truth = jaccard_pairs_from_sets(sets, id_col, min(thresholds))
+    cand = lsh_candidate_pairs(
+        minhash_signatures_from_sets(sets, k, id_col), k, bands, id_col
+    ).withColumn("_hit", F.lit(1))
+    th = sets.sparkSession.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    return (
+        truth.crossJoin(F.broadcast(th))
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .join(cand, ["id_a", "id_b"], "left")
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn("recall", F.col("n_hits") / F.col("n_truth"))
+    )
+
+
 def _prefix_pos_bound(sz: Column, threshold: float) -> Column:
     """Float-safe prefix length for PPJoin-style filtering.
 
@@ -1148,6 +1191,12 @@ def incremental_near_dup(
     Batch-vs-batch duplicates are deliberately out of scope here (run
     `lsh_candidate_pairs` + verify within the batch for that; the
     composition mirrors `incremental_new_docs`' two-phase contract).
+
+    The k/bands banding trade this gate inherits is MEASURED, not
+    asserted: `lsh_candidate_recall` (registered as `dedup_lsh_recall`)
+    reports candidate recall against exact Jaccard ground truth per
+    threshold on the actual corpus. Fold accepted batches back into
+    (seen_bands, seen_sets) with `merge_near_dup_state`.
     """
     if seen_bands is None:
         seen_bands = lsh_band_keys(

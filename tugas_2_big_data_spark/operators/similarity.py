@@ -547,6 +547,58 @@ def ivfpq_topk_from_index(
     )
 
 
+def ivfpq_rerank_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    vectors: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    rerank: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ serving with EXACT-COSINE RERANKING — the standard
+    recall-recovery stage over a lossy ADC scorer (Jégou et al.'s
+    IVFADC+R): take the ADC top-(k·rerank) candidates from the
+    persisted index (`ivfpq_topk_from_index`), re-score ONLY those
+    candidates against their full-precision vectors from `vectors`
+    (the id-keyed raw store — at scale, k·rerank point lookups per
+    query, never a corpus pass), and return the exact-cosine top-k.
+
+    Output (query_id, nbr_id, cosine, rk) — the same contract as
+    `ivf_topk`, so downstream consumers can swap scorers freely. The
+    vector rejoin pins SHUFFLE_HASH (array payload must never ride a
+    broadcast); the query batch broadcasts onto its candidates."""
+    from pyspark.sql import Window
+
+    cand = ivfpq_topk_from_index(
+        spark, path, queries, nprobe=nprobe, k=k * rerank,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "nbr_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("query_vec"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).cast("array<double>").alias("nbr_vec"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("nbr_id")
+    )
+    return (
+        cand.join(v.hint("shuffle_hash"), "nbr_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", cosine(F.col("query_vec"), F.col("nbr_vec")))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "nbr_id", F.round("cosine", 9).alias("cosine"), "rk"
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -452,6 +452,54 @@ WHERE c.n_common / (sa.sz + sb.sz - c.n_common) >= 0.5
 
 _JACCARD_SQL = _jaccard_sql(SHINGLES_SQL)
 
+
+def _lsh_recall_sql() -> str:
+    return f"""
+WITH truth AS ({_JACCARD_SQL}),
+sig AS ({_minhash_select(8)}),
+banded AS (
+  SELECT doc_id, band_id, key FROM (
+    SELECT doc_id, unnest([
+      struct_pack(band_id := 0, key := h0 || '|' || h1),
+      struct_pack(band_id := 1, key := h2 || '|' || h3),
+      struct_pack(band_id := 2, key := h4 || '|' || h5),
+      struct_pack(band_id := 3, key := h6 || '|' || h7)
+    ], recursive := true)
+    FROM sig
+  )
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band_id = y.band_id AND x.key = y.key AND x.doc_id < y.doc_id
+),
+th AS (
+  SELECT CAST(unnest([0.5, 0.7, 0.9]) AS DOUBLE) AS threshold
+)
+SELECT t.threshold,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(count(c.id_a) AS BIGINT) AS n_hits,
+       count(c.id_a) / count(*) AS recall
+FROM truth x
+JOIN th t ON x.jaccard >= t.threshold
+LEFT JOIN cand c ON c.id_a = x.id_a AND c.id_b = x.id_b
+GROUP BY t.threshold
+"""
+
+
+@register("dedup_lsh_recall", _lsh_recall_sql())
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate recall of the production k=8/bands=4 banding scheme
+    against exact Jaccard ground truth, per threshold
+    (dedup.lsh_candidate_recall) — the text-dedup twin of
+    `ann_ivf_recall`: the approximate stage quantifying its own miss
+    rate inside the oracle-checked registry, replacing the banding
+    formula's asserted trade with a number measured on this corpus.
+    `dedup_incremental_near_dup` and the LSH pair family inherit
+    whatever this reports at their operating threshold (0.5)."""
+    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint()
+    return dedup.lsh_candidate_recall(sets)
+
 # shingle relation under the 60-bit portable hash — the oracle twin of
 # dedup.hashed_shingle_sets (counts identical to the string relation up
 # to ~n²/2^61 collisions, which the hash-mirroring reproduces exactly)
@@ -1966,6 +2014,207 @@ def ann_pq_topk_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return similarity.pq_topk_from_index(
         spark, path, emb.filter(F.col("vec_id") < 5), k=5
+    )
+
+
+def _ivfpq_rerank_sql(
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    ks: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    topk: int = 5,
+    rerank: int = 3,
+    n_queries: int = 5,
+) -> str:
+    """IVF-PQ + exact-rerank oracle: the `_ivfpq_sql` ADC chain kept to
+    rank k·rerank as the candidate CTE, then candidates re-scored by
+    exact cosine against the full-precision corpus CTE and re-ranked
+    to top-k — the IVFADC+R shape, composed from the proven pieces."""
+    pq_parts, cent_joins, dist = _pq_parts(m, ks, iters, dim, "q.query_vec")
+    parts = _ivf_assign_parts(n_centroids, iters, dim, nprobe, n_queries)
+    parts += pq_parts
+    parts.append(f"""adc AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT q.query_id, a.nbr_id,
+      row_number() OVER (
+        PARTITION BY q.query_id ORDER BY {dist} ASC, a.nbr_id
+      ) AS rk
+    FROM qassign q JOIN cassign a USING (cid)
+    JOIN codes x ON x.vec_id = a.nbr_id {cent_joins}
+    WHERE a.nbr_id != q.query_id
+  ) WHERE rk <= {topk * rerank}
+)""")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT query_id, nbr_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT c.query_id, c.nbr_id,
+    round(list_cosine_similarity(qq.vec, vv.vec), 9) AS cosine,
+    row_number() OVER (
+      PARTITION BY c.query_id
+      ORDER BY list_cosine_similarity(qq.vec, vv.vec) DESC, c.nbr_id
+    ) AS rk
+  FROM adc c
+  JOIN corpus vv ON vv.vec_id = c.nbr_id
+  JOIN corpus qq ON qq.vec_id = c.query_id
+) WHERE rk <= {topk}
+"""
+
+
+@register("ann_ivfpq_rerank_topk", _ivfpq_rerank_sql())
+def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving with exact-cosine reranking
+    (similarity.ivfpq_rerank_topk_from_index): ADC top-15 candidates
+    from the persisted index, refined by exact cosine over just those
+    15 raw vectors per query, exact top-5 out. The standard
+    recall-recovery stage for a lossy ADC scorer — per-query refine
+    cost is k·rerank point lookups, independent of corpus size;
+    measured uplift is `ann_ivfpq_recall`'s recall_rerank vs
+    recall_adc columns."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    path = _ann_artifact_dir(sf_dir, "ivfpq")
+    _ensure_artifact(
+        spark, path, "codes", lambda p: similarity.ivfpq_build_index(emb, p)
+    )
+    return similarity.ivfpq_rerank_topk_from_index(
+        spark, path, emb.filter(F.col("vec_id") < 5), emb,
+        nprobe=2, k=5, rerank=3,
+    )
+
+
+def _recall_over_sql(approx_sql: str) -> str:
+    """Recall@5 oracle of any approximate top-k SQL leg vs the exact
+    cosine ground truth — the `_ivf_recall_sql` shape, generalized."""
+    return f"""
+WITH exact AS ({_ANN_TOPK_SQL}),
+approx AS ({approx_sql}),
+n_ex AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM exact GROUP BY query_id
+),
+hits AS (
+  SELECT e.query_id, CAST(count(a.nbr_id) AS BIGINT) AS n_hits
+  FROM exact e LEFT JOIN approx a
+    ON a.query_id = e.query_id AND a.nbr_id = e.nbr_id
+  GROUP BY e.query_id
+)
+SELECT n.query_id, n.n_exact, h.n_hits,
+       h.n_hits / n.n_exact AS recall
+FROM n_ex n JOIN hits h ON h.query_id = n.query_id
+"""
+
+
+def _spark_recall_over(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    n_ex = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        exact.join(approx, ["query_id", "nbr_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    return n_ex.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce(F.col("_h"), F.lit(0)).cast("long")
+            / F.col("n_exact")
+        ).alias("recall"),
+    )
+
+
+@register("ann_pq_recall", _recall_over_sql(_pq_sql()))
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ ADC scorer against exact cosine ground
+    truth, per query — PQ quantifying its own compression/accuracy
+    trade inside the oracle gate (the measurement `ann_ivf_recall`
+    ships for IVF, for the memory leg of the ANN family). Served from
+    the persisted codes artifact; results are bit-identical to the
+    in-query twin, so the oracle composes the registered `_pq_sql`."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q5 = emb.filter(F.col("vec_id") < 5)
+    path = _ann_artifact_dir(sf_dir, "pq")
+    _ensure_artifact(
+        spark, path, "codes", lambda p: similarity.pq_build_index(emb, p)
+    )
+    exact = similarity.cosine_topk(emb, q5, k=5).select("query_id", "nbr_id")
+    approx = similarity.pq_topk_from_index(spark, path, q5, k=5).select(
+        "query_id", "nbr_id"
+    )
+    return _spark_recall_over(exact, approx)
+
+
+def _ivfpq_recall_sql() -> str:
+    return f"""
+WITH exact AS ({_ANN_TOPK_SQL}),
+adc AS ({_ivfpq_sql()}),
+rr AS ({_ivfpq_rerank_sql()}),
+n_ex AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM exact GROUP BY query_id
+),
+h1 AS (
+  SELECT e.query_id, CAST(count(a.nbr_id) AS BIGINT) AS n_hits
+  FROM exact e LEFT JOIN adc a
+    ON a.query_id = e.query_id AND a.nbr_id = e.nbr_id
+  GROUP BY e.query_id
+),
+h2 AS (
+  SELECT e.query_id, CAST(count(r.nbr_id) AS BIGINT) AS n_hits
+  FROM exact e LEFT JOIN rr r
+    ON r.query_id = e.query_id AND r.nbr_id = e.nbr_id
+  GROUP BY e.query_id
+)
+SELECT n.query_id, n.n_exact,
+       h1.n_hits AS n_hits_adc,
+       h1.n_hits / n.n_exact AS recall_adc,
+       h2.n_hits AS n_hits_rerank,
+       h2.n_hits / n.n_exact AS recall_rerank
+FROM n_ex n
+JOIN h1 ON h1.query_id = n.query_id
+JOIN h2 ON h2.query_id = n.query_id
+"""
+
+
+@register("ann_ivfpq_recall", _ivfpq_recall_sql())
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVF-PQ against exact cosine ground truth, RAW ADC
+    and EXACT-RERANKED side by side per query — the measured uplift
+    the rerank stage buys (recall_rerank − recall_adc), inside the
+    oracle gate. Both approximate legs serve from the same persisted
+    index artifact."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q5 = emb.filter(F.col("vec_id") < 5)
+    path = _ann_artifact_dir(sf_dir, "ivfpq")
+    _ensure_artifact(
+        spark, path, "codes", lambda p: similarity.ivfpq_build_index(emb, p)
+    )
+    exact = similarity.cosine_topk(emb, q5, k=5).select("query_id", "nbr_id")
+    adc = similarity.ivfpq_topk_from_index(
+        spark, path, q5, nprobe=2, k=5
+    ).select("query_id", "nbr_id")
+    rr = similarity.ivfpq_rerank_topk_from_index(
+        spark, path, q5, emb, nprobe=2, k=5, rerank=3
+    ).select("query_id", "nbr_id")
+    a = _spark_recall_over(exact, adc).select(
+        "query_id",
+        "n_exact",
+        F.col("n_hits").alias("n_hits_adc"),
+        F.col("recall").alias("recall_adc"),
+    )
+    r = _spark_recall_over(exact, rr).select(
+        "query_id",
+        F.col("n_hits").alias("n_hits_rerank"),
+        F.col("recall").alias("recall_rerank"),
+    )
+    return a.join(r, "query_id").select(
+        "query_id",
+        "n_exact",
+        "n_hits_adc",
+        "recall_adc",
+        "n_hits_rerank",
+        "recall_rerank",
     )
 
 
