@@ -79,6 +79,10 @@ PROBE = [
     "ann_incremental_near_dup",     # batch buckets vs seen LSH state
     "decontaminate_spans",          # training grams vs benchmark set
     "decontaminate_excise",         # cleaned corpus w/ leaks cut
+    "dedup_incremental_two_batches",            # check+merge+check loop
+    "dedup_incremental_near_dup_two_batches",   # LSH loop, state evolved
+    "ann_incremental_two_batches",              # bucket loop, state evolved
+    "ann_ivfpq_rerank_topk",        # ADC serve + k*r exact rerank
 ]
 
 # Zipfian-vocabulary corpus variant: the prefix-filter dedups claim
@@ -89,6 +93,23 @@ ZIPF_PROBE = [
     "dedup_ngram_jaccard_prefix",
     "dedup_containment_prefix",
 ]
+# Boilerplate-heavy corpus variant: every document carries the SAME
+# trailing sentence (one hot k-gram in ~every doc — the cookie-banner /
+# terms-of-service shape real crawls have). The span family's candidate
+# rejoin inherits the hot gram's full occurrence list and the verify
+# groupBy lands that gram's every occurrence on one key — this probes
+# that skew shape (the main 100x corpus has no corpus-wide hot gram).
+# Map-side partial min/max aggregation and the linear (occurrences x 1)
+# keep-first join are the mechanisms that should keep it linear.
+BOILER_PROBE = [
+    "dedup_repeated_spans",
+    "dedup_repeated_spans_keep_first",
+]
+BOILER_SMALL = os.path.join(REPO, ".scratch", "boiler_small")
+BOILER_BIG = os.path.join(REPO, ".scratch", "boiler_big")
+BOILER_SUFFIX = (
+    " the standard terms of service apply to all content on this site"
+)
 ZIPF_SMALL = os.path.join(REPO, ".scratch", "zipf_small")
 ZIPF_BIG = os.path.join(REPO, ".scratch", "zipf_big")
 ZIPF_VOCAB = 50_000
@@ -165,6 +186,18 @@ def build_zipf(spark, dst: str, n_docs: int) -> None:
     docs.repartition(32).write.mode("overwrite").parquet(
         f"{dst}/documents.parquet"
     )
+
+
+def build_boiler(spark, src_dir: str, dst: str) -> None:
+    """Suffix every document of an existing probe corpus with the same
+    boilerplate sentence (ids and everything else unchanged)."""
+    os.makedirs(dst, exist_ok=True)
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+    docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(BOILER_SUFFIX))
+    ).withColumn("n_chars", F.length("text").cast("int")).repartition(
+        32
+    ).write.mode("overwrite").parquet(f"{dst}/documents.parquet")
 
 
 def build(spark) -> None:
@@ -292,6 +325,36 @@ def main() -> None:
         }
         print(
             f"{name}@zipf: {t_small:.2f}s -> {t_big:.2f}s (x{ratio}) "
+            f"rows {n_small} -> {n_big}",
+            file=sys.stderr,
+        )
+    if (
+        not os.path.exists(f"{BOILER_BIG}/documents.parquet")
+        or "--rebuild" in sys.argv
+    ):
+        print("building boilerplate corpora ...", file=sys.stderr)
+        build_boiler(spark, SRC, BOILER_SMALL)
+        build_boiler(spark, DST, BOILER_BIG)
+    for name in BOILER_PROBE:
+        fn = reg[name]
+        try:
+            n_small, t_small = _materialize(fn(spark, BOILER_SMALL))
+            n_big, t_big = _materialize(fn(spark, BOILER_BIG))
+        except Exception as exc:  # noqa: BLE001
+            msg = str(exc).split("\n")[0][:200]
+            results[f"{name}@boiler"] = {"error": msg}
+            print(f"{name}@boiler: ERROR {msg}", file=sys.stderr)
+            continue
+        ratio = round(t_big / t_small, 2) if t_small > 0 else None
+        results[f"{name}@boiler"] = {
+            "t_base": round(t_small, 3),
+            "t_100x": round(t_big, 3),
+            "ratio": ratio,
+            "rows_base": n_small,
+            "rows_100x": n_big,
+        }
+        print(
+            f"{name}@boiler: {t_small:.2f}s -> {t_big:.2f}s (x{ratio}) "
             f"rows {n_small} -> {n_big}",
             file=sys.stderr,
         )
