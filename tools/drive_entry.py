@@ -1,5 +1,7 @@
 """Driver-sim: run __spark_entry__ the way the external driver does."""
+import json
 import math
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -111,6 +113,24 @@ def main():
             print(f"ok   {name}: {len(s_rows)} rows match oracle")
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    # full-parity artifact: SPARK_GRAFT_PARITY_OUT=FULLPARITY_r5.json
+    # records every query's sf0.01 oracle verdict for the round, so the
+    # whole registry carries a current-round certification even though
+    # the external driver's sweep is capped at ~50 rows/round.
+    out = os.environ.get("SPARK_GRAFT_PARITY_OUT")
+    if out:
+        bad = dict(failures)
+        report = {
+            "sf_dir": SF_DIR,
+            "n_pass": len(qs) - len(failures),
+            "n_total": len(qs),
+            "results": {
+                n: bad.get(n, "pass") for n in sorted(qs)
+            },
+        }
+        with open(out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"wrote {out}")
     if failures:
         sys.exit(1)
 

@@ -1476,6 +1476,52 @@ def lsh_bucket_state(
     )
 
 
+def lsh_bucket_recall(
+    batch: DataFrame,
+    seen_state: DataFrame,
+    threshold: float = 0.999,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Measured recall of the hyperplane-bucket gate: of the TRUE
+    near-dup pairs (exact cosine ≥ threshold, batch × seen), what
+    fraction lands in the same sign-pattern bucket — i.e. what
+    `incremental_embedding_near_dup` would actually catch. One row:
+    (n_truth, n_hits, recall). The vector twin of
+    `dedup.lsh_candidate_recall`; the n_planes trade
+    (P[same bucket] = (1 − θ/π)^n_planes) measured on the real corpus
+    instead of asserted from the formula.
+
+    The exact truth leg is a broadcast-batch × state scan — a
+    MEASUREMENT pass (run on a batch sample at 100 TB, like
+    `ann_ivf_recall`'s exact leg), not a production path."""
+    planes = hyperplanes(n_planes, dim, seed)
+    b = batch.select(
+        F.col(id_col).alias("new_id"),
+        F.col(vec_col).cast("array<double>").alias("new_vec"),
+    ).withColumn("new_bucket", lsh_bucket(F.col("new_vec"), planes))
+    s = seen_state.select(
+        F.col(id_col).alias("seen_id"),
+        F.col("vec").alias("seen_vec"),
+        "bucket",
+    )
+    truth = s.join(
+        F.broadcast(b),
+        cosine(F.col("new_vec"), F.col("seen_vec")) >= threshold,
+    )
+    return truth.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.sum(
+            F.when(F.col("new_bucket") == F.col("bucket"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_hits"),
+    ).withColumn("recall", F.col("n_hits") / F.col("n_truth"))
+
+
 def merge_bucket_state(
     seen_state: DataFrame,
     accepted: DataFrame,

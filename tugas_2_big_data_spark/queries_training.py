@@ -1447,6 +1447,66 @@ def ann_incremental_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_bucket_recall_sql() -> str:
+    planes = similarity.hyperplanes(8, 64, seed=7)
+    plane_sql = [
+        "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]" for p in planes
+    ]
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(vec, {p}) > 0 THEN '1' ELSE '0' END)"
+        for p in plane_sql
+    )
+    return f"""
+WITH seen AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+batch AS (
+  SELECT vec_id + 10000 AS vec_id,
+         list_transform(generate_series(1, 64),
+                        i -> v[i] + 0.01 * v[65 - i]) AS vec
+  FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE vec_id % 20 = 0
+  )
+),
+sb AS (SELECT vec_id, vec, {bits} AS bucket FROM seen),
+bb AS (SELECT vec_id, vec, {bits} AS bucket FROM batch),
+truth AS (
+  SELECT (b.bucket = s.bucket) AS hit
+  FROM bb b JOIN sb s
+    ON list_cosine_similarity(b.vec, s.vec) >= 0.999
+)
+SELECT CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       sum(CASE WHEN hit THEN 1 ELSE 0 END) / count(*) AS recall
+FROM truth
+"""
+
+
+@register("ann_incremental_recall", _ann_bucket_recall_sql())
+def ann_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the hyperplane-bucket gate
+    (similarity.lsh_bucket_recall): PERTURBED near-copies of every
+    20th stored vector (v + 0.01·reverse(v) — cosine ≈ 0.99995 to
+    the source, but the perturbation can flip low-margin hyperplane
+    signs, unlike the trivially-parallel ×2 rescales the ingest
+    queries plant) arrive as a batch; ground truth is exact
+    batch × seen cosine ≥ 0.999, recall is the fraction landing in
+    the same bucket — what `ann_incremental_near_dup`'s gate would
+    actually catch. Completes the self-measurement family: every
+    approximate stage in the registry (IVF, PQ, IVF-PQ raw and
+    reranked, text-LSH banding, vector-LSH bucketing) now reports a
+    measured recall inside the oracle gate."""
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    dv = F.col("embedding").cast("array<double>")
+    batch = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.zip_with(dv, F.reverse(dv), lambda x, y: x + y * 0.01).alias(
+            "embedding"
+        ),
+    )
+    state = similarity.lsh_bucket_state(emb)
+    return similarity.lsh_bucket_recall(batch, state, threshold=0.999)
+
+
 _ANN_IVF_SQL = """
 WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
 cents AS (
