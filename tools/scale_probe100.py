@@ -27,6 +27,7 @@ STDOUT under memory pressure, so stdout redirection corrupts the JSON)
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -267,6 +268,14 @@ def _materialize(df) -> tuple[int, float]:
 
 
 def main() -> None:
+    # One JVM runs ~30 queries at the 100x tier in sequence; the
+    # materialize=True families localCheckpoint corpus-sized token/gram
+    # relations (MEMORY_AND_DISK) and the blocks are only unpersisted
+    # after driver GC drops the RDD refs. The 16g default heap died at
+    # the span queries (executor threads OOMed, blockmgr torn down
+    # mid-probe); give the probe headroom and nudge GC between queries
+    # so the ContextCleaner can actually free prior queries' blocks.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     spark = get_spark(app_name="scale_probe100")
     if not os.path.exists(f"{DST}/documents.parquet") or "--rebuild" in sys.argv:
         print("building 100x corpus ...", file=sys.stderr)
@@ -298,6 +307,7 @@ def main() -> None:
             f"rows {n_small} -> {n_big}",
             file=sys.stderr,
         )
+        gc.collect()
     if (
         not os.path.exists(f"{ZIPF_BIG}/documents.parquet")
         or "--rebuild" in sys.argv
@@ -328,6 +338,7 @@ def main() -> None:
             f"rows {n_small} -> {n_big}",
             file=sys.stderr,
         )
+        gc.collect()
     if (
         not os.path.exists(f"{BOILER_BIG}/documents.parquet")
         or "--rebuild" in sys.argv
@@ -358,6 +369,7 @@ def main() -> None:
             f"rows {n_small} -> {n_big}",
             file=sys.stderr,
         )
+        gc.collect()
     out = os.path.join(REPO, "SCALEPROBE100.json")
     with open(out, "w") as f:
         json.dump(results, f)
