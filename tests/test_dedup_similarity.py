@@ -895,3 +895,59 @@ def test_merge_bucket_state_gates_second_batch(spark):
     assert {(r.new_id, r.seen_id, r.cosine) for r in evolved.collect()} == {
         (20, 10, 1.0)
     }
+
+
+def test_ivfpq_rerank_full_coverage_equals_exact_ivf(spark, tmp_path):
+    """Structural identity of the rerank stage: with k*rerank large
+    enough to cover EVERY candidate in the probed cells, the ADC
+    ordering becomes irrelevant and exact-cosine reranking must return
+    exactly what exact-cosine IVF serving returns over the same coarse
+    quantizer (ivf_build_index and ivfpq_build_index train identical
+    k-means centroids for the same (k, iters, corpus) in-session) —
+    row-for-row, cosines included. ADC lossiness can only show up
+    BELOW full coverage; the oracle-checked `ann_ivfpq_rerank_topk`
+    pins that regime."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 3)
+    p_ivf = str(tmp_path / "ivf")
+    p_ivfpq = str(tmp_path / "ivfpq")
+    similarity.ivf_build_index(emb, p_ivf, n_centroids=4, dim=8)
+    similarity.ivfpq_build_index(
+        emb, p_ivfpq, n_centroids=4, m=2, ks=4, dim=8
+    )
+    exact_ivf = similarity.ivf_topk_from_index(
+        spark, p_ivf, q, nprobe=2, k=3
+    ).collect()
+    # rerank=40 -> k*rerank = 120 >= every probed-cell candidate
+    reranked = similarity.ivfpq_rerank_topk_from_index(
+        spark, p_ivfpq, q, emb, nprobe=2, k=3, rerank=40
+    ).collect()
+    assert sorted(map(tuple, reranked)) == sorted(map(tuple, exact_ivf))
+
+
+def test_lsh_candidate_recall_contract(spark):
+    """lsh_candidate_recall: per-threshold truth counts come from the
+    exact Jaccard relation, hits only from banding candidates, recall
+    is their ratio; thresholds with no truth pairs emit no row."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+            (3, "completely different text with many other words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    sets = dedup.shingle_sets(docs)
+    got = {
+        r.threshold: (r.n_truth, r.n_hits, r.recall)
+        for r in dedup.lsh_candidate_recall(
+            sets, thresholds=(0.5, 0.9)
+        ).collect()
+    }
+    # only the (1,2) exact-dup pair has jaccard >= 0.5; identical sets
+    # band identically, so it is always a candidate
+    assert got == {0.5: (1, 1, 1.0), 0.9: (1, 1, 1.0)}
