@@ -376,3 +376,18 @@ def test_embedding_state_join_never_broadcasts_vectors(dfs):
                 assert "seen_vec#" not in block, (
                     f"{name}: state vectors broadcast\n{block}"
                 )
+
+
+def test_filtered_ivf_pushes_predicate_into_invfile_scan(dfs):
+    """Metadata-filtered IVF serving: the attribute predicate must
+    reach the inverted-file parquet scan as a pushed filter (the
+    attributes live IN the index — no side lookup, no post-ranking
+    filter), and the plan stays equi-join-only."""
+    plan = pi.explain_formatted(dfs["ann_ivf_filtered_topk"])
+    assert not pi.uses_cartesian_or_bnl(dfs["ann_ivf_filtered_topk"])
+    pushed = [
+        line
+        for line in plan.splitlines()
+        if "PushedFilters" in line and "label" in line
+    ]
+    assert pushed, f"label filter not pushed to any scan:\n{plan}"

@@ -140,6 +140,9 @@ def _cell_assigner(centroids: DataFrame):
     )
 
     def assign(df: DataFrame, idname: str, vecname: str, probes: int) -> DataFrame:
+        # any further columns of df (invfile metadata attributes) ride
+        # along untouched
+        others = [c for c in df.columns if c not in (idname, vecname)]
         # negated similarity so ascending struct sort = csim desc
         scored = F.transform(
             F.col("_cv"),
@@ -155,6 +158,7 @@ def _cell_assigner(centroids: DataFrame):
             .select(
                 idname,
                 vecname,
+                *others,
                 "_cc",
                 F.explode(F.slice(F.array_sort(scored), 1, probes)).alias(
                     "_t"
@@ -163,6 +167,7 @@ def _cell_assigner(centroids: DataFrame):
             .select(
                 idname,
                 vecname,
+                *others,
                 F.get(F.col("_cc"), F.col("_t.idx")).alias("cid"),
             )
         )
@@ -224,6 +229,7 @@ def ivf_build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    meta_cols: tuple[str, ...] = (),
 ) -> None:
     """Build the COMPLETE IVF index artifact at `path` — centroids at
     `{path}/centroids` AND the inverted file itself at
@@ -243,7 +249,17 @@ def ivf_build_index(
     partition pruning skip every unprobed cell's files. Parquet
     round-trips doubles exactly, so artifact-served results are
     bit-identical to in-query training. Rebuild on corpus change /
-    recall regression (see `ann_ivf_recall`)."""
+    recall regression (see `ann_ivf_recall`).
+
+    ``meta_cols`` names FILTERABLE attribute columns of the corpus
+    (label, lang, source, quality tier …) to carry INTO the inverted
+    file: metadata-filtered vector search ("top-k among vectors whose
+    doc satisfies P") then serves by pushing the predicate down to
+    the invfile parquet scan itself (`ivf_topk_from_index(where=…)`)
+    — no side lookup, no post-join filter over unfiltered candidates,
+    and at 100 TB the filter prunes row groups inside each probed
+    cell's files. This is how production vector stores handle
+    attribute filters: the attributes live in the index."""
     import posixpath
 
     from tugas_2_big_data_spark.sources import sinks
@@ -263,6 +279,7 @@ def ivf_build_index(
         fan_out(corpus).select(
             F.col(id_col).alias("nbr_id"),
             F.col(vec_col).cast("array<double>").alias("nbr_vec"),
+            *[F.col(c) for c in meta_cols],
         ),
         "nbr_id",
         "nbr_vec",
@@ -273,7 +290,9 @@ def ivf_build_index(
     # nlist tiny files); with it each cell's vectors coalesce into its
     # own file(s) — the contiguous inverted-list layout serving scans
     sinks.write_parquet(
-        cells.select("cid", "nbr_id", "nbr_vec").repartition(F.col("cid")),
+        cells.select(
+            "cid", "nbr_id", "nbr_vec", *meta_cols
+        ).repartition(F.col("cid")),
         posixpath.join(path, "invfile"),
         partition_by=["cid"],
     )
@@ -308,19 +327,28 @@ def ivf_topk_from_index(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where: Column | None = None,
 ) -> DataFrame:
     """Serve IVF top-k from an `ivf_build_index` artifact: assign the
     QUERY batch to its nprobe cells (broadcast one-row centroid state)
     and equi-join the persisted inverted file on cid — per-query work
     is O(nprobe·N/nlist) scoring, with NO full-corpus pass of any
     kind; the cid hive-partitioning makes unprobed cells prunable at
-    the scan."""
+    the scan.
+
+    ``where`` (over columns the index was built with via `meta_cols`)
+    is metadata-FILTERED search: the predicate is applied directly to
+    the invfile read, so it reaches the parquet scan as a pushed
+    filter (pinned in tests/test_plans.py) and prunes row groups
+    inside each probed cell — candidates are filtered BEFORE ranking,
+    and top-k ranks among the vectors that satisfy the predicate."""
     import posixpath
 
     cents = spark.read.parquet(posixpath.join(path, "centroids"))
-    cells = spark.read.parquet(posixpath.join(path, "invfile")).select(
-        F.col("cid").cast("long"), "nbr_id", "nbr_vec"
-    )
+    inv = spark.read.parquet(posixpath.join(path, "invfile"))
+    if where is not None:
+        inv = inv.filter(where)
+    cells = inv.select(F.col("cid").cast("long"), "nbr_id", "nbr_vec")
     assign = _cell_assigner(cents)
     q = assign(
         queries.select(

@@ -1859,6 +1859,95 @@ def ann_ivf_topk_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# metadata filter shared by the filtered-search pair (~30% selectivity)
+_ANN_FILTER_PRED_SQL = "label IN (1, 3, 5)"
+
+_ANN_FILTERED_TOPK_SQL = f"""
+SELECT query_id, nbr_id, cosine, rk FROM (
+  SELECT q.query_id, c.nbr_id,
+    round(list_cosine_similarity(q.qv, c.nv), 9) AS cosine,
+    CAST(row_number() OVER (
+      PARTITION BY q.query_id
+      ORDER BY list_cosine_similarity(q.qv, c.nv) DESC, c.nbr_id
+    ) AS BIGINT) AS rk
+  FROM (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 5) q,
+       (SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS nv
+        FROM embeddings WHERE {_ANN_FILTER_PRED_SQL}) c
+  WHERE c.nbr_id != q.query_id
+)
+WHERE rk <= 5
+"""
+
+
+@register("ann_filtered_topk", _ANN_FILTERED_TOPK_SQL)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED exact search: top-k among only the vectors
+    whose attributes satisfy a predicate (label ∈ {1,3,5}, ~30%
+    selectivity) — the "filtered vector search" every production
+    retrieval stack needs (per-tenant, per-language, per-license
+    filters). Exact leg: the filter simply restricts the corpus side
+    of the brute-force ranking; ground truth for
+    `ann_ivf_filtered_topk`."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    allowed = emb.filter(F.col("label").isin(1, 3, 5))
+    return similarity.cosine_topk(allowed, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def _ivf_filtered_sql() -> str:
+    parts = _ivf_assign_parts(
+        8, 2, 64, 2, 5, k_sql=_SQRT_K_SQL, pts_sql=_IVF_TRAIN_PTS_SQL
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT query_id, nbr_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT q.query_id, a.nbr_id,
+    round(list_cosine_similarity(q.query_vec, a.nbr_vec), 9) AS cosine,
+    row_number() OVER (
+      PARTITION BY q.query_id
+      ORDER BY list_cosine_similarity(q.query_vec, a.nbr_vec) DESC, a.nbr_id
+    ) AS rk
+  FROM qassign q JOIN cassign a USING (cid)
+  WHERE a.nbr_id != q.query_id
+    AND a.nbr_id IN (
+      SELECT vec_id FROM embeddings WHERE {_ANN_FILTER_PRED_SQL}
+    )
+) WHERE rk <= 5
+"""
+
+
+@register("ann_ivf_filtered_topk", _ivf_filtered_sql())
+def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered IVF SERVING: the index artifact carries the
+    filterable attribute IN its inverted file
+    (`ivf_build_index(meta_cols=("label",))`), so the serve-time
+    predicate lands on the invfile parquet scan as a pushed filter —
+    candidates are pruned at the row-group level inside each probed
+    cell, BEFORE ranking, with no side lookup table and no
+    post-ranking filter (which would silently return < k rows). This
+    is the production answer to attribute-filtered vector search at
+    100 TB: the attributes live in the index. Oracle: the production
+    IVF chain with the same predicate restricting candidates before
+    the per-query ranking."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    path = _ann_artifact_dir(sf_dir, "ivf_meta")
+    _ensure_artifact(
+        spark,
+        path,
+        "invfile",
+        lambda p: similarity.ivf_build_index(emb, p, meta_cols=("label",)),
+    )
+    return similarity.ivf_topk_from_index(
+        spark,
+        path,
+        emb.filter(F.col("vec_id") < 5),
+        nprobe=2,
+        k=5,
+        where=F.col("label").isin(1, 3, 5),
+    )
+
+
 def _ivf_recall_sql() -> str:
     ivf = _ivf_kmeans_sql(k_sql=_SQRT_K_SQL, pts_sql=_IVF_TRAIN_PTS_SQL)
     return f"""
