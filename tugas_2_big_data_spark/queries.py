@@ -56,7 +56,7 @@ _SWEEP_CHANGED: tuple[str, ...] = (
     # new or materially changed in round 5
     "dedup_incremental_two_batches",
     "dedup_incremental_near_dup_two_batches",
-    "ann_incremental_two_batches",
+    "ann_incremental_two_batches", "stream_incremental_two_batches",
     "dedup_lsh_recall", "ann_ivfpq_rerank_topk",
     "ann_filtered_topk", "ann_ivf_filtered_topk",
     "ann_pq_recall", "ann_ivfpq_recall", "ann_incremental_recall",

@@ -368,3 +368,116 @@ def streaming_near_dup(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "seen_id", "n_common", "jaccard")
     )
+
+
+def write_ingest_batches(batches: Sequence[DataFrame], path: str) -> None:
+    """Materialize a sequence of logical ingest batches as ONE parquet
+    file each under `path`, in arrival order (b1/, b2/, …): a
+    file-source stream over `path` with maxFilesPerTrigger=1 then
+    delivers exactly one micro-batch per logical batch, in order —
+    both of FileStreamSource's orderings (modification time from the
+    sequential writes; lexical path as the tie-break) agree. The
+    coalesce(1) is batch-sized harness work (these are ingest deltas,
+    not the corpus)."""
+    for i, b in enumerate(batches, start=1):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{path}/b{i}")
+
+
+def run_evolving_near_dup(
+    spark: SparkSession,
+    batches_dir: str,
+    seen_bands: DataFrame,
+    seen_sets: DataFrame,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    k: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The CLOSED continuous-ingest near-dup loop as a streaming drain:
+    each micro-batch of arriving documents is checked against the
+    CURRENT band/set state, and its ACCEPTED docs are folded back into
+    the state (dedup.merge_near_dup_state, append-only) BEFORE the
+    next micro-batch is processed — so a near-dup of a doc accepted
+    two micro-batches ago is caught, which the static-state
+    `streaming_near_dup` gate cannot do.
+
+    Mechanics: `foreachBatch` — the declarative stream-static join
+    cannot observe state growth mid-stream, but foreachBatch hands
+    each micro-batch to ordinary batch code, which is exactly where a
+    production ingest loop updates its state store (here: the
+    localCheckpointed state pair; at scale: parquet/Delta APPENDS of
+    the accepted docs' band keys and shingle sets, the same
+    batch-sized writes). Per-batch work is batch-sized on both halves.
+
+    Returns (batch, doc_id) for every ACCEPTED doc, batch = 1-based
+    micro-batch ordinal — the same contract as the registered batch
+    twin `dedup_incremental_near_dup_two_batches`, whose oracle this
+    streaming form shares (batch/stream parity for the EVOLVING loop,
+    extending the static-state parity `stream_incremental_near_dup`
+    established)."""
+    from tugas_2_big_data_spark.operators import dedup
+
+    state = {
+        "bands": seen_bands.localCheckpoint(),
+        "sets": seen_sets.localCheckpoint(),
+    }
+    accepted: list[DataFrame] = []
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df.select(id_col, "text").localCheckpoint()
+        b_sets = dedup.shingle_sets(b, id_col=id_col).localCheckpoint()
+        m = dedup.incremental_near_dup(
+            b_sets,
+            state["sets"],
+            threshold=threshold,
+            k=k,
+            bands=bands,
+            id_col=id_col,
+            seen_bands=state["bands"],
+        )
+        acc = b.join(
+            m.select(F.col("new_id").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        ).localCheckpoint()
+        acc_sets = b_sets.join(acc.select(id_col), id_col, "left_semi")
+        nb, ns = dedup.merge_near_dup_state(
+            state["bands"], state["sets"], acc_sets, k, bands, id_col
+        )
+        # checkpoint the merged state so the NEXT micro-batch gates
+        # against materialized state, not a growing lineage chain
+        state["bands"], state["sets"] = (
+            nb.localCheckpoint(),
+            ns.localCheckpoint(),
+        )
+        accepted.append(
+            acc.select(
+                F.lit(batch_id + 1).cast("long").alias("batch"), id_col
+            )
+        )
+
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(batches_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if not accepted:
+        return spark.createDataFrame([], "batch long, doc_id long")
+    out = accepted[0]
+    for a in accepted[1:]:
+        out = out.unionByName(a)
+    return out
