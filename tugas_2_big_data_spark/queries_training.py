@@ -1948,6 +1948,55 @@ def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_filtered_recall_sql() -> str:
+    return f"""
+WITH exact AS ({_ANN_FILTERED_TOPK_SQL}),
+approx AS ({_ivf_filtered_sql()}),
+n_ex AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM exact GROUP BY query_id
+),
+hits AS (
+  SELECT e.query_id, CAST(count(a.nbr_id) AS BIGINT) AS n_hits
+  FROM exact e LEFT JOIN approx a
+    ON a.query_id = e.query_id AND a.nbr_id = e.nbr_id
+  GROUP BY e.query_id
+)
+SELECT n.query_id, n.n_exact, h.n_hits,
+       h.n_hits / n.n_exact AS recall
+FROM n_ex n JOIN hits h ON h.query_id = n.query_id
+"""
+
+
+@register("ann_ivf_filtered_recall", _ivf_filtered_recall_sql())
+def ann_ivf_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of FILTERED IVF serving vs the exact filtered ground
+    truth — the production trap this measures: an attribute filter
+    thins every probed cell, so a fixed nprobe holds fewer eligible
+    candidates and filtered recall can sit BELOW unfiltered recall
+    (`ann_ivf_recall`); when this number drops at the operating
+    selectivity, raise nprobe for filtered queries rather than
+    shipping silently worse retrieval."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q5 = emb.filter(F.col("vec_id") < 5)
+    allowed = emb.filter(F.col("label").isin(1, 3, 5))
+    path = _ann_artifact_dir(sf_dir, "ivf_meta")
+    _ensure_artifact(
+        spark,
+        path,
+        "invfile",
+        lambda p: similarity.ivf_build_index(emb, p, meta_cols=("label",)),
+    )
+    exact = similarity.cosine_topk(allowed, q5, k=5).select(
+        "query_id", "nbr_id"
+    )
+    approx = similarity.ivf_topk_from_index(
+        spark, path, q5, nprobe=2, k=5,
+        where=F.col("label").isin(1, 3, 5),
+    ).select("query_id", "nbr_id")
+    return _spark_recall_over(exact, approx)
+
+
 def _ivf_recall_sql() -> str:
     ivf = _ivf_kmeans_sql(k_sql=_SQRT_K_SQL, pts_sql=_IVF_TRAIN_PTS_SQL)
     return f"""
