@@ -575,6 +575,150 @@ def ivfpq_topk_from_index(
     )
 
 
+def ivfpq_residual_build_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    m: int = 4,
+    ks: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Build a RESIDUAL IVF-PQ index (the true IVFADC of Jégou et al.,
+    vs the no-residual variant `ivfpq_build_index` ships): PQ encodes
+    each vector's residual (v − coarse centroid of its cell) instead
+    of v itself. Residuals concentrate near the origin with far less
+    of the coarse structure left in them, so the same m×ks code budget
+    spends its codewords on LOCAL detail — measured recall uplift over
+    the no-residual codes at identical index size
+    (`ann_ivfpq_residual_recall` vs `ann_ivfpq_recall`).
+
+    Artifact layout mirrors `ivfpq_build_index` (`coarse/`,
+    `codebooks/`, cid-partitioned `codes/`); both full-corpus passes
+    (assignment and residual encode) are build work. Codebooks are
+    TRAINED on the residual relation (same joint-Lloyd machinery —
+    `pq_codebooks` is corpus-agnostic)."""
+    import posixpath
+
+    from tugas_2_big_data_spark.sources import sinks
+
+    sub = dim // m
+    coarse = kmeans_centroids(
+        corpus, k=n_centroids, iters=iters,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    ).localCheckpoint()
+    sinks.write_parquet(coarse, posixpath.join(path, "coarse"))
+    assign = _cell_assigner(coarse)
+    assigned = assign(
+        fan_out(corpus).select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).cast("array<double>").alias("_raw"),
+        ),
+        "nbr_id",
+        "_raw",
+        1,
+    )
+    resid = (
+        assigned.join(
+            F.broadcast(
+                coarse.select(
+                    "cid", F.col("cvec").cast("array<double>").alias("_cv")
+                )
+            ),
+            "cid",
+        )
+        .select(
+            "cid",
+            "nbr_id",
+            F.zip_with("_raw", "_cv", lambda x, y: x - y).alias("_v"),
+        )
+        .localCheckpoint()
+    )
+    state = pq_codebooks(
+        resid, m=m, ks=ks, iters=iters,
+        id_col="nbr_id", vec_col="_v", dim=dim,
+    ).localCheckpoint()
+    sinks.write_parquet(state, posixpath.join(path, "codebooks"))
+    enc = (
+        resid.crossJoin(F.broadcast(state))
+        .select("cid", "nbr_id", *_pq_code_cols(m, sub))
+    )
+    sinks.write_parquet(
+        enc.repartition(F.col("cid")),
+        posixpath.join(path, "codes"),
+        partition_by=["cid"],
+    )
+
+
+def ivfpq_residual_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve residual IVF-PQ (IVFADC): assign the query batch to its
+    nprobe cells, build the ADC lookup tables from the query's
+    PER-CELL RESIDUAL (q − that cell's centroid — the extra step the
+    no-residual variant skips; LUTs are per (query, cell), still
+    m·ks·nprobe doubles per query), and ADC-score the probed slices
+    of the persisted residual-codes table. Zero full-corpus passes at
+    serve time, same as the rest of the artifact-serving family."""
+    import posixpath
+
+    from pyspark.sql import Window
+
+    state, m, sub = _pq_serve_state(spark, path)
+    coarse = spark.read.parquet(posixpath.join(path, "coarse"))
+    enc = spark.read.parquet(posixpath.join(path, "codes")).select(
+        F.col("cid").cast("long"),
+        "nbr_id",
+        *[f"code{s}" for s in range(m)],
+    )
+    assign = _cell_assigner(coarse)
+    qa = assign(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_raw"),
+        ),
+        "query_id",
+        "_raw",
+        nprobe,
+    )
+    qluts = (
+        qa.join(
+            F.broadcast(
+                coarse.select(
+                    "cid", F.col("cvec").cast("array<double>").alias("_cv")
+                )
+            ),
+            "cid",
+        )
+        .select(
+            "query_id",
+            "cid",
+            F.zip_with("_raw", "_cv", lambda x, y: x - y).alias("_qv"),
+        )
+        .crossJoin(F.broadcast(state))
+        .select("query_id", "cid", *_pq_lut_cols(m, sub))
+    )
+    dist = _pq_adc_dist(m)
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "nbr_id")
+    return (
+        qluts.join(enc, "cid")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .withColumn("adc_dist", dist)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .withColumn("adc_dist", F.round("adc_dist", 9))
+        .select("query_id", "nbr_id", "adc_dist", "rk")
+    )
+
+
 def ivfpq_rerank_topk_from_index(
     spark,
     path: str,

@@ -60,6 +60,7 @@ _SWEEP_CHANGED: tuple[str, ...] = (
     "dedup_lsh_recall", "ann_ivfpq_rerank_topk",
     "ann_filtered_topk", "ann_ivf_filtered_topk",
     "ann_ivf_filtered_recall",
+    "ann_ivfpq_residual_topk", "ann_ivfpq_residual_recall",
     "ann_pq_recall", "ann_ivfpq_recall", "ann_incremental_recall",
     "dedup_incremental_batch", "dedup_incremental_near_dup",
     "ann_incremental_near_dup", "stream_incremental_near_dup",

@@ -2416,6 +2416,123 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_residual_sql(
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    ks: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    topk: int = 5,
+    n_queries: int = 5,
+) -> str:
+    """Residual IVF-PQ (IVFADC) oracle: the IVF assign prelude feeds a
+    residual CTE (v − its cell's centroid), the per-subspace k-means
+    chains train on SLICED RESIDUALS, and the ADC distance measures
+    the query's PER-CELL residual against the assigned codewords —
+    every piece a proven generator (`_ivf_assign_parts`,
+    `_kmeans_cents_ctes`), composed."""
+    sub = dim // m
+    parts = _ivf_assign_parts(n_centroids, iters, dim, nprobe, n_queries)
+    parts.append(f"""resids AS (
+  SELECT a.nbr_id AS vec_id,
+    list_transform(generate_series(1, {dim}),
+                   i -> a.nbr_vec[i] - ct.cvec[i]) AS embedding
+  FROM cassign a JOIN cents ct USING (cid)
+)""")
+    for s in range(m):
+        off = s * sub + 1
+        parts += _kmeans_cents_ctes(
+            ks,
+            iters,
+            sub,
+            pts_sql=(
+                f"SELECT vec_id, embedding[{off}:{off + sub - 1}]"
+                " AS embedding FROM resids"
+            ),
+            prefix=f"s{s}_",
+        )
+    code_joins = " ".join(
+        f"JOIN s{s}_a{iters + 1} x{s} ON x{s}.vec_id = x0.vec_id"
+        for s in range(1, m)
+    )
+    code_cols = ", ".join(f"x{s}.cid AS c{s}" for s in range(m))
+    parts.append(
+        f"codes AS (SELECT x0.vec_id, {code_cols} "
+        f"FROM s0_a{iters + 1} x0 {code_joins})"
+    )
+    dist = " + ".join(
+        f"list_sum(list_transform(generate_series(1, {sub}), "
+        f"i -> (q.query_vec[{s * sub} + i] - qc.cvec[{s * sub} + i]"
+        f" - k{s}.cvec[i])"
+        f" * (q.query_vec[{s * sub} + i] - qc.cvec[{s * sub} + i]"
+        f" - k{s}.cvec[i])))"
+        for s in range(m)
+    )
+    cent_joins = " ".join(
+        f"JOIN s{s}_c{iters} k{s} ON k{s}.cid = x.c{s}" for s in range(m)
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT query_id, nbr_id, adc_dist, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT q.query_id, a.nbr_id, round({dist}, 9) AS adc_dist,
+    row_number() OVER (
+      PARTITION BY q.query_id ORDER BY {dist} ASC, a.nbr_id
+    ) AS rk
+  FROM qassign q
+  JOIN cents qc USING (cid)
+  JOIN cassign a USING (cid)
+  JOIN codes x ON x.vec_id = a.nbr_id {cent_joins}
+  WHERE a.nbr_id != q.query_id
+) WHERE rk <= {topk}
+"""
+
+
+@register("ann_ivfpq_residual_topk", _ivfpq_residual_sql())
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL IVF-PQ serving — the true IVFADC
+    (similarity.ivfpq_residual_build_index / _topk_from_index): PQ
+    codes encode each vector's residual against its coarse centroid,
+    and the query builds per-cell residual LUTs at serve time. Same
+    index size as the no-residual `ann_ivfpq_topk_prebuilt`; the code
+    budget spends on local detail instead of re-encoding the coarse
+    structure — `ann_ivfpq_residual_recall` measures what that buys."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    path = _ann_artifact_dir(sf_dir, "ivfpq_res")
+    _ensure_artifact(
+        spark,
+        path,
+        "codes",
+        lambda p: similarity.ivfpq_residual_build_index(emb, p),
+    )
+    return similarity.ivfpq_residual_topk_from_index(
+        spark, path, emb.filter(F.col("vec_id") < 5), nprobe=2, k=5
+    )
+
+
+@register("ann_ivfpq_residual_recall", _recall_over_sql(_ivfpq_residual_sql()))
+def ann_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of residual IVF-PQ ADC vs exact cosine ground truth —
+    the measured uplift residual encoding buys over the no-residual
+    codes at identical index size (compare `ann_ivfpq_recall`'s
+    recall_adc column)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q5 = emb.filter(F.col("vec_id") < 5)
+    path = _ann_artifact_dir(sf_dir, "ivfpq_res")
+    _ensure_artifact(
+        spark,
+        path,
+        "codes",
+        lambda p: similarity.ivfpq_residual_build_index(emb, p),
+    )
+    exact = similarity.cosine_topk(emb, q5, k=5).select("query_id", "nbr_id")
+    approx = similarity.ivfpq_residual_topk_from_index(
+        spark, path, q5, nprobe=2, k=5
+    ).select("query_id", "nbr_id")
+    return _spark_recall_over(exact, approx)
+
+
 @register("ann_pq_topk", _pq_sql())
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (similarity.pq_topk): 4 subspaces × 4
