@@ -94,3 +94,67 @@ def test_bucketed_agg_no_exchange(spark, bucketed_pair):
         .agg(F.sum("o_totalprice").alias("spend"))
     )
     assert "Exchange" not in _physical_plan(agg)
+
+
+def test_compact_appended_state(spark, tmp_path):
+    """compact_appended_state: 8 appends worth of small files become
+    exactly n_buckets files, the gate result is unchanged, and the
+    gate's state-side join plans with NO Exchange below the scan
+    (only the batch side shuffles into the state's layout)."""
+    import glob
+
+    from tugas_2_big_data_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"state doc number {i} with words") for i in range(64)],
+        ["doc_id", "text"],
+    )
+    appends = str(tmp_path / "appends")
+    for i in range(8):
+        piece = docs.filter(F.col("doc_id") % 8 == i)
+        dedup.fingerprint_groups(piece).select("fp").write.mode(
+            "append"
+        ).parquet(appends)
+    n_small = len(glob.glob(f"{appends}/part-*"))
+    # one file per append here (tiny inline frames, AQE-coalesced);
+    # at scale each append is batch-partitions files
+    assert n_small >= 8
+
+    state = bucketing.compact_appended_state(
+        spark, appends, "t2bd_state_compact_test", ["fp"],
+        n_buckets=4, path=str(tmp_path / "compacted"),
+    )
+    try:
+        n_compact = len(glob.glob(f"{tmp_path}/compacted/part-*"))
+        assert n_compact == 4  # one file per bucket: repartition first
+
+        batch = spark.createDataFrame(
+            [(100 + i, f"state doc number {i} with words") for i in range(8)]
+            + [(200, "a genuinely fresh document here")],
+            ["doc_id", "text"],
+        )
+        got = {
+            r.doc_id
+            for r in dedup.incremental_new_docs(batch, state).collect()
+        }
+        plain = {
+            r.doc_id
+            for r in dedup.incremental_new_docs(
+                batch, spark.read.parquet(appends)
+            ).collect()
+        }
+        assert got == plain == {200}
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _physical_plan(
+                dedup.incremental_new_docs(batch, state)
+            )
+            # exactly one Exchange (the batch side); the bucketed state
+            # scan feeds the join with no shuffle
+            assert plan.count("Exchange hashpartitioning") == 1, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t2bd_state_compact_test")

@@ -951,3 +951,117 @@ def test_lsh_candidate_recall_contract(spark):
     # only the (1,2) exact-dup pair has jaccard >= 0.5; identical sets
     # band identically, so it is always a candidate
     assert got == {0.5: (1, 1, 1.0), 0.9: (1, 1, 1.0)}
+
+
+# ---------------------------------------------------------------------------
+# blocked Bloom prefilter
+# ---------------------------------------------------------------------------
+
+
+def _bloom_corpus(spark):
+    seen_docs = spark.createDataFrame(
+        [(i, f"seen document number {i} alpha beta") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        # 5 exact copies of seen docs + 10 fresh docs, all fp-unique
+        [(100 + i, f"seen document number {i} alpha beta") for i in range(5)]
+        + [(200 + i, f"fresh document {i} gamma delta") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    seen = dedup.fingerprint_groups(seen_docs).select("fp")
+    return seen_docs, batch, seen
+
+
+def test_bloom_route_matches_plain_gate(spark):
+    """bloom_fresh ∪ verified_fresh must equal incremental_new_docs'
+    accepted set — the bloom is a pure prefilter, never a semantics
+    change (batch is fp-unique so keep-min is the identity)."""
+    _, batch, seen = _bloom_corpus(spark)
+    bloom = dedup.bloom_state(seen, n_blocks=8, g=3)
+    routed = dedup.route_batch_bloom(batch, bloom, seen, n_blocks=8, g=3)
+    accepted_bloom = {
+        r.doc_id for r in routed.filter(F.col("route") != "dup").collect()
+    }
+    accepted_plain = {
+        r.doc_id for r in dedup.incremental_new_docs(batch, seen).collect()
+    }
+    assert accepted_bloom == accepted_plain
+    assert len(accepted_plain) == 10
+
+
+def test_bloom_has_no_false_negatives_even_fully_loaded(spark):
+    """With n_blocks=1 every key collides into one word — the bloom
+    saturates and routes everything to the exact join, but a seen doc
+    can NEVER route bloom_fresh (no false negatives by construction)."""
+    _, batch, seen = _bloom_corpus(spark)
+    bloom = dedup.bloom_state(seen, n_blocks=1, g=3)
+    routed = dedup.route_batch_bloom(batch, bloom, seen, n_blocks=1, g=3)
+    rows = {r.doc_id: r.route for r in routed.collect()}
+    for i in range(5):
+        assert rows[100 + i] == "dup"
+
+
+def test_merge_bloom_state_equals_bloom_of_union(spark):
+    """bit_or-merge of two blooms is exactly the bloom of the union of
+    their key sets — the sketch is mergeable, so it rides the same
+    append-only per-batch loop as the fingerprint state."""
+    a = spark.createDataFrame([(f"k{i}",) for i in range(15)], ["fp"])
+    b = spark.createDataFrame([(f"k{i}",) for i in range(10, 30)], ["fp"])
+    merged = {
+        (r.block_id, r.word)
+        for r in dedup.merge_bloom_state(
+            dedup.bloom_state(a, n_blocks=8, g=3),
+            dedup.bloom_state(b, n_blocks=8, g=3),
+        ).collect()
+    }
+    direct = {
+        (r.block_id, r.word)
+        for r in dedup.bloom_state(
+            a.unionByName(b), n_blocks=8, g=3
+        ).collect()
+    }
+    assert merged == direct
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (SQ8)
+# ---------------------------------------------------------------------------
+
+
+def _sq_vectors(spark):
+    import math
+
+    rows = [
+        (i, [math.sin(0.7 * i + 0.3 * j) for j in range(8)])
+        for i in range(30)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_sq_codes_are_bytes_and_recon_in_bounds(spark):
+    emb = _sq_vectors(spark)
+    bounds = similarity.sq_bounds(emb, dim=8)
+    codes = similarity.sq_encode(emb, bounds).collect()
+    assert all(0 <= c <= 255 for r in codes for c in r.codes)
+    b = bounds.collect()[0]
+    # max element must clamp (floor hits 256 exactly at x == max)
+    hit255 = any(255 in r.codes for r in codes)
+    assert hit255
+    assert all(b.mins[j] <= b.maxs[j] for j in range(8))
+
+
+def test_sq_served_equals_inquery(spark, tmp_path):
+    """Serving from the persisted bounds+codes artifact must be
+    row-for-row identical to the in-query build — the decode and the
+    score fold are the same expressions over the same state."""
+    emb = _sq_vectors(spark)
+    q = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "sq_idx")
+    similarity.sq_build_index(emb, path, dim=8)
+    served = sorted(
+        map(tuple, similarity.sq_topk_from_index(spark, path, q, k=4).collect())
+    )
+    inquery = sorted(map(tuple, similarity.sq_topk(emb, q, k=4, dim=8).collect()))
+    assert served == inquery
+    assert len(served) == 12

@@ -284,3 +284,33 @@ def test_char_entropy_known_values(spark):
     assert got[1] == 0.0
     assert abs(got[2] - 1.0) < 1e-9
     assert abs(got[3] - 2.0) < 1e-9
+
+
+def test_nb_learns_separable_classes(spark):
+    """On a cleanly separable corpus the NB argmax must recover every
+    held-out label, including docs containing unseen words (Laplace
+    floor), and must not be swayed by the majority prior."""
+    from tugas_2_big_data_spark.operators import text_analysis
+
+    train = spark.createDataFrame(
+        [(i, "en", "the cat sat on the mat") for i in range(8)]
+        + [(100 + i, "fr", "le chat dort sur le tapis") for i in range(4)],
+        ["doc_id", "lang", "text"],
+    )
+    test = spark.createDataFrame(
+        [
+            (200, "en", "the cat on the mat zzz"),  # zzz unseen anywhere
+            (201, "fr", "le chat sur le tapis"),
+            (202, "fr", "le tapis dort"),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    got = {
+        r.doc_id: (r.pred_lang, r.correct)
+        for r in text_analysis.naive_bayes_langid(train, test).collect()
+    }
+    assert got == {
+        200: ("en", True),
+        201: ("fr", True),
+        202: ("fr", True),
+    }

@@ -1365,3 +1365,127 @@ def benchmark_span_overlap(
         )
         .select(id_col, "span_start", "span_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# blocked Bloom prefilter for the incremental exact-dedup gate
+# ---------------------------------------------------------------------------
+
+BLOOM_WORD_BITS = 63  # bits per block word; 63 keeps every mask a
+# non-negative BIGINT so Spark and DuckDB agree without sign games
+
+
+def _bloom_block_mask(
+    key: Column, n_blocks: int, g: int
+) -> tuple[Column, Column]:
+    """(block_id, g-bit mask) for one key under the blocked-Bloom
+    scheme (Putze et al.: all of a key's bits land in ONE word, so a
+    membership probe touches one row). md5-seeded hashes keep every
+    bit position reproducible in the DuckDB oracle."""
+    import functools
+
+    block = (
+        hashing.hash60(F.concat(F.lit("blk:"), key)) % n_blocks
+    ).cast("long")
+    # F.shiftleft only takes a literal shift; the SQL function accepts
+    # a column for it
+    bits = [
+        F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            (
+                hashing.hash60(F.concat(F.lit(f"bit{i}:"), key))
+                % BLOOM_WORD_BITS
+            ).cast("int"),
+        )
+        for i in range(g)
+    ]
+    mask = functools.reduce(lambda a, b: a.bitwiseOR(b), bits)
+    return block, mask
+
+
+def bloom_state(
+    seen_fingerprints: DataFrame,
+    n_blocks: int = 4096,
+    g: int = 3,
+    key_col: str = "fp",
+) -> DataFrame:
+    """Build the blocked-Bloom state table over a fingerprint relation:
+    `n_blocks` rows of (block_id, word) where word = bit_or of every
+    member key's g-bit mask. 8 bytes/block — a 2 TB / ~10¹⁰-key state
+    at 10 bits/key is a ~12 GB bloom table, which shards by block
+    range if a single broadcast is too big; at the 10⁸-10⁹-key tier it
+    broadcasts whole. The table is a MERGEABLE sketch: bit_or of two
+    blooms with the same (n_blocks, g) is exactly the bloom of the
+    union (`merge_bloom_state`), so it rides the same append-only
+    ingest loop as the fingerprint state itself."""
+    block, mask = _bloom_block_mask(F.col(key_col), n_blocks, g)
+    return (
+        seen_fingerprints.select(
+            block.alias("block_id"), mask.alias("mask")
+        )
+        .groupBy("block_id")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+
+
+def merge_bloom_state(bloom_a: DataFrame, bloom_b: DataFrame) -> DataFrame:
+    """bloom(A) ⊔ bloom(B) = bloom(A ∪ B): union the block tables and
+    bit_or colliding words. Per-merge cost is bounded by n_blocks, not
+    by state size — the bloom twin of `merge_fingerprint_state`."""
+    return (
+        bloom_a.unionByName(bloom_b)
+        .groupBy("block_id")
+        .agg(F.expr("bit_or(word)").alias("word"))
+    )
+
+
+def route_batch_bloom(
+    batch: DataFrame,
+    bloom: DataFrame,
+    seen_fingerprints: DataFrame,
+    n_blocks: int = 4096,
+    g: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Route each batch doc through the bloom prefilter:
+
+    - ``bloom_fresh``   — bloom miss: DEFINITELY not in the seen state
+      (no false negatives), accepted without ever joining the state;
+    - ``verified_fresh``— bloom hit but the exact fingerprint anti-join
+      clears it (a bloom false positive);
+    - ``dup``           — bloom hit confirmed by the state.
+
+    The point at 100 TB: the exact gate's anti-join must shuffle the
+    batch against a ~2 TB fingerprint state; the bloom probe is a
+    broadcast-join against the n_blocks-row word table, so only the
+    bloom-HIT slice (true dups + the (1-e^{-gn/m})^g false-positive
+    residue) reaches the state join. For a mostly-fresh crawl batch
+    that cuts the state-join input by 10-100×. `bloom_fresh ∪
+    verified_fresh` is exactly `incremental_new_docs`' fresh set
+    before intra-batch keep-min (pinned by unit test)."""
+    b = batch.withColumn("fp", F.md5(normalized(text_col)))
+    block, mask = _bloom_block_mask(F.col("fp"), n_blocks, g)
+    b = b.withColumn("block_id", block).withColumn("mask", mask)
+    probed = b.join(F.broadcast(bloom), "block_id", "left")
+    hit = F.col("word").isNotNull() & (
+        F.col("word").bitwiseAND(F.col("mask")) == F.col("mask")
+    )
+    probed = probed.withColumn("_hit", hit)
+    dup_ids = (
+        probed.filter(F.col("_hit"))
+        .join(seen_fingerprints.select("fp"), "fp", "left_semi")
+        .select(id_col)
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        probed.join(dup_ids, id_col, "left")
+        .select(
+            id_col,
+            F.when(~F.col("_hit"), F.lit("bloom_fresh"))
+            .when(F.col("_dup").isNotNull(), F.lit("dup"))
+            .otherwise(F.lit("verified_fresh"))
+            .alias("route"),
+        )
+    )

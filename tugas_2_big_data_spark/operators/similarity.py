@@ -1769,3 +1769,186 @@ def incremental_embedding_near_dup(
         .filter(F.col("cosine") >= threshold)
         .select("new_id", "seen_id", F.round("cosine", 9).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (SQ8): per-dimension uniform 8-bit codes
+# ---------------------------------------------------------------------------
+
+
+def sq_bounds(
+    corpus: DataFrame, dim: int = 64, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension [min, max] over the corpus as ONE row of two
+    length-`dim` arrays — the whole trained state of the SQ8
+    quantizer. One map-side-combining aggregate, broadcastable
+    everywhere (2·dim doubles ≈ 1 KB)."""
+    v = corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    return v.agg(
+        F.array(*[F.min(F.get("_v", i)) for i in range(dim)]).alias("mins"),
+        F.array(*[F.max(F.get("_v", i)) for i in range(dim)]).alias("maxs"),
+    )
+
+
+def sq_encode(
+    corpus: DataFrame,
+    bounds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to `dim` uniform 8-bit codes: code_i =
+    floor((x_i - min_i) / (max_i - min_i) · 256), clamped to [0, 255]
+    (x_i = max_i lands at 256 and clamps). Map-only over the corpus —
+    the one full pass SQ build pays. 4× compression at dim float32 →
+    dim bytes (the codes travel as ints here; a production sink packs
+    them into a `binary` column — the plumbing, not the math)."""
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    code = F.transform(
+        F.col("_v"),
+        lambda x, i: F.when(
+            F.get("maxs", i) == F.get("mins", i), F.lit(0)
+        )
+        .otherwise(
+            F.least(
+                F.lit(255),
+                F.floor(
+                    (x - F.get("mins", i))
+                    / (F.get("maxs", i) - F.get("mins", i))
+                    * F.lit(256.0)
+                ),
+            )
+        )
+        .cast("int"),
+    )
+    return c.join(F.broadcast(bounds)).select("nbr_id", code.alias("codes"))
+
+
+def _sq_reconstruct() -> Column:
+    """Midpoint decode of an SQ8 codes array against broadcast bounds
+    columns: recon_i = min_i + (code_i + 0.5) · (max_i - min_i) / 256."""
+    return F.transform(
+        F.col("codes"),
+        lambda cd, i: F.get("mins", i)
+        + (cd + F.lit(0.5))
+        * (F.get("maxs", i) - F.get("mins", i))
+        / F.lit(256.0),
+    )
+
+
+def sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 ADC top-k: score every corpus vector from its 8-bit codes
+    (midpoint reconstruction, squared-L2 to the full-precision query —
+    the FAISS IndexScalarQuantizer SQ8 shape). Training is two
+    length-`dim` arrays (no k-means — deterministic, one aggregate);
+    the scan cost matches brute force in FLOPs but reads 4× fewer
+    bytes, which is what an IO-bound 100 TB corpus scan actually pays
+    for; compose with the IVF cell join when compute must shrink too.
+    Per-dim fidelity is far higher than PQ at the same budget when dim
+    is small; see `ann_sq_recall` for the measured number."""
+    from pyspark.sql import Window
+
+    bounds = sq_bounds(corpus, dim, vec_col)
+    codes = sq_encode(corpus, bounds, id_col, vec_col)
+    recon = (
+        fan_out(codes)
+        .join(F.broadcast(bounds))
+        .select("nbr_id", _sq_reconstruct().alias("_rv"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    scored = recon.join(
+        F.broadcast(q), F.col("nbr_id") != F.col("query_id")
+    ).withColumn("adc_dist", _sq_l2(F.col("_qv"), F.col("_rv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("nbr_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round("adc_dist", 9).alias("adc_dist"),
+            "rk",
+        )
+    )
+
+
+def sq_build_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the complete SQ8 artifact: the one-row bounds state at
+    `{path}/bounds` and the encoded corpus at `{path}/codes` — the 4×-
+    compressed relation serving actually scans. The encode pass is the
+    one full-corpus cost and belongs to BUILD; serving never touches
+    raw vectors (same artifact-is-the-index rule as the IVF/PQ
+    builders)."""
+    import posixpath
+
+    from tugas_2_big_data_spark.sources import sinks
+
+    bounds = sq_bounds(corpus, dim, vec_col).localCheckpoint()
+    sinks.write_parquet(bounds, posixpath.join(path, "bounds"))
+    sinks.write_parquet(
+        sq_encode(corpus, bounds, id_col, vec_col),
+        posixpath.join(path, "codes"),
+    )
+
+
+def sq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve SQ8 ADC top-k from the persisted artifact: broadcast the
+    one-row bounds, reconstruct + score the codes scan — zero
+    training, zero raw-vector reads at query time. Bit-identical to
+    `sq_topk` (same decode, same fold), so it shares its oracle."""
+    import posixpath
+
+    from pyspark.sql import Window
+
+    bounds = spark.read.parquet(posixpath.join(path, "bounds"))
+    codes = spark.read.parquet(posixpath.join(path, "codes"))
+    recon = codes.join(F.broadcast(bounds)).select(
+        "nbr_id", _sq_reconstruct().alias("_rv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    scored = recon.join(
+        F.broadcast(q), F.col("nbr_id") != F.col("query_id")
+    ).withColumn("adc_dist", _sq_l2(F.col("_qv"), F.col("_rv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("nbr_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round("adc_dist", 9).alias("adc_dist"),
+            "rk",
+        )
+    )

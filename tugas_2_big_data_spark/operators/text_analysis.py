@@ -761,3 +761,108 @@ def bpe_merges(
     for f in merge_frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def naive_bayes_langid(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive Bayes trained and served entirely in
+    DataFrame aggregates — the classical trained counterpart to the
+    stopword-vote `lang_id` heuristic.
+
+    Train (three hash aggregates over the exploded train token
+    stream): per-(label, word) counts, per-label token totals, doc
+    priors, and the Laplace vocabulary size V as a 1-row frame
+    (crossJoin-broadcast — never a driver-side scalar collect). Model
+    size is O(V · n_labels) — a broadcast dimension at any corpus
+    scale, which is the point: training cost is one corpus pass of
+    map-side-combining aggregates, and scoring is a broadcast join.
+
+    Score: log P(c) + Σ_w n_w · (ln(cnt(w,c)+1) − ln(tot_c+V)) via the
+    test (doc, word, n) relation × label grid, left-joined to the
+    count model (unseen words fall to the Laplace floor). The
+    prediction is the ROW_NUMBER argmax with a label-ascending
+    tie-break; raw double scores are compared, not emitted — summation
+    order and libm last-ulp differences across engines move scores by
+    ~1e-12, which cannot flip an argmax gap but could flip a rounded
+    emitted digit (the float-portability rule the sampling operators
+    follow).
+
+    Returns (doc_id, pred_lang, lang, correct) for the test split.
+    """
+    from pyspark.sql import Window
+
+    def toks(df: DataFrame, *keep: str) -> DataFrame:
+        return df.select(
+            *keep,
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("word"),
+        )
+
+    train_wc = (
+        toks(train, label_col)
+        .groupBy(label_col, "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = train_wc.groupBy(label_col).agg(F.sum("cnt").alias("tot"))
+    vocab = train_wc.agg(
+        F.countDistinct("word").cast("double").alias("v_size")
+    )
+    n_train = train.agg(F.count(F.lit(1)).cast("double").alias("n_train"))
+    priors = (
+        train.groupBy(label_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            F.col(label_col).alias("cand"),
+            F.log(F.col("n_docs") / F.col("n_train")).alias("log_prior"),
+        )
+    )
+    test_wc = (
+        toks(test, id_col)
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    model = train_wc.select(
+        F.col(label_col).alias("cand"), "word", "cnt"
+    )
+    grid = (
+        test_wc.crossJoin(F.broadcast(priors.select("cand")))
+        .join(F.broadcast(model), ["cand", "word"], "left")
+        .join(
+            F.broadcast(tot.select(F.col(label_col).alias("cand"), "tot")),
+            "cand",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "term",
+            F.col("n")
+            * (
+                F.log(F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+                - F.log(F.col("tot") + F.col("v_size"))
+            ),
+        )
+    )
+    scores = (
+        grid.groupBy(id_col, "cand")
+        .agg(F.sum("term").alias("_s"))
+        .join(F.broadcast(priors), "cand")
+        .withColumn("score", F.col("_s") + F.col("log_prior"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("cand"))
+    pred = (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, F.col("cand").alias("pred_lang"))
+    )
+    return pred.join(test.select(id_col, label_col), id_col).select(
+        id_col,
+        "pred_lang",
+        label_col,
+        (F.col("pred_lang") == F.col(label_col)).alias("correct"),
+    )

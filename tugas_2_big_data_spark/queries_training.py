@@ -982,6 +982,86 @@ def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.lang_id(load_table(spark, "documents", sf_dir))
 
 
+_NB_LANGID_SQL = r"""
+WITH tr AS (SELECT lang, text FROM documents WHERE doc_id % 5 < 4),
+te AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 4),
+trw AS (
+  SELECT lang,
+    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  FROM tr
+),
+wc AS (SELECT lang AS cand, word, count(*) AS cnt FROM trw GROUP BY 1, 2),
+tot AS (SELECT cand, sum(cnt) AS tot FROM wc GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v_size FROM wc),
+pri AS (
+  SELECT lang AS cand,
+    ln(CAST(count(*) AS DOUBLE)
+       / (SELECT CAST(count(*) AS DOUBLE) FROM tr)) AS log_prior
+  FROM tr GROUP BY lang
+),
+tew AS (
+  SELECT doc_id,
+    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  FROM te
+),
+twc AS (SELECT doc_id, word, count(*) AS n FROM tew GROUP BY 1, 2),
+grid AS (
+  SELECT t.doc_id, p.cand, t.n, coalesce(w.cnt, 0) AS cnt
+  FROM twc t
+  CROSS JOIN (SELECT cand FROM pri) p
+  LEFT JOIN wc w ON w.cand = p.cand AND w.word = t.word
+),
+sc AS (
+  SELECT g.doc_id, g.cand,
+    sum(g.n * (ln(g.cnt + 1.0) - ln(tt.tot + v.v_size))) AS s
+  FROM grid g JOIN tot tt ON tt.cand = g.cand CROSS JOIN v
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT s.doc_id, s.cand, s.s + p.log_prior AS score
+  FROM sc s JOIN pri p ON p.cand = s.cand
+),
+pred AS (
+  SELECT doc_id, cand AS pred_lang FROM (
+    SELECT doc_id, cand,
+      row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, cand
+      ) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT p.doc_id, p.pred_lang, te.lang,
+       p.pred_lang = te.lang AS correct
+FROM pred p JOIN te USING (doc_id)
+"""
+
+
+@register("txt_nb_langid", _NB_LANGID_SQL)
+def txt_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier
+    (text_analysis.naive_bayes_langid), trained on the %5<4 doc split
+    and scored on the held-out %5=4 split — a TRAINED model expressed
+    entirely as DataFrame aggregates, next to the heuristic
+    `txt_langid`. The model (per-(label,word) counts + totals +
+    priors + Laplace V) is O(vocab × labels) and broadcast; training
+    is one map-side-combining pass over the train tokens, scoring one
+    broadcast join over the test tokens — both corpus-scan-shaped at
+    100 TB, no iteration. Scores stay internal (argmax only) — the
+    emitted columns are exactly reproducible across engines while the
+    raw log-prob sums differ in the last ulp. Honest measurement: the
+    synthetic lang labels are nearly text-independent (best per-word
+    rate ratio ~1.4× outside one token), so held-out accuracy at
+    sf0.01 is 0.39 vs a 0.43 majority baseline — the oracle certifies
+    the MODEL's exactness; `test_nb_learns_separable_classes` pins
+    that it actually learns when classes are separable."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "text"
+    )
+    train = docs.filter(F.col("doc_id") % 5 < 4)
+    test = docs.filter(F.col("doc_id") % 5 == 4)
+    return text_analysis.naive_bayes_langid(train, test)
+
+
 _CANON_FP_SQL = """
 SELECT doc_id,
   md5(array_to_string(
@@ -2343,6 +2423,100 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spark_recall_over(exact, approx)
 
 
+def _sq_sql(dim: int = 64, topk: int = 5, n_queries: int = 5) -> str:
+    """SQ8 oracle: per-dim min/max bounds CTE, midpoint reconstruction
+    of the clamped-floor 8-bit codes, squared-L2 ADC — every float op
+    the same IEEE double op in the same order as the Spark side, so
+    codes and ranking match bit-for-bit."""
+    mins = ", ".join(f"min(v[{i}])" for i in range(1, dim + 1))
+    maxs = ", ".join(f"max(v[{i}])" for i in range(1, dim + 1))
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (q.qv[i] - r.rv[i]) * (q.qv[i] - r.rv[i])))"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (SELECT [{mins}] AS mins, [{maxs}] AS maxs FROM v),
+recon AS (
+  SELECT vec_id AS nbr_id,
+    list_transform(generate_series(1, {dim}), i ->
+      mins[i] + (
+        (CASE WHEN maxs[i] = mins[i] THEN 0
+              ELSE least(255, floor((v[i] - mins[i])
+                         / (maxs[i] - mins[i]) * 256)) END)
+        + 0.5) * (maxs[i] - mins[i]) / 256) AS rv
+  FROM v CROSS JOIN b
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < {n_queries})
+SELECT query_id, nbr_id, adc_dist, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT q.query_id, r.nbr_id, round({dist}, 9) AS adc_dist,
+    row_number() OVER (
+      PARTITION BY q.query_id ORDER BY {dist} ASC, r.nbr_id
+    ) AS rk
+  FROM q CROSS JOIN recon r
+  WHERE r.nbr_id != q.query_id
+) WHERE rk <= {topk}
+"""
+
+
+@register("ann_sq_topk", _sq_sql())
+def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization (SQ8) ADC top-k (similarity.sq_topk): each
+    dim uniformly quantized to 8 bits against per-dim corpus [min,max]
+    — the FAISS IndexScalarQuantizer shape, completing the
+    quantization family (IVF = candidate pruning, PQ/IVF-PQ = deep
+    compression, SQ8 = cheap 4× compression with NO training and full
+    per-dim fidelity). The scan reads 4× fewer bytes than brute force
+    — what an IO-bound corpus scan pays for — at recall measured by
+    `ann_sq_recall`."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.sq_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@register("ann_sq_topk_prebuilt", _sq_sql())
+def ann_sq_topk_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 served from the persisted artifact
+    (similarity.sq_build_index: one-row bounds + the encoded corpus —
+    the artifact IS the index): serving broadcasts the 1 KB bounds row
+    and scans only the 4×-compressed codes table; no bounds aggregate,
+    no encode pass, no raw-vector reads at query time. Bit-identical
+    to `ann_sq_topk` (same decode, same fold) — same oracle."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    path = _ann_artifact_dir(sf_dir, "sq")
+    _ensure_artifact(
+        spark, path, "codes", lambda p: similarity.sq_build_index(emb, p)
+    )
+    return similarity.sq_topk_from_index(
+        spark, path, emb.filter(F.col("vec_id") < 5), k=5
+    )
+
+
+@register("ann_sq_recall", _recall_over_sql(_sq_sql()))
+def ann_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the SQ8 ADC scorer vs exact cosine ground truth —
+    the self-measurement every approximate stage in the registry
+    carries. Expectation worth pinning as a number: SQ8's per-dim
+    quantization error is tiny relative to PQ's 4×4 codebook at this
+    dim, so its recall should sit far above `ann_pq_recall`'s — the
+    compression/accuracy menu (SQ8 4×, IVF-PQ ~32×) with measured
+    prices. Served from the persisted artifact, same oracle leg as
+    `ann_sq_topk`."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q5 = emb.filter(F.col("vec_id") < 5)
+    path = _ann_artifact_dir(sf_dir, "sq")
+    _ensure_artifact(
+        spark, path, "codes", lambda p: similarity.sq_build_index(emb, p)
+    )
+    exact = similarity.cosine_topk(emb, q5, k=5).select("query_id", "nbr_id")
+    approx = similarity.sq_topk_from_index(spark, path, q5, k=5).select(
+        "query_id", "nbr_id"
+    )
+    return _spark_recall_over(exact, approx)
+
+
 def _ivfpq_recall_sql() -> str:
     return f"""
 WITH exact AS ({_ANN_TOPK_SQL}),
@@ -3578,6 +3752,132 @@ def dedup_incremental_two_batches(
     ).unionByName(
         acc2.select(F.lit(2).cast("long").alias("batch"), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# blocked Bloom prefilter on the incremental gate
+# ---------------------------------------------------------------------------
+
+_BLOOM_NB = 32
+_BLOOM_G = 3
+
+
+def _bloom_sql() -> str:
+    """DuckDB twin of the blocked-Bloom routing: identical md5-seeded
+    block/bit hashes, identical 63-bit words, identical probe rule."""
+
+    def blk(src: str) -> str:
+        h = hashing.hexn_sql("md5('blk:' || " + src + ")", 15)
+        return f"({h}) % {_BLOOM_NB}"
+
+    def mask(src: str) -> str:
+        bits = " | ".join(
+            "(CAST(1 AS BIGINT) << ("
+            + hashing.hexn_sql(f"md5('bit{i}:' || {src})", 15)
+            + ") % 63)"
+            for i in range(_BLOOM_G)
+        )
+        return f"({bits})"
+
+    return f"""
+WITH seen AS (
+  SELECT DISTINCT {_FP_EXPR_SQL} AS fp FROM documents
+),
+sm AS (SELECT {blk('fp')} AS block_id, {mask('fp')} AS mask FROM seen),
+bloom AS (SELECT block_id, bit_or(mask) AS word FROM sm GROUP BY block_id),
+batch AS (
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' zzz qqq' AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+bm AS (
+  SELECT doc_id, fp, {blk('fp')} AS block_id, {mask('fp')} AS mask
+  FROM (SELECT doc_id, {_FP_EXPR_SQL} AS fp FROM batch)
+)
+SELECT b.doc_id,
+  CASE WHEN w.word IS NULL OR (w.word & b.mask) <> b.mask
+         THEN 'bloom_fresh'
+       WHEN b.fp IN (SELECT fp FROM seen) THEN 'dup'
+       ELSE 'verified_fresh' END AS route
+FROM bm b LEFT JOIN bloom w USING (block_id)
+"""
+
+
+@register("dedup_incremental_bloom", _bloom_sql())
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-Bloom prefilter on the incremental exact-dedup gate
+    (dedup.bloom_state + dedup.route_batch_bloom): the seen corpus is
+    summarized as a 32-row (block_id, word) table — 8 bytes/block,
+    broadcast — and each batch doc probes ONE word before it is
+    allowed anywhere near the fingerprint state. Routes: bloom miss =
+    definitely fresh (accepted with ZERO state contact), bloom hit =
+    exact anti-join candidate, split into false positives
+    (verified_fresh) and true dups.
+
+    100-TB shape: the exact gate's dominant per-batch cost is the
+    batch-vs-2 TB-state shuffle join; the bloom probe is a broadcast
+    hash join against a table whose size is n_blocks — independent of
+    state row count — so only the hit slice pays the state join. The
+    bloom word table is a mergeable sketch (dedup.merge_bloom_state),
+    riding the same append-only loop as the fingerprint state. At
+    sf0.01 the measured candidate reduction and FP rate live in the
+    unit tests; n_blocks is deliberately small here so all three
+    routes are exercised by the oracle."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+            )
+        )
+    )
+    seen = dedup.fingerprint_groups(docs).select("fp")
+    bloom = dedup.bloom_state(seen, n_blocks=_BLOOM_NB, g=_BLOOM_G)
+    return dedup.route_batch_bloom(
+        batch, bloom, seen, n_blocks=_BLOOM_NB, g=_BLOOM_G
+    )
+
+
+@register("dedup_incremental_compacted", _INCR_DEDUP_SQL)
+def dedup_incremental_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance half of the append-only ingest loop
+    (bucketing.compact_appended_state): the seen-corpus fingerprint
+    state arrives as 8 separate parquet APPENDS (one per simulated
+    ingest batch — the small-file debt the append-only merges
+    deliberately accumulate), is compacted into an fp-bucketed catalog
+    table with ONE state-sized shuffle, and the next batch is gated
+    against the compacted state. Same accepted set as
+    `dedup_incremental_batch` — the oracle is the UNCHANGED incremental
+    oracle, proving compaction is invisible to results; what it buys is
+    layout: n_buckets files instead of O(batches × partitions), and a
+    bucket spec so the per-batch gate join plans with no state-side
+    Exchange (pinned in tests/test_bucketing.py)."""
+    import tempfile
+
+    from tugas_2_big_data_spark.sources import bucketing
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    seen_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    state_dir = tempfile.mkdtemp(prefix="t2bd_fp_state_appends_")
+    for i in range(8):  # 8 ingest batches, each an append-only merge
+        piece = seen_docs.filter(F.pmod(F.floor(F.col("doc_id") / 3), 8) == i)
+        dedup.fingerprint_groups(piece).select("fp").write.mode(
+            "append"
+        ).parquet(state_dir)
+    state = bucketing.compact_appended_state(
+        spark,
+        state_dir,
+        "t2bd_fp_state_compacted",
+        ["fp"],
+        n_buckets=8,
+        path=state_dir + "_compacted",
+    )
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return dedup.incremental_new_docs(batch, state).select("doc_id")
 
 
 # ---------------------------------------------------------------------------

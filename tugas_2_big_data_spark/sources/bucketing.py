@@ -58,3 +58,44 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     `spark.read.parquet(path)` on the same files LOSES the spec and
     re-shuffles — always read bucketed data through the catalog)."""
     return spark.table(table)
+
+
+def compact_appended_state(
+    spark: SparkSession,
+    src_path: str,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+) -> DataFrame:
+    """Compact an append-accumulated state directory into a bucketed
+    table and return the catalog-backed (bucket-spec-carrying) frame.
+
+    The incremental-ingest loop's state merges are deliberately
+    append-only (`dedup.merge_fingerprint_state` et al.): each ingest
+    appends a batch-sized parquet piece, so after B batches the state
+    directory holds O(B × batch partitions) small files AND any plain
+    read of it has no bucket spec — every per-batch gate join
+    re-shuffles the whole state (the spec-less contrast measured in
+    INCR_STATE_PROBE.json: 6.1 s vs 3.6 s per check at the 100× state
+    tier). Compaction pays ONE state-sized shuffle to restore both
+    properties: `repartition(n_buckets, keys)` puts each bucket's rows
+    in exactly one task (same murmur3 hash as the bucket spec, so each
+    task writes exactly one file — n_buckets files total, no
+    small-file explosion), and `bucketBy` records the spec in the
+    catalog so subsequent gate joins shuffle ONLY the batch side.
+
+    At 100 TB this is the standard maintenance trade: appends stay
+    O(batch) on the ingest path; an off-peak compaction every N
+    batches is O(state/N) amortized per batch. Results are invariant —
+    `dedup_incremental_compacted`'s oracle is the UNCHANGED incremental
+    oracle, and the unit test pins file count + no state-side
+    Exchange."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src_path).repartition(
+        n_buckets, *[F.col(c) for c in bucket_cols]
+    )
+    write_bucketed(df, table, bucket_cols, n_buckets, sort_cols, path)
+    return read_bucketed(spark, table)
