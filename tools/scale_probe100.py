@@ -84,6 +84,11 @@ PROBE = [
     "dedup_incremental_near_dup_two_batches",   # LSH loop, state evolved
     "ann_incremental_two_batches",              # bucket loop, state evolved
     "ann_ivfpq_rerank_topk",        # ADC serve + k*r exact rerank
+    "dedup_incremental_bloom",      # broadcast bloom probe routes batch
+    "dedup_incremental_compacted",  # appends -> bucketed compaction -> gate
+    "ann_sq_topk",                  # SQ8 bounds+encode+ADC at 100x corpus
+    "ann_sq_topk_prebuilt",         # SQ8 served from bounds+codes artifact
+    "txt_nb_langid",                # NB train pass + broadcast-scored test
 ]
 
 # Zipfian-vocabulary corpus variant: the prefix-filter dedups claim
@@ -268,6 +273,9 @@ def _materialize(df) -> tuple[int, float]:
 
 
 def main() -> None:
+    only = None
+    if "--only" in sys.argv:  # probe a subset, merge into existing JSON
+        only = sys.argv[sys.argv.index("--only") + 1]
     # One JVM runs ~30 queries at the 100x tier in sequence; the
     # materialize=True families localCheckpoint corpus-sized token/gram
     # relations (MEMORY_AND_DISK) and the blocks are only unpersisted
@@ -282,7 +290,7 @@ def main() -> None:
         build(spark)
     reg = q.queries()
     results = {}
-    for name in PROBE:
+    for name in [n for n in PROBE if only is None or only in n]:
         fn = reg[name]
         # per-query isolation: one failing plan (OOM, broadcast build)
         # records an error row instead of losing the whole probe run
@@ -315,7 +323,7 @@ def main() -> None:
         print("building zipf corpora ...", file=sys.stderr)
         build_zipf(spark, ZIPF_SMALL, ZIPF_SMALL_DOCS)
         build_zipf(spark, ZIPF_BIG, ZIPF_SMALL_DOCS * ZIPF_FACTOR)
-    for name in ZIPF_PROBE:
+    for name in [n for n in ZIPF_PROBE if only is None or only in n]:
         fn = reg[name]
         try:
             n_small, t_small = _materialize(fn(spark, ZIPF_SMALL))
@@ -346,7 +354,7 @@ def main() -> None:
         print("building boilerplate corpora ...", file=sys.stderr)
         build_boiler(spark, SRC, BOILER_SMALL)
         build_boiler(spark, DST, BOILER_BIG)
-    for name in BOILER_PROBE:
+    for name in [n for n in BOILER_PROBE if only is None or only in n]:
         fn = reg[name]
         try:
             n_small, t_small = _materialize(fn(spark, BOILER_SMALL))
@@ -371,6 +379,11 @@ def main() -> None:
         )
         gc.collect()
     out = os.path.join(REPO, "SCALEPROBE100.json")
+    if only is not None and os.path.exists(out):
+        with open(out) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
     with open(out, "w") as f:
         json.dump(results, f)
     print(f"wrote {out}", file=sys.stderr)
