@@ -1065,3 +1065,30 @@ def test_sq_served_equals_inquery(spark, tmp_path):
     inquery = sorted(map(tuple, similarity.sq_topk(emb, q, k=4, dim=8).collect()))
     assert served == inquery
     assert len(served) == 12
+
+
+def test_ivfsq_served_equals_inquery(spark, tmp_path):
+    """IVF-SQ serving from the persisted centroids+bounds+codes
+    artifact must be row-for-row identical to the in-query build."""
+    emb = _sq_vectors(spark)
+    q = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivfsq_idx")
+    similarity.ivfsq_build_index(emb, path, n_centroids=4, dim=8)
+    served = sorted(
+        map(
+            tuple,
+            similarity.ivfsq_topk_from_index(
+                spark, path, q, nprobe=2, k=4
+            ).collect(),
+        )
+    )
+    inquery = sorted(
+        map(
+            tuple,
+            similarity.ivfsq_topk(
+                emb, q, n_centroids=4, nprobe=2, k=4, dim=8
+            ).collect(),
+        )
+    )
+    assert served == inquery
+    assert len(served) == 12

@@ -89,6 +89,8 @@ PROBE = [
     "ann_sq_topk",                  # SQ8 bounds+encode+ADC at 100x corpus
     "ann_sq_topk_prebuilt",         # SQ8 served from bounds+codes artifact
     "txt_nb_langid",                # NB train pass + broadcast-scored test
+    "ann_ivfsq_topk",               # cells x SQ8 codes, in-query build
+    "ann_ivfsq_topk_prebuilt",      # served from cell-partitioned codes
 ]
 
 # Zipfian-vocabulary corpus variant: the prefix-filter dedups claim

@@ -1806,8 +1806,16 @@ def sq_encode(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    code = F.transform(
-        F.col("_v"),
+    return c.join(F.broadcast(bounds)).select(
+        "nbr_id", _sq_codes_expr(F.col("_v")).alias("codes")
+    )
+
+
+def _sq_codes_expr(v: Column) -> Column:
+    """SQ8 code array for a double-vector column, against broadcast
+    `mins`/`maxs` bounds columns in scope."""
+    return F.transform(
+        v,
         lambda x, i: F.when(
             F.get("maxs", i) == F.get("mins", i), F.lit(0)
         )
@@ -1823,7 +1831,6 @@ def sq_encode(
         )
         .cast("int"),
     )
-    return c.join(F.broadcast(bounds)).select("nbr_id", code.alias("codes"))
 
 
 def _sq_reconstruct() -> Column:
@@ -1952,3 +1959,185 @@ def sq_topk_from_index(
             "rk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-SQ: coarse cells for candidate pruning × SQ8 codes for compression
+# ---------------------------------------------------------------------------
+
+
+def _ivfsq_rank(q_assigned: DataFrame, recon: DataFrame, k: int) -> DataFrame:
+    """Shared IVF-SQ serve core: probed-cell equi-join + squared-L2 ADC
+    over midpoint-reconstructed SQ8 codes + per-query top-k (ADC asc,
+    ties on nbr_id — the IVF-PQ ranking convention)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("nbr_id")
+    )
+    return (
+        q_assigned.join(recon, "cid")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .withColumn("adc_dist", _sq_l2(F.col("query_vec"), F.col("_rv")))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round("adc_dist", 9).alias("adc_dist"),
+            "rk",
+        )
+    )
+
+
+def ivfsq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    kmeans_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-SQ approximate top-k (the FAISS IndexIVFScalarQuantizer
+    shape): coarse k-means cells prune candidates to O(nprobe·N/nlist)
+    per query, SQ8 codes price them — 4× less IO than flat IVF inside
+    every probed cell, far higher per-dim fidelity than PQ at this
+    dim. Completes the quantization matrix: IVF (pruning only),
+    SQ/PQ (compression only), IVF-SQ / IVF-PQ (both). Same coarse
+    quantizer, assignment expression, and ADC conventions as the
+    sibling operators — the oracle composes their proven CTE
+    generators verbatim."""
+    cents = train_ivf_centroids(
+        corpus,
+        n_centroids=n_centroids,
+        quantizer="kmeans",
+        kmeans_iters=kmeans_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+    ).localCheckpoint()
+    bounds = sq_bounds(corpus, dim, vec_col)
+    assign = _cell_assigner(cents)
+    cells = assign(
+        fan_out(corpus).select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).cast("array<double>").alias("nbr_vec"),
+        ),
+        "nbr_id",
+        "nbr_vec",
+        1,
+    )
+    recon = (
+        cells.join(F.broadcast(bounds))
+        .select(
+            "cid",
+            "nbr_id",
+            _sq_codes_expr(F.col("nbr_vec")).alias("codes"),
+        )
+        .join(F.broadcast(bounds))
+        .select("cid", "nbr_id", _sq_reconstruct().alias("_rv"))
+    )
+    q = assign(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("query_vec"),
+        ),
+        "query_id",
+        "query_vec",
+        nprobe,
+    )
+    return _ivfsq_rank(q, recon, k)
+
+
+def ivfsq_build_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    kmeans_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the complete IVF-SQ artifact: centroids, the one-row SQ
+    bounds, and the cell-assigned CODES table ((cid, nbr_id, codes),
+    hive-partitioned by cid, repartitioned by cid first so each cell's
+    codes coalesce into contiguous files). The artifact IS the index:
+    the full-corpus assignment + encode pass is build work, and what
+    serving scans is the 4×-compressed inverted file with unprobed
+    cells prunable at the parquet scan — the IO story of IVF and the
+    compression story of SQ, multiplied."""
+    import posixpath
+
+    from tugas_2_big_data_spark.sources import sinks
+
+    cents = train_ivf_centroids(
+        corpus,
+        n_centroids=n_centroids,
+        quantizer="kmeans",
+        kmeans_iters=kmeans_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+    ).localCheckpoint()
+    sinks.write_parquet(cents, posixpath.join(path, "centroids"))
+    bounds = sq_bounds(corpus, dim, vec_col).localCheckpoint()
+    sinks.write_parquet(bounds, posixpath.join(path, "bounds"))
+    assign = _cell_assigner(cents)
+    cells = assign(
+        fan_out(corpus).select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).cast("array<double>").alias("nbr_vec"),
+        ),
+        "nbr_id",
+        "nbr_vec",
+        1,
+    )
+    codes = cells.join(F.broadcast(bounds)).select(
+        "cid", "nbr_id", _sq_codes_expr(F.col("nbr_vec")).alias("codes")
+    )
+    sinks.write_parquet(
+        codes.repartition(F.col("cid")),
+        posixpath.join(path, "codes"),
+        partition_by=["cid"],
+    )
+
+
+def ivfsq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve IVF-SQ from the persisted artifact: assign only the query
+    batch (broadcast one-row centroid state), equi-join the probed
+    cells' code partitions, decode + ADC — no training, no assignment,
+    no encode, no raw-vector reads at query time. Bit-identical to
+    `ivfsq_topk` (parquet round-trips the doubles and int codes
+    exactly) — same oracle."""
+    import posixpath
+
+    cents = spark.read.parquet(posixpath.join(path, "centroids"))
+    bounds = spark.read.parquet(posixpath.join(path, "bounds"))
+    codes = spark.read.parquet(posixpath.join(path, "codes"))
+    recon = codes.join(F.broadcast(bounds)).select(
+        F.col("cid").cast("long"),
+        "nbr_id",
+        _sq_reconstruct().alias("_rv"),
+    )
+    assign = _cell_assigner(cents)
+    q = assign(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("query_vec"),
+        ),
+        "query_id",
+        "query_vec",
+        nprobe,
+    )
+    return _ivfsq_rank(q, recon, k)
