@@ -85,6 +85,7 @@ PROBE = [
     "ann_incremental_two_batches",              # bucket loop, state evolved
     "ann_ivfpq_rerank_topk",        # ADC serve + k*r exact rerank
     "dedup_incremental_bloom",      # broadcast bloom probe routes batch
+    "dedup_incremental_bloom_two_batches",  # bloom loop, sketch merged
     "dedup_incremental_compacted",  # appends -> bucketed compaction -> gate
     "ann_sq_topk",                  # SQ8 bounds+encode+ADC at 100x corpus
     "ann_sq_topk_prebuilt",         # SQ8 served from bounds+codes artifact

@@ -67,6 +67,12 @@ _SWEEP_CHANGED: tuple[str, ...] = (
     "dedup_repeated_spans", "dedup_repeated_spans_excise",
     "dedup_repeated_spans_keep_first", "pipeline_span_clean",
     "decontaminate_spans", "decontaminate_excise",
+    # round-5 continuation additions
+    "dedup_incremental_bloom", "dedup_incremental_bloom_two_batches",
+    "dedup_incremental_compacted",
+    "ann_sq_topk", "ann_sq_topk_prebuilt", "ann_sq_recall",
+    "ann_ivfsq_topk", "ann_ivfsq_topk_prebuilt", "ann_ivfsq_recall",
+    "txt_nb_langid",
 )
 
 

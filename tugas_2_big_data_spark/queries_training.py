@@ -3860,22 +3860,28 @@ _BLOOM_NB = 32
 _BLOOM_G = 3
 
 
+def _bloom_blk_sql(src: str) -> str:
+    """DuckDB twin of the blocked-Bloom block hash (ONE authoritative
+    copy, shared by the single-batch and two-batch oracles)."""
+    h = hashing.hexn_sql("md5('blk:' || " + src + ")", 15)
+    return f"({h}) % {_BLOOM_NB}"
+
+
+def _bloom_mask_sql(src: str) -> str:
+    """DuckDB twin of the g-bit 63-bit-word mask."""
+    bits = " | ".join(
+        "(CAST(1 AS BIGINT) << ("
+        + hashing.hexn_sql(f"md5('bit{i}:' || {src})", 15)
+        + ") % 63)"
+        for i in range(_BLOOM_G)
+    )
+    return f"({bits})"
+
+
 def _bloom_sql() -> str:
     """DuckDB twin of the blocked-Bloom routing: identical md5-seeded
     block/bit hashes, identical 63-bit words, identical probe rule."""
-
-    def blk(src: str) -> str:
-        h = hashing.hexn_sql("md5('blk:' || " + src + ")", 15)
-        return f"({h}) % {_BLOOM_NB}"
-
-    def mask(src: str) -> str:
-        bits = " | ".join(
-            "(CAST(1 AS BIGINT) << ("
-            + hashing.hexn_sql(f"md5('bit{i}:' || {src})", 15)
-            + ") % 63)"
-            for i in range(_BLOOM_G)
-        )
-        return f"({bits})"
+    blk, mask = _bloom_blk_sql, _bloom_mask_sql
 
     return f"""
 WITH seen AS (
@@ -3937,6 +3943,128 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = dedup.bloom_state(seen, n_blocks=_BLOOM_NB, g=_BLOOM_G)
     return dedup.route_batch_bloom(
         batch, bloom, seen, n_blocks=_BLOOM_NB, g=_BLOOM_G
+    )
+
+
+def _bloom2_sql() -> str:
+    """Two-batch bloom-loop oracle: pass 2's bloom is recomputed over
+    state₁ = state₀ ∪ fp(accepted₁) — equivalent to the Spark side's
+    bit_or merge by the mergeability identity the unit test pins."""
+    blk, mask = _bloom_blk_sql, _bloom_mask_sql
+
+    def routed(bm: str, bloom: str, state: str) -> str:
+        return f"""
+  SELECT b.doc_id,
+    CASE WHEN w.word IS NULL OR (w.word & b.mask) <> b.mask
+           THEN 'bloom_fresh'
+         WHEN b.fp IN (SELECT fp FROM {state}) THEN 'dup'
+         ELSE 'verified_fresh' END AS route,
+    b.fp
+  FROM {bm} b LEFT JOIN {bloom} w USING (block_id)
+"""
+
+    return f"""
+WITH state0 AS (SELECT DISTINCT {_FP_EXPR_SQL} AS fp FROM documents),
+bloom0 AS (
+  SELECT block_id, bit_or(mask) AS word FROM (
+    SELECT {blk('fp')} AS block_id, {mask('fp')} AS mask FROM state0
+  ) GROUP BY block_id
+),
+b1 AS (
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' zzz qqq' AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+b1m AS (
+  SELECT doc_id, fp, {blk('fp')} AS block_id, {mask('fp')} AS mask
+  FROM (SELECT doc_id, {_FP_EXPR_SQL} AS fp FROM b1)
+),
+r1 AS ({routed('b1m', 'bloom0', 'state0')}),
+acc1 AS (SELECT fp FROM r1 WHERE route <> 'dup'),
+state1 AS (SELECT fp FROM state0 UNION ALL SELECT fp FROM acc1),
+bloom1 AS (
+  SELECT block_id, bit_or(mask) AS word FROM (
+    SELECT {blk('fp')} AS block_id, {mask('fp')} AS mask FROM state1
+  ) GROUP BY block_id
+),
+b2 AS (
+  SELECT doc_id + 200000 AS doc_id, text || ' zzz qqq' AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, text || ' bbb ccc' AS text
+  FROM documents WHERE doc_id % 13 = 0
+),
+b2m AS (
+  SELECT doc_id, fp, {blk('fp')} AS block_id, {mask('fp')} AS mask
+  FROM (SELECT doc_id, {_FP_EXPR_SQL} AS fp FROM b2)
+),
+r2 AS ({routed('b2m', 'bloom1', 'state1')})
+SELECT CAST(1 AS BIGINT) AS batch, doc_id, route FROM r1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS batch, doc_id, route FROM r2
+"""
+
+
+@register("dedup_incremental_bloom_two_batches", _bloom2_sql())
+def dedup_incremental_bloom_two_batches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The bloom-prefiltered ingest loop CLOSED over two batches:
+    route batch₁ through (bloom₀, state₀), fold the accepted docs into
+    BOTH states — fingerprints by append-only union, the bloom by
+    `dedup.merge_bloom_state`'s n_blocks-bounded bit_or (never a
+    state-sized rebuild) — then route batch₂ through (bloom₁, state₁).
+    Batch₂ plants exact copies of batch₁'s accepted docs (+200000): a
+    FROZEN bloom/state would route them fresh; the evolved pair must
+    route every one 'dup', which the oracle enforces by recomputing
+    pass 2's bloom over state₁ (== the bit_or merge by the mergeability
+    identity). Per-batch cost stays batch-sized + n_blocks: the sketch
+    rides the same loop as the state it guards."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    state0 = dedup.fingerprint_groups(docs).select("fp")
+    bloom0 = dedup.bloom_state(state0, n_blocks=_BLOOM_NB, g=_BLOOM_G)
+    b1 = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+            )
+        )
+    )
+    r1 = dedup.route_batch_bloom(
+        b1, bloom0, state0, n_blocks=_BLOOM_NB, g=_BLOOM_G
+    ).localCheckpoint()
+    acc1_fps = (
+        b1.join(r1.filter(F.col("route") != "dup").select("doc_id"), "doc_id")
+        .select(F.md5(dedup.normalized("text")).alias("fp"))
+    )
+    state1 = state0.unionByName(acc1_fps)
+    bloom1 = dedup.merge_bloom_state(
+        bloom0, dedup.bloom_state(acc1_fps, n_blocks=_BLOOM_NB, g=_BLOOM_G)
+    )
+    b2 = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" bbb ccc")).alias("text"),
+            )
+        )
+    )
+    r2 = dedup.route_batch_bloom(
+        b2, bloom1, state1, n_blocks=_BLOOM_NB, g=_BLOOM_G
+    )
+    return r1.select(
+        F.lit(1).cast("long").alias("batch"), "doc_id", "route"
+    ).unionByName(
+        r2.select(F.lit(2).cast("long").alias("batch"), "doc_id", "route")
     )
 
 
