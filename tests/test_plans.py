@@ -391,3 +391,39 @@ def test_filtered_ivf_pushes_predicate_into_invfile_scan(dfs):
         if "PushedFilters" in line and "label" in line
     ]
     assert pushed, f"label filter not pushed to any scan:\n{plan}"
+
+
+def test_sq_prebuilt_serving_reads_artifact_only(dfs):
+    """SQ8 / IVF-SQ artifact serving must scan the persisted index
+    (bounds + codes under the artifact dir) and never the raw
+    embeddings parquet — the whole point of the compressed index is
+    that serving IO is the 4×-smaller codes table."""
+    for name in ("ann_sq_topk_prebuilt", "ann_ivfsq_topk_prebuilt"):
+        plan = pi.explain_formatted(dfs[name])
+        assert "tugas2_ann_index" in plan, name
+        assert not pi.uses_cartesian_or_bnl(dfs[name]), name
+        # Every raw embeddings scan must carry the query-batch pushed
+        # filter (vec_id < 5) — i.e. be the 5-row query read, never a
+        # full-corpus read. Spark legitimately DUPLICATES that filtered
+        # read as a dynamic-partition-pruning subquery for the codes
+        # scan (the cid IN dynamicpruning#N filter IS the cell pruning
+        # we built the partitioned artifact for), so we pin the filter
+        # on each scan block rather than counting scan lines.
+        for block in plan.split("\n\n"):
+            if (
+                "Scan parquet" in block
+                and "embeddings.parquet" in block
+                and "tugas2_ann_index" not in block
+            ):
+                assert "LessThan(vec_id,5)" in block, (
+                    f"{name}: unfiltered raw corpus scan\n{block}"
+                )
+
+
+def test_bloom_word_table_rides_a_broadcast(dfs):
+    """The bloom probe must be a broadcast hash join of the n_blocks-row
+    word table against the batch — if the word table ever shuffles the
+    batch, the prefilter costs what it was built to avoid."""
+    plan = pi.explain_formatted(dfs["dedup_incremental_bloom"])
+    assert "BroadcastHashJoin" in plan
+    assert not pi.uses_cartesian_or_bnl(dfs["dedup_incremental_bloom"])
