@@ -168,3 +168,59 @@ def test_heavy_hitters_state_is_bounded(spark):
     assert len(out) <= 12
     for r in out:
         assert r.est_lo <= r.exact_cnt <= r.est_hi
+
+
+def test_count_min_never_underestimates_and_state_is_bounded(spark):
+    """Count-Min's one-sided guarantee is certain, not probabilistic:
+    every occurrence of an item increments all of its cells, so the
+    min over rows can only OVER-count. A deliberately tiny width
+    forces collisions; the estimates must still bound from above, and
+    the counter table must stay <= depth*width rows."""
+    from tugas_2_big_data_spark.operators import sketches
+
+    rows = [(i, i % 37) for i in range(1500)]  # skewed-ish 37 items
+    df = spark.createDataFrame(rows, ["event_id", "user_id"])
+    out = sketches.count_min_heavy(
+        df, "user_id", depth=3, width=8, top_n=37
+    ).collect()
+    assert len(out) == 37
+    assert all(r.within_bound for r in out)
+    assert all(r.cm_est >= r.exact_cnt for r in out)
+    items = df.groupBy(F.col("user_id").alias("item")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    counters = sketches.count_min_counters(items, depth=3, width=8)
+    assert counters.count() <= 3 * 8
+
+
+def test_merge_count_min_equals_sketch_of_concat(spark):
+    """Cell-wise sum of two counter tables == the counter table of the
+    concatenated streams (the mergeability that lets the sketch ride
+    the append-only ingest loop)."""
+    from tugas_2_big_data_spark.operators import sketches
+
+    a = spark.createDataFrame(
+        [(i, i % 5) for i in range(200)], ["event_id", "user_id"]
+    )
+    b = spark.createDataFrame(
+        [(i, i % 7) for i in range(300)], ["event_id", "user_id"]
+    )
+
+    def counts(df):
+        return df.groupBy(F.col("user_id").alias("item")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+
+    cm_a = sketches.count_min_counters(counts(a), depth=4, width=16)
+    cm_b = sketches.count_min_counters(counts(b), depth=4, width=16)
+    merged = {
+        (r.r, r.c): r.cell
+        for r in sketches.merge_count_min(cm_a, cm_b).collect()
+    }
+    whole = {
+        (r.r, r.c): r.cell
+        for r in sketches.count_min_counters(
+            counts(a.unionByName(b)), depth=4, width=16
+        ).collect()
+    }
+    assert merged == whole

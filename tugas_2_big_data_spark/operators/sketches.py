@@ -14,8 +14,9 @@ partition is the only viable shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from tugas_2_big_data_spark.functions import hashing
 from tugas_2_big_data_spark.operators.sampling import hash_unit24
 
 # Deterministic LOGICAL shards (not physical partitions): sharding by a
@@ -127,4 +128,120 @@ def heavy_hitters(
             F.col("est_hi"),
             F.col("within_bound"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable point-frequency estimation
+# ---------------------------------------------------------------------------
+
+
+def _cm_positions(item: Column, depth: int, width: int) -> Column:
+    """The `depth` (row, col) counter positions of one item under the
+    md5-seeded Count-Min hash family — seed goes INSIDE the hash
+    (`cm{r}:item`), so each row is an independent family and the
+    DuckDB oracle recomputes every position bit-for-bit."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("r"),
+                (
+                    hashing.hash60(
+                        F.concat(F.lit(f"cm{r}:"), item.cast("string"))
+                    )
+                    % width
+                )
+                .cast("long")
+                .alias("c"),
+            )
+            for r in range(depth)
+        ]
+    )
+
+
+def count_min_counters(
+    item_counts: DataFrame, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Build the Count-Min counter table (r, c, cell) from an exact
+    (item, cnt) relation: each distinct item adds its count into one
+    cell per row. The table is at most ``depth · width`` rows whatever
+    the item cardinality — the whole sketch state fits in one broadcast
+    — and it is MERGEABLE: cell-wise sum of two tables with the same
+    (depth, width) is exactly the sketch of the concatenated streams
+    (`merge_count_min`), so it rides the same append-only ingest loop
+    as the bloom/fingerprint state.
+
+    Scale shape: the caller's (item, cnt) aggregate is the only
+    data-sized stage; this adds `depth` rows per DISTINCT item and one
+    bounded groupBy. Building from pre-aggregated counts instead of raw
+    rows keeps the explode off the 100 TB relation."""
+    pos = F.explode(
+        _cm_positions(F.col("item"), depth, width)
+    ).alias("p")
+    return (
+        item_counts.select("cnt", pos)
+        .select(F.col("p.r").alias("r"), F.col("p.c").alias("c"), "cnt")
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cell"))
+    )
+
+
+def merge_count_min(cm_a: DataFrame, cm_b: DataFrame) -> DataFrame:
+    """cm(A) + cm(B) = cm(A ++ B): union the counter tables and sum
+    colliding cells. Per-merge cost is bounded by depth·width, not by
+    stream size — the frequency twin of `merge_bloom_state`."""
+    return (
+        cm_a.unionByName(cm_b)
+        .groupBy("r", "c")
+        .agg(F.sum("cell").alias("cell"))
+    )
+
+
+def count_min_heavy(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+    top_n: int = 10,
+    materialize: bool = True,
+) -> DataFrame:
+    """Count-Min frequency estimates for the `top_n` most frequent
+    items: (item, exact_cnt, cm_est, over_est, within_bound) where
+    cm_est = min over the `depth` rows of the probed cell and
+    within_bound pins the sketch's CERTAIN one-sided guarantee
+    cm_est >= exact_cnt (every occurrence of an item lands in all of
+    its cells; collisions only ADD). The sketch is fully deterministic
+    (md5-seeded positions + sums), so unlike HLL/GK the estimates
+    themselves are value-compared by the oracle, heavy-hitters-style.
+
+    `exact_cnt` doubles as the probe selector and the oracle contract;
+    a production deployment would probe externally-supplied keys
+    against the broadcast counter table instead. `materialize`
+    localCheckpoints the (item, cnt) aggregate — it feeds the counter
+    build AND the probe selection, and without it the corpus-sized
+    aggregate runs twice."""
+    items = df.groupBy(F.col(item_col).alias("item")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    if materialize:
+        items = items.localCheckpoint(eager=True)
+    counters = count_min_counters(items, depth, width)
+    probes = items.orderBy(F.desc("cnt"), "item").limit(top_n)
+    probe_pos = probes.select(
+        "item",
+        F.col("cnt").alias("exact_cnt"),
+        F.explode(_cm_positions(F.col("item"), depth, width)).alias("p"),
+    ).select("item", "exact_cnt", F.col("p.r").alias("r"), F.col("p.c").alias("c"))
+    return (
+        probe_pos.join(F.broadcast(counters), ["r", "c"])
+        .groupBy("item", "exact_cnt")
+        .agg(F.min("cell").alias("cm_est"))
+        .select(
+            "item",
+            "exact_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_cnt")).alias("over_est"),
+            (F.col("cm_est") >= F.col("exact_cnt")).alias("within_bound"),
+        )
+        .orderBy(F.desc("exact_cnt"), "item")
     )

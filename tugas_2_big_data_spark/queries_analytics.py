@@ -343,6 +343,77 @@ def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CM_DEPTH = 4
+_CM_WIDTH = 512
+
+
+def _count_min_sql(depth: int = _CM_DEPTH, width: int = _CM_WIDTH) -> str:
+    """DuckDB replay of the ENTIRE Count-Min math (seeded positions,
+    counter cells, min-over-rows estimates) — like the heavy-hitters
+    oracle, the sketch is deterministic, so the estimates themselves
+    are value-compared, not just bound-flagged."""
+    from tugas_2_big_data_spark.functions.hashing import hexn_sql
+
+    legs = []
+    for r in range(depth):
+        h = hexn_sql(f"md5('cm{r}:' || CAST(item AS VARCHAR))", 15)
+        legs.append(
+            f"SELECT item, cnt, {r} AS r, ({h}) % {width} AS c FROM items"
+        )
+    pos = "\nUNION ALL ".join(legs)
+    return f"""
+WITH items AS (
+  SELECT user_id AS item, count(*) AS cnt FROM events GROUP BY 1
+),
+pos AS (
+  {pos}
+),
+cells AS (SELECT r, c, sum(cnt) AS cell FROM pos GROUP BY 1, 2),
+probes AS (
+  SELECT item FROM items ORDER BY cnt DESC, item LIMIT 10
+),
+est AS (
+  SELECT p.item, p.cnt AS exact_cnt, min(cl.cell) AS cm_est
+  FROM pos p JOIN cells cl ON p.r = cl.r AND p.c = cl.c
+  WHERE p.item IN (SELECT item FROM probes)
+  GROUP BY 1, 2
+)
+SELECT item AS user_id,
+  CAST(exact_cnt AS BIGINT) AS exact_cnt,
+  CAST(cm_est AS BIGINT) AS cm_est,
+  CAST(cm_est - exact_cnt AS BIGINT) AS over_est,
+  (cm_est >= exact_cnt) AS within_bound
+FROM est ORDER BY exact_cnt DESC, user_id
+"""
+
+
+@register("sketch_count_min", _count_min_sql())
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency sketch (sketches.count_min_heavy):
+    per-user event counts estimated from a depth×width counter table
+    (4×512 cells — ≤16 KB of state whatever the user cardinality),
+    probed for the top-10 users. Completes the mergeable-sketch
+    family: HLL distinct counts, GK quantiles, Misra-Gries heavy
+    hitters, blocked-Bloom membership, and now Count-Min frequencies
+    — cell-wise sum of two tables IS the sketch of the union
+    (sketches.merge_count_min, unit-pinned), so the table rides the
+    same append-only ingest loop as the bloom state. within_bound
+    pins the sketch's certain one-sided guarantee cm_est >=
+    exact_cnt; over_est shows the collision inflation at this
+    width."""
+    ev = load_table(spark, "events", sf_dir)
+    cm = sketches.count_min_heavy(
+        ev, item_col="user_id", depth=_CM_DEPTH, width=_CM_WIDTH
+    )
+    return cm.select(
+        F.col("item").alias("user_id"),
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("cm_est").cast("long").alias("cm_est"),
+        F.col("over_est").cast("long").alias("over_est"),
+        "within_bound",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semi-structured JSON extraction — events.props is a JSON string
 # column; parse with an EXPLICIT schema (from_json), never schema
