@@ -1684,14 +1684,28 @@ def lsh_bucket_recall(
         F.broadcast(b),
         cosine(F.col("new_vec"), F.col("seen_vec")) >= threshold,
     )
-    return truth.agg(
-        F.count(F.lit(1)).alias("n_truth"),
-        F.sum(
-            F.when(F.col("new_bucket") == F.col("bucket"), 1).otherwise(0)
+    return (
+        truth.agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("new_bucket") == F.col("bucket"), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_hits"),
         )
-        .cast("long")
-        .alias("n_hits"),
-    ).withColumn("recall", F.col("n_hits") / F.col("n_truth"))
+        # a corpus with NO true near-dup pairs must report recall 1.0
+        # (the gate missed nothing), not a surprise null from 0/0
+        .withColumn(
+            "recall",
+            F.when(F.col("n_truth") > 0, F.col("n_hits") / F.col("n_truth"))
+            .otherwise(F.lit(1.0)),
+        )
+    )
 
 
 def merge_bucket_state(

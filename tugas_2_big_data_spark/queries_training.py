@@ -1846,9 +1846,12 @@ def _ann_artifact_dir(sf_dir: str, kind: str) -> str:
     outer dir, its mtime the inner one, so a regenerated corpus under
     the same path gets a fresh key instead of serving a stale index —
     and every OLDER mtime dir under the same path-hash is pruned here
-    (a regenerated corpus otherwise orphans its previous key's IVF/PQ/
-    IVF-PQ artifacts forever; same-mtime concurrent sessions share one
-    key, so pruning never races a live reader). The temp-dir location
+    once it has sat untouched past a grace window (a regenerated
+    corpus otherwise orphans its previous key's IVF/PQ/IVF-PQ
+    artifacts forever; the grace window keeps the prune from deleting
+    parquet files out from under a concurrent session still holding a
+    lazy DataFrame over the previous key — same-mtime sessions share
+    one key and were never at risk). The temp-dir location
     stands in for the artifact store a real deployment would use (the
     100-TB story is the same: build writes once per rebuild cadence,
     serving reads)."""
@@ -1857,6 +1860,7 @@ def _ann_artifact_dir(sf_dir: str, kind: str) -> str:
     import os
     import shutil
     import tempfile
+    import time
 
     p = os.path.join(sf_dir, "embeddings.parquet")
     paths = [p] if os.path.isfile(p) else (
@@ -1867,13 +1871,23 @@ def _ann_artifact_dir(sf_dir: str, kind: str) -> str:
     mtime = max(os.stat(x).st_mtime_ns for x in paths if os.path.exists(x))
     key = hashlib.md5(os.path.abspath(p).encode()).hexdigest()[:16]
     corpus_dir = os.path.join(tempfile.gettempdir(), "tugas2_ann_index", key)
+    # grace window: only prune a stale-mtime entry once its directory
+    # has sat untouched for a while — a concurrent session that built
+    # (or is lazily reading) the previous key's artifacts minutes ago
+    # must not have its parquet deleted mid-read
+    grace_s = 1800.0
+    now = time.time()
     try:
         for entry in os.listdir(corpus_dir):
             base = entry.split(".tmp-")[0]
             if base.isdigit() and int(base) < mtime:
-                shutil.rmtree(
-                    os.path.join(corpus_dir, entry), ignore_errors=True
-                )
+                full = os.path.join(corpus_dir, entry)
+                try:
+                    if now - os.stat(full).st_mtime < grace_s:
+                        continue
+                except OSError:
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
     except OSError:
         pass
     return os.path.join(corpus_dir, str(mtime), kind)

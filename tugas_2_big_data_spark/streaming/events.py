@@ -372,15 +372,17 @@ def streaming_near_dup(
 
 def write_ingest_batches(batches: Sequence[DataFrame], path: str) -> None:
     """Materialize a sequence of logical ingest batches as ONE parquet
-    file each under `path`, in arrival order (b1/, b2/, …): a
+    file each under `path`, in arrival order (b0001/, b0002/, …): a
     file-source stream over `path` with maxFilesPerTrigger=1 then
     delivers exactly one micro-batch per logical batch, in order —
     both of FileStreamSource's orderings (modification time from the
     sequential writes; lexical path as the tie-break) agree. The
-    coalesce(1) is batch-sized harness work (these are ingest deltas,
-    not the corpus)."""
+    names are zero-padded so the lexical tie-break matches arrival
+    order at ANY batch count (bare 'b10' would sort before 'b2').
+    The coalesce(1) is batch-sized harness work (these are ingest
+    deltas, not the corpus)."""
     for i, b in enumerate(batches, start=1):
-        b.coalesce(1).write.mode("overwrite").parquet(f"{path}/b{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(f"{path}/b{i:04d}")
 
 
 def run_evolving_near_dup(
@@ -460,7 +462,7 @@ def run_evolving_near_dup(
         )
 
     src = (
-        spark.readStream.schema("doc_id long, text string")
+        spark.readStream.schema(f"{id_col} long, text string")
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
@@ -476,7 +478,7 @@ def run_evolving_near_dup(
     finally:
         q.stop()
     if not accepted:
-        return spark.createDataFrame([], "batch long, doc_id long")
+        return spark.createDataFrame([], f"batch long, {id_col} long")
     out = accepted[0]
     for a in accepted[1:]:
         out = out.unionByName(a)
