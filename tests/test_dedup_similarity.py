@@ -1092,3 +1092,95 @@ def test_ivfsq_served_equals_inquery(spark, tmp_path):
     )
     assert served == inquery
     assert len(served) == 12
+
+
+def test_ivf_append_to_index_equals_frozen_centroid_assignment(spark, tmp_path):
+    """Incremental index maintenance: build on batch 1, append batch 2
+    under the FROZEN centroids — serving must equal in-query IVF over
+    the full corpus with the artifact's centroids injected (exactly
+    what build-then-append produces), and the pre-append serve proves
+    a frozen index misses batch 2 (evolution, not a no-op)."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    q = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf_incr")
+    similarity.ivf_build_index(b1, path, n_centroids=4, dim=8)
+    before = similarity.ivf_topk_from_index(spark, path, q, nprobe=2, k=5).collect()
+    assert before and all(r.nbr_id % 2 == 0 for r in before)
+    similarity.ivf_append_to_index(spark, path, b2)
+    after = similarity.ivf_topk_from_index(spark, path, q, nprobe=2, k=5).collect()
+    ref = similarity.ivf_topk(
+        emb, q, nprobe=2, k=5,
+        centroids=spark.read.parquet(path + "/centroids"),
+    ).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, ref))
+    assert any(r.nbr_id % 2 == 1 for r in after)
+    # every appended vector landed in the inverted file exactly once
+    inv = spark.read.parquet(path + "/invfile")
+    assert inv.count() == 60
+    assert inv.groupBy("nbr_id").count().filter("count > 1").count() == 0
+
+
+def test_ivfpq_append_to_index_equals_frozen_state_encoding(spark, tmp_path):
+    """IVF-PQ twin: append assigns + encodes batch 2 with the
+    artifact's frozen coarse centroids AND codebooks; serving equals
+    in-query IVF-PQ with both injected."""
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    rows = [
+        (i, [float((i % 4) * 20 + x) for x in rng.standard_normal(8)])
+        for i in range(48)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    q = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivfpq_incr")
+    similarity.ivfpq_build_index(b1, path, n_centroids=4, m=2, ks=4, dim=8)
+    before = similarity.ivfpq_topk_from_index(spark, path, q, nprobe=2, k=5).collect()
+    assert before and all(r.nbr_id % 2 == 0 for r in before)
+    similarity.ivfpq_append_to_index(spark, path, b2, dim=8)
+    after = similarity.ivfpq_topk_from_index(spark, path, q, nprobe=2, k=5).collect()
+    ref = similarity.ivfpq_topk(
+        emb, q, nprobe=2, m=2, ks=4, k=5, dim=8,
+        coarse=spark.read.parquet(path + "/coarse"),
+        codebooks=spark.read.parquet(path + "/codebooks"),
+    ).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, ref))
+    assert any(r.nbr_id % 2 == 1 for r in after)
+
+
+def test_ivfsq_append_to_index_matches_full_build_on_duplicate_batch(spark, tmp_path):
+    """IVF-SQ twin, checked via a constructed equivalence: batch 2
+    duplicates batch 1's vectors under larger ids, so full-corpus
+    training yields bit-identical centroids (same seeds — lowest ids —
+    and duplicate-invariant means) and bit-identical min/max bounds;
+    appended serving must therefore equal a from-scratch full build."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(30)]
+    dup = [(100 + i, v) for i, v in rows]
+    emb = spark.createDataFrame(rows + dup, ["vec_id", "embedding"])
+    b1 = emb.filter(F.col("vec_id") < 100)
+    b2 = emb.filter(F.col("vec_id") >= 100)
+    q = emb.filter(F.col("vec_id") < 3)
+    inc = str(tmp_path / "ivfsq_incr")
+    full = str(tmp_path / "ivfsq_full")
+    similarity.ivfsq_build_index(b1, inc, n_centroids=4, dim=8)
+    before = similarity.ivfsq_topk_from_index(spark, inc, q, nprobe=2, k=5).collect()
+    assert before and all(r.nbr_id < 100 for r in before)
+    similarity.ivfsq_append_to_index(spark, inc, b2)
+    similarity.ivfsq_build_index(emb, full, n_centroids=4, dim=8)
+    after = similarity.ivfsq_topk_from_index(spark, inc, q, nprobe=2, k=5).collect()
+    ref = similarity.ivfsq_topk_from_index(spark, full, q, nprobe=2, k=5).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, ref))
+    # each query's duplicate (vec_id + 100, cosine 1.0) now ranks first
+    top1 = {r.query_id: r.nbr_id for r in after if r.rk == 1}
+    assert top1 == {qid: qid + 100 for qid in (0, 1, 2)}

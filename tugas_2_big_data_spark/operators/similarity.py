@@ -362,6 +362,148 @@ def ivf_topk_from_index(
     return _ivf_rank(q, cells, k)
 
 
+def ivf_append_to_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    meta_cols: tuple[str, ...] = (),
+) -> None:
+    """INCREMENTAL index maintenance: fold a new vector batch into a
+    persisted `ivf_build_index` artifact using the artifact's FROZEN
+    centroids — assign only the batch (broadcast one-row centroid
+    state, map-only) and APPEND its rows to the cid-partitioned
+    inverted file. The quantizer is NOT retrained: this is the path a
+    continuously-ingesting corpus runs between periodic retrains (the
+    same append-only discipline as `dedup.merge_fingerprint_state` —
+    per-batch cost depends on the BATCH, never on the index size), at
+    the price every production vector store pays for it: frozen
+    centroids drift from the data distribution as batches accumulate
+    (`ann_incremental_add_recall` measures exactly that drift, and a
+    recall regression there is the retrain signal).
+
+    Serving needs no new code: `ivf_topk_from_index` reads the invfile
+    directory, so appended cells' files are discovered like built
+    ones, and results are identical to an index whose BUILD had seen
+    the appended vectors with the same centroids. Blind parquet append
+    is non-idempotent on re-run (sinks.append's documented contract);
+    a real deployment appends under a table format's transaction or
+    tracks batch ids. Compaction of the accumulated small per-batch
+    files is the existing maintenance half
+    (`bucketing.compact_appended_state` applies unchanged to hive-
+    partitioned layouts via dynamic overwrite)."""
+    import posixpath
+
+    from tugas_2_big_data_spark.sources import sinks
+
+    cents = spark.read.parquet(posixpath.join(path, "centroids"))
+    assign = _cell_assigner(cents)
+    cells = assign(
+        fan_out(batch).select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).cast("array<double>").alias("nbr_vec"),
+            *[F.col(c) for c in meta_cols],
+        ),
+        "nbr_id",
+        "nbr_vec",
+        1,
+    )
+    # same repartition-by-cid rationale as the build: each touched
+    # cell's new vectors coalesce into one appended file, not one per
+    # write task
+    sinks.append(
+        cells.select("cid", "nbr_id", "nbr_vec", *meta_cols).repartition(
+            F.col("cid")
+        ),
+        posixpath.join(path, "invfile"),
+        partition_by=["cid"],
+    )
+
+
+def ivfsq_append_to_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """`ivf_append_to_index`'s IVF-SQ twin: assign + SQ-encode the new
+    batch with the artifact's FROZEN centroids and FROZEN quantization
+    bounds, append to the cid-partitioned codes table. Frozen bounds
+    add a second drift surface beyond frozen centroids: an appended
+    vector whose component falls outside the trained [lo, hi] clamps
+    to the edge code (sq_encode's least/greatest), so out-of-range
+    drift degrades into saturation, not corruption — monitored by the
+    same recall-drift query as the centroids."""
+    import posixpath
+
+    from tugas_2_big_data_spark.sources import sinks
+
+    cents = spark.read.parquet(posixpath.join(path, "centroids"))
+    bounds = spark.read.parquet(posixpath.join(path, "bounds"))
+    assign = _cell_assigner(cents)
+    cells = assign(
+        fan_out(batch).select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).cast("array<double>").alias("nbr_vec"),
+        ),
+        "nbr_id",
+        "nbr_vec",
+        1,
+    )
+    codes = cells.join(F.broadcast(bounds)).select(
+        "cid", "nbr_id", _sq_codes_expr(F.col("nbr_vec")).alias("codes")
+    )
+    sinks.append(
+        codes.repartition(F.col("cid")),
+        posixpath.join(path, "codes"),
+        partition_by=["cid"],
+    )
+
+
+def ivfpq_append_to_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """`ivf_append_to_index`'s IVF-PQ twin: assign + PQ-encode the new
+    batch with the artifact's FROZEN coarse centroids and FROZEN
+    codebooks, append to the cid-partitioned codes table. Both stages
+    are broadcast-state map work over the batch; the codebooks freeze
+    means appended vectors are quantized onto the original corpus's
+    codeword geometry — the ADC error grows with distribution drift,
+    which is the PQ-specific retrain signal."""
+    import posixpath
+
+    from tugas_2_big_data_spark.sources import sinks
+
+    state, m, sub = _pq_serve_state(spark, path)
+    coarse = spark.read.parquet(posixpath.join(path, "coarse"))
+    assign = _cell_assigner(coarse)
+    enc = (
+        assign(
+            fan_out(batch).select(
+                F.col(id_col).alias("nbr_id"),
+                F.col(vec_col).cast("array<double>").alias("_v"),
+            ),
+            "nbr_id",
+            "_v",
+            1,
+        )
+        .crossJoin(F.broadcast(state))
+        .select("cid", "nbr_id", *_pq_code_cols(m, sub))
+    )
+    sinks.append(
+        enc.repartition(F.col("cid")),
+        posixpath.join(path, "codes"),
+        partition_by=["cid"],
+    )
+
+
 def pq_build_index(
     corpus: DataFrame,
     path: str,

@@ -1953,6 +1953,210 @@ def ann_ivf_topk_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- incremental index maintenance: batch₁ trains, batch₂ appends ----
+# batch split for the incremental-add loop (even ids arrive first);
+# the quantizer-sizing and training-sample policies all count BATCH 1,
+# because that is the corpus the index was built (and frozen) on
+_B1_PRED_SQL = "vec_id % 2 = 0"
+_B1_SQRT_K_SQL = (
+    "(SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT))"
+    f" FROM embeddings WHERE {_B1_PRED_SQL})"
+)
+_B1_TRAIN_STRIDE_SQL = (
+    "(SELECT greatest(1, CAST(ceil(count(*) /"
+    " greatest(2048.0, 32 * floor(sqrt(count(*))))) AS BIGINT))"
+    f" FROM embeddings WHERE {_B1_PRED_SQL})"
+)
+_B1_TRAIN_PTS_SQL = (
+    f"SELECT vec_id, embedding FROM embeddings WHERE {_B1_PRED_SQL} AND ("
+    + _hex24_sql("md5(CAST(vec_id AS VARCHAR) || ':11')")
+    + f") % {_B1_TRAIN_STRIDE_SQL} = 0"
+)
+
+
+def _ivf_incradd_sql(
+    iters: int = 2,
+    dim: int = 64,
+    nprobe: int = 2,
+    topk: int = 5,
+    n_queries: int = 5,
+    stages: tuple[int, ...] = (1, 2),
+) -> str:
+    """Oracle for the incremental-add loop: ONE centroid chain trained
+    on batch 1 only (the frozen quantizer), then per-stage inverted
+    files — stage 1 assigns batch 1, stage 2 assigns the full corpus
+    (batch 1's build ∪ batch 2's frozen-centroid append are together
+    exactly a full-corpus assignment under the same centroids)."""
+    parts = _kmeans_cents_ctes(
+        8, iters, dim, pts_sql=_B1_TRAIN_PTS_SQL, k_sql=_B1_SQRT_K_SQL
+    )
+    parts.append(
+        "corpus AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
+        "FROM embeddings)"
+    )
+    parts.append(f"cents AS (SELECT cid, cvec FROM c{iters})")
+    for name, out_id, out_vec, pred, probes in (
+        ("cassign1", "nbr_id", "nbr_vec", f"WHERE c.{_B1_PRED_SQL}", 1),
+        ("cassign2", "nbr_id", "nbr_vec", "", 1),
+        (
+            "qassign",
+            "query_id",
+            "query_vec",
+            f"WHERE c.vec_id < {n_queries}",
+            nprobe,
+        ),
+    ):
+        parts.append(f"""{name} AS (
+  SELECT vec_id AS {out_id}, vec AS {out_vec}, cid FROM (
+    SELECT c.vec_id, c.vec, ct.cid,
+      row_number() OVER (
+        PARTITION BY c.vec_id
+        ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC, ct.cid
+      ) AS crn
+    FROM corpus c CROSS JOIN cents ct
+    {pred}
+  ) WHERE crn <= {probes}
+)""")
+    ctes = ",\n".join(parts)
+
+    def stage_sel(stage_no: int) -> str:
+        return f"""SELECT CAST({stage_no} AS BIGINT) AS stage,
+  query_id, nbr_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT q.query_id, a.nbr_id,
+    round(list_cosine_similarity(q.query_vec, a.nbr_vec), 9) AS cosine,
+    row_number() OVER (
+      PARTITION BY q.query_id
+      ORDER BY list_cosine_similarity(q.query_vec, a.nbr_vec) DESC, a.nbr_id
+    ) AS rk
+  FROM qassign q JOIN cassign{stage_no} a USING (cid)
+  WHERE a.nbr_id != q.query_id
+) WHERE rk <= {topk}"""
+
+    body = "\nUNION ALL\n".join(stage_sel(s) for s in stages)
+    return f"WITH {ctes}\n{body}"
+
+
+def _ivf_incradd_artifacts(spark, sf_dir: str) -> tuple[str, str]:
+    """Ensure the incremental-add artifact PAIR for this corpus: the
+    batch-1 index (built, quantizer frozen at batch 1) and its evolved
+    twin with batch 2 appended via `similarity.ivf_append_to_index`.
+    Returns (path_b1, path_b1b2). Both are cached like every other
+    prebuilt index — at 100 TB the appends run inside ingest, serving
+    just reads the current artifact."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    p1 = _ann_artifact_dir(sf_dir, "ivf_incr_b1")
+    _ensure_artifact(
+        spark, p1, "invfile", lambda p: similarity.ivf_build_index(b1, p)
+    )
+
+    def _build_evolved(p: str) -> None:
+        similarity.ivf_build_index(b1, p)
+        similarity.ivf_append_to_index(spark, p, b2)
+
+    p12 = _ann_artifact_dir(sf_dir, "ivf_incr_b1b2")
+    _ensure_artifact(spark, p12, "invfile", _build_evolved)
+    return p1, p12
+
+
+@register("ann_ivf_incremental_add_two_batches", _ivf_incradd_sql())
+def ann_ivf_incremental_add_two_batches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ANN INDEX-MAINTENANCE loop closed over two ingest batches —
+    the vector-index twin of `dedup_incremental_two_batches`: batch 1
+    (even vec_ids) builds the IVF index and freezes its quantizer;
+    batch 2 (odd vec_ids) is folded in by
+    `similarity.ivf_append_to_index` — assigned with the FROZEN
+    centroids and appended to the cid-partitioned inverted file, never
+    retrained, per-batch cost independent of index size. Serving the
+    same query batch after each stage proves the evolution: stage 1
+    ranks only batch-1 vectors; stage 2 must surface the appended odd
+    vectors (a frozen index would return stage 2 ≡ stage 1 and
+    hash-mismatch the oracle, which assigns the full corpus under the
+    batch-1 centroids — exactly what build-then-append produces)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    p1, p12 = _ivf_incradd_artifacts(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    r1 = similarity.ivf_topk_from_index(spark, p1, q, nprobe=2, k=5)
+    r2 = similarity.ivf_topk_from_index(spark, p12, q, nprobe=2, k=5)
+    return r1.select(
+        F.lit(1).cast("long").alias("stage"), "query_id", "nbr_id",
+        "cosine", "rk",
+    ).unionByName(
+        r2.select(
+            F.lit(2).cast("long").alias("stage"), "query_id", "nbr_id",
+            "cosine", "rk",
+        )
+    )
+
+
+def _ivf_incradd_recall_sql() -> str:
+    froz = _ivf_incradd_sql(stages=(2,))
+    retr = _ivf_kmeans_sql(k_sql=_SQRT_K_SQL, pts_sql=_IVF_TRAIN_PTS_SQL)
+    return f"""
+WITH exact AS ({_ANN_TOPK_SQL}),
+froz AS (SELECT query_id, nbr_id FROM ({froz})),
+retr AS (SELECT query_id, nbr_id FROM ({retr})),
+n_ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact)
+SELECT v.variant, n.n_exact, h.n_hits,
+       h.n_hits / n.n_exact AS recall
+FROM (VALUES ('frozen_b1'), ('retrained')) v(variant)
+CROSS JOIN n_ex n
+JOIN (
+  SELECT 'frozen_b1' AS variant, CAST(count(*) AS BIGINT) AS n_hits
+  FROM exact e JOIN froz a
+    ON a.query_id = e.query_id AND a.nbr_id = e.nbr_id
+  UNION ALL
+  SELECT 'retrained' AS variant, CAST(count(*) AS BIGINT) AS n_hits
+  FROM exact e JOIN retr a
+    ON a.query_id = e.query_id AND a.nbr_id = e.nbr_id
+) h ON h.variant = v.variant
+"""
+
+
+@register("ann_incremental_add_recall", _ivf_incradd_recall_sql())
+def ann_incremental_add_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall DRIFT of frozen-quantizer index maintenance, measured:
+    recall@5 (vs exact cosine truth, summed over the query batch) of
+    (a) the batch-1-trained index with batch 2 APPENDED under frozen
+    centroids vs (b) an index RETRAINED on the full corpus (the
+    production `ivf_topk` path). The gap between the two rows is the
+    price of not retraining — the operational signal that schedules
+    the periodic retrain a continuously-ingesting corpus runs (run
+    this after every N appends; retrain when frozen recall sags below
+    the serving SLO)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    _, p12 = _ivf_incradd_artifacts(spark, sf_dir)
+    q5 = emb.filter(F.col("vec_id") < 5)
+    ex = similarity.cosine_topk(emb, q5, k=5).select("query_id", "nbr_id")
+    froz = similarity.ivf_topk_from_index(
+        spark, p12, q5, nprobe=2, k=5
+    ).select("query_id", "nbr_id")
+    retr = similarity.ivf_topk(emb, q5, nprobe=2, k=5).select(
+        "query_id", "nbr_id"
+    )
+    n_ex = ex.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+
+    def tally(approx: DataFrame, name: str) -> DataFrame:
+        hits = ex.join(approx, ["query_id", "nbr_id"], "left_semi").agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        )
+        return (
+            n_ex.crossJoin(hits)
+            .select(
+                F.lit(name).alias("variant"),
+                "n_exact",
+                "n_hits",
+                (F.col("n_hits") / F.col("n_exact")).alias("recall"),
+            )
+        )
+
+    return tally(froz, "frozen_b1").unionByName(tally(retr, "retrained"))
+
+
 # metadata filter shared by the filtered-search pair (~30% selectivity)
 _ANN_FILTER_PRED_SQL = "label IN (1, 3, 5)"
 
