@@ -115,6 +115,19 @@ def build_states(spark, tier: str, tier_dir: str) -> None:
         BUCKETS,
         path=os.path.join(STATE_DIR, tier, "emb"),
     )
+    # persisted blocked-Bloom sketch over the fp state (production
+    # n_blocks): the prebuilt-gate row reads THIS table instead of
+    # deriving the sketch from the state in-query
+    from tugas_2_big_data_spark.sources import sinks
+
+    sinks.write_parquet(
+        dedup.bloom_state(fp, n_blocks=4096),
+        os.path.join(STATE_DIR, tier, "bloom"),
+    )
+    # persisted IVF index artifact over the tier corpus (the growing
+    # index the fixed batch is appended to); build time is per-ingest-
+    # history work like every other state build here
+    similarity.ivf_build_index(emb, os.path.join(STATE_DIR, tier, "ivf"))
 
 
 def _checks(spark, tier: str, tier_dir: str, bucketed: bool):
@@ -166,7 +179,20 @@ def _checks(spark, tier: str, tier_dir: str, bucketed: bool):
     ann = similarity.incremental_embedding_near_dup(
         b_emb, state(f"incr_emb_state_{tier}", "emb"), threshold=0.999
     )
-    return {"incr_exact": exact, "incr_near_dup": nd, "incr_embedding": ann}
+
+    # bloom-prebuilt gate: probe the PERSISTED sketch table (n_blocks
+    # rows, broadcast), then only the hit slice joins the fp state —
+    # the bloom itself is never derived from the state at gate time
+    bloom = spark.read.parquet(os.path.join(STATE_DIR, tier, "bloom"))
+    bloomed = dedup.route_batch_bloom(
+        b_exact, bloom, state(f"incr_fp_state_{tier}", "fp"), n_blocks=4096
+    )
+    return {
+        "incr_exact": exact,
+        "incr_near_dup": nd,
+        "incr_embedding": ann,
+        "incr_bloom_prebuilt": bloomed,
+    }
 
 
 def _materialize(df) -> tuple[int, float]:
@@ -183,6 +209,57 @@ def _materialize(df) -> tuple[int, float]:
 
     t = min(run(), run())
     return n, t
+
+
+def probe_ivf_append(spark) -> dict:
+    """Fixed-batch / growing-INDEX row for the ANN maintenance loop:
+    per-batch append cost (assign under the artifact's frozen
+    centroids + cid-partitioned parquet append) and serve-after-append
+    cost, at 1x and 100x index size. The honest scale shape: the √N
+    cell-count policy grows the broadcast centroid table 10x at 100x,
+    so batch assignment is O(batch · √N) — sublinear in index size,
+    never index-sized; serving stays O(nprobe · cell) reads. Append
+    timing runs against scratch twins sharing the FROZEN centroids
+    (where the appended files land does not change the work), min-of-2
+    like every other row; the real index then takes one actual append
+    and serves from it."""
+    import shutil
+
+    row: dict = {}
+    for tier, tier_dir in (("1x", SRC), ("100x", DST)):
+        emb0 = _copy0(_emb(spark, tier_dir), "vec_id")
+        batch = emb0.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 20_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"), lambda x: x * 2.0
+            ).alias("embedding"),
+        )
+        state_ivf = os.path.join(STATE_DIR, tier, "ivf")
+        times = []
+        for i in (1, 2):
+            scratch = os.path.join(STATE_DIR, tier, f"ivf_append_scratch{i}")
+            shutil.rmtree(scratch, ignore_errors=True)
+            shutil.copytree(
+                os.path.join(state_ivf, "centroids"),
+                os.path.join(scratch, "centroids"),
+            )
+            t0 = time.perf_counter()
+            similarity.ivf_append_to_index(spark, scratch, batch)
+            times.append(time.perf_counter() - t0)
+        row[f"t_append_state{tier}"] = round(min(times), 3)
+        similarity.ivf_append_to_index(spark, state_ivf, batch)
+        q = emb0.filter(F.col("vec_id") < 5)
+        served = similarity.ivf_topk_from_index(
+            spark, state_ivf, q, nprobe=2, k=5
+        )
+        n, t = _materialize(served)
+        row[f"t_serve_state{tier}"] = round(t, 3)
+        row[f"rows_serve_state{tier}"] = n
+    row["ratio"] = round(row["t_append_state100x"] / row["t_append_state1x"], 2)
+    row["serve_ratio"] = round(
+        row["t_serve_state100x"] / row["t_serve_state1x"], 2
+    )
+    return row
 
 
 def main() -> None:
@@ -207,7 +284,12 @@ def main() -> None:
             file=sys.stderr,
         )
     results: dict[str, dict] = {}
-    for name in ("incr_exact", "incr_near_dup", "incr_embedding"):
+    for name in (
+        "incr_exact",
+        "incr_near_dup",
+        "incr_embedding",
+        "incr_bloom_prebuilt",
+    ):
         row: dict = {}
         for tier, tier_dir in (("1x", SRC), ("100x", DST)):
             df = _checks(spark, tier, tier_dir, bucketed=True)[name]
@@ -241,6 +323,8 @@ def main() -> None:
         )
         results[name] = row
         print(f"{name}: {row}", file=sys.stderr)
+    results["incr_ivf_append"] = probe_ivf_append(spark)
+    print(f"incr_ivf_append: {results['incr_ivf_append']}", file=sys.stderr)
     out = os.path.join(REPO, "INCR_STATE_PROBE.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)

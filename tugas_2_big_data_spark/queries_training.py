@@ -1840,7 +1840,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), nprobe=2, k=5)
 
 
-def _ann_artifact_dir(sf_dir: str, kind: str) -> str:
+def _ann_artifact_dir(sf_dir: str, kind: str, table: str = "embeddings") -> str:
     """Per-corpus ANN index-artifact directory (temp-dir scoped),
     layered as <path-hash>/<mtime_ns>/<kind>: the corpus path keys the
     outer dir, its mtime the inner one, so a regenerated corpus under
@@ -1862,7 +1862,7 @@ def _ann_artifact_dir(sf_dir: str, kind: str) -> str:
     import tempfile
     import time
 
-    p = os.path.join(sf_dir, "embeddings.parquet")
+    p = os.path.join(sf_dir, f"{table}.parquet")
     paths = [p] if os.path.isfile(p) else (
         glob.glob(os.path.join(p, "**"), recursive=True) or [p]
     )
@@ -4242,6 +4242,88 @@ def dedup_incremental_bloom_two_batches(
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     state0 = dedup.fingerprint_groups(docs).select("fp")
     bloom0 = dedup.bloom_state(state0, n_blocks=_BLOOM_NB, g=_BLOOM_G)
+    b1 = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+            )
+        )
+    )
+    r1 = dedup.route_batch_bloom(
+        b1, bloom0, state0, n_blocks=_BLOOM_NB, g=_BLOOM_G
+    ).localCheckpoint()
+    acc1_fps = (
+        b1.join(r1.filter(F.col("route") != "dup").select("doc_id"), "doc_id")
+        .select(F.md5(dedup.normalized("text")).alias("fp"))
+    )
+    state1 = state0.unionByName(acc1_fps)
+    bloom1 = dedup.merge_bloom_state(
+        bloom0, dedup.bloom_state(acc1_fps, n_blocks=_BLOOM_NB, g=_BLOOM_G)
+    )
+    b2 = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" bbb ccc")).alias("text"),
+            )
+        )
+    )
+    r2 = dedup.route_batch_bloom(
+        b2, bloom1, state1, n_blocks=_BLOOM_NB, g=_BLOOM_G
+    )
+    return r1.select(
+        F.lit(1).cast("long").alias("batch"), "doc_id", "route"
+    ).unionByName(
+        r2.select(F.lit(2).cast("long").alias("batch"), "doc_id", "route")
+    )
+
+
+@register("dedup_incremental_bloom_prebuilt", _bloom2_sql())
+def dedup_incremental_bloom_prebuilt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The bloom-prefiltered ingest loop served from a PERSISTED sketch
+    artifact — the production shape `dedup_incremental_bloom_two_batches`
+    models in-query: the fingerprint state AND its blocked-Bloom word
+    table are parquet artifacts (built once via the same
+    `_ensure_artifact` machinery as the ANN indexes), so a batch's gate
+    reads an n_blocks-row sketch table instead of paying a full
+    state pass to DERIVE the sketch — the per-batch flatness the
+    in-query twin's 100× probe row could not show (its 26× was the
+    in-query bloom build, not the probe). The loop stays closed across
+    batches: batch₁'s accepted fingerprints fold into the sketch by
+    `dedup.merge_bloom_state`'s n_blocks-bounded bit_or (at scale, a
+    tiny read-modify-write of the sketch artifact, the same cadence as
+    the fingerprint-state append), and batch₂ gates against the merged
+    sketch. Identical batches, routes, and oracle as the in-query twin
+    — the artifact provably changes WHERE the sketch comes from, not
+    what it says."""
+    import posixpath
+
+    from tugas_2_big_data_spark.sources import sinks
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    path = _ann_artifact_dir(sf_dir, "bloom_state", table="documents")
+
+    def _build(p: str) -> None:
+        state = dedup.fingerprint_groups(docs).select("fp").localCheckpoint()
+        sinks.write_parquet(state, posixpath.join(p, "fps"))
+        sinks.write_parquet(
+            dedup.bloom_state(state, n_blocks=_BLOOM_NB, g=_BLOOM_G),
+            posixpath.join(p, "bloom"),
+        )
+
+    _ensure_artifact(spark, path, "bloom", _build)
+    state0 = spark.read.parquet(posixpath.join(path, "fps"))
+    bloom0 = spark.read.parquet(posixpath.join(path, "bloom"))
     b1 = (
         docs.filter(F.col("doc_id") % 7 == 0)
         .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
