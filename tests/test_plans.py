@@ -383,14 +383,19 @@ def test_filtered_ivf_pushes_predicate_into_invfile_scan(dfs):
     reach the inverted-file parquet scan as a pushed filter (the
     attributes live IN the index — no side lookup, no post-ranking
     filter), and the plan stays equi-join-only."""
-    plan = pi.explain_formatted(dfs["ann_ivf_filtered_topk"])
-    assert not pi.uses_cartesian_or_bnl(dfs["ann_ivf_filtered_topk"])
-    pushed = [
-        line
-        for line in plan.splitlines()
-        if "PushedFilters" in line and "label" in line
-    ]
-    assert pushed, f"label filter not pushed to any scan:\n{plan}"
+    for name in (
+        "ann_ivf_filtered_topk",
+        "ann_ivfsq_filtered_topk",
+        "ann_ivfpq_filtered_topk",
+    ):
+        plan = pi.explain_formatted(dfs[name])
+        assert not pi.uses_cartesian_or_bnl(dfs[name]), name
+        pushed = [
+            line
+            for line in plan.splitlines()
+            if "PushedFilters" in line and "label" in line
+        ]
+        assert pushed, f"{name}: label filter not pushed to any scan:\n{plan}"
 
 
 def test_sq_prebuilt_serving_reads_artifact_only(dfs):

@@ -362,6 +362,34 @@ def ivf_topk_from_index(
     return _ivf_rank(q, cells, k)
 
 
+def ivf_probed_cells(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, cid) — the cells a query batch would probe against a
+    persisted IVF artifact at a given nprobe: the capacity-planning
+    relation behind the nprobe/recall operating curve
+    (`ann_ivf_nprobe_curve`). Broadcast one-row centroid state, map-
+    only over the batch — never touches the inverted file."""
+    import posixpath
+
+    cents = spark.read.parquet(posixpath.join(path, "centroids"))
+    assign = _cell_assigner(cents)
+    return assign(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("query_vec"),
+        ),
+        "query_id",
+        "query_vec",
+        nprobe,
+    ).select("query_id", "cid")
+
+
 def ivf_append_to_index(
     spark,
     path: str,
@@ -619,6 +647,7 @@ def ivfpq_build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    meta_cols: tuple[str, ...] = (),
 ) -> None:
     """Build the COMPLETE IVF-PQ index artifact: coarse centroids at
     `{path}/coarse`, PQ codebooks at `{path}/codebooks`, and the
@@ -626,7 +655,11 @@ def ivfpq_build_index(
     `{path}/codes` (hive-partitioned by cid — unprobed cells prune at
     the scan). Both full-corpus passes (cell assignment + PQ encode)
     are index-BUILD work; serving (`ivfpq_topk_from_index`) touches
-    only the query batch and the probed slices of the codes table."""
+    only the query batch and the probed slices of the codes table.
+
+    ``meta_cols`` carries filterable attribute columns into the codes
+    table (same contract as `ivf_build_index`) for
+    `ivfpq_topk_from_index(where=…)` metadata-filtered search."""
     import posixpath
 
     from tugas_2_big_data_spark.sources import sinks
@@ -648,13 +681,19 @@ def ivfpq_build_index(
             fan_out(corpus).select(
                 F.col(id_col).alias("nbr_id"),
                 F.col(vec_col).cast("array<double>").alias("_v"),
+                *[F.col(c) for c in meta_cols],
             ),
             "nbr_id",
             "_v",
             1,
         )
         .crossJoin(F.broadcast(state))
-        .select("cid", "nbr_id", *_pq_code_cols(m, sub))
+        .select(
+            "cid",
+            "nbr_id",
+            *_pq_code_cols(m, sub),
+            *[F.col(c) for c in meta_cols],
+        )
     )
     # same repartition-by-cid rationale as the IVF inverted file
     sinks.write_parquet(
@@ -672,20 +711,28 @@ def ivfpq_topk_from_index(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where: Column | None = None,
 ) -> DataFrame:
     """Serve IVF-PQ from an `ivfpq_build_index` artifact: assign the
     query batch to nprobe cells (persisted coarse centroids), compute
     its LUTs (persisted codebooks), equi-join the probed slices of the
     persisted codes table on cid, ADC-score — per-query cost
     O(nprobe/nlist · N) array lookups over the compressed index, with
-    zero full-corpus passes at serve time."""
+    zero full-corpus passes at serve time.
+
+    ``where`` (over `meta_cols` attributes) filters the codes scan
+    BEFORE ADC scoring — same pushed-filter contract as
+    `ivf_topk_from_index(where=…)`."""
     import posixpath
 
     from pyspark.sql import Window
 
     state, m, sub = _pq_serve_state(spark, path)
     coarse = spark.read.parquet(posixpath.join(path, "coarse"))
-    enc = spark.read.parquet(posixpath.join(path, "codes")).select(
+    codes = spark.read.parquet(posixpath.join(path, "codes"))
+    if where is not None:
+        codes = codes.filter(where)
+    enc = codes.select(
         F.col("cid").cast("long"),
         "nbr_id",
         *[f"code{s}" for s in range(m)],
@@ -2216,6 +2263,7 @@ def ivfsq_build_index(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: tuple[str, ...] = (),
 ) -> None:
     """Persist the complete IVF-SQ artifact: centroids, the one-row SQ
     bounds, and the cell-assigned CODES table ((cid, nbr_id, codes),
@@ -2224,7 +2272,13 @@ def ivfsq_build_index(
     the full-corpus assignment + encode pass is build work, and what
     serving scans is the 4×-compressed inverted file with unprobed
     cells prunable at the parquet scan — the IO story of IVF and the
-    compression story of SQ, multiplied."""
+    compression story of SQ, multiplied.
+
+    ``meta_cols`` carries filterable attribute columns into the codes
+    table (same contract as `ivf_build_index`): metadata-filtered
+    search then pushes its predicate down to the codes parquet scan
+    (`ivfsq_topk_from_index(where=…)`) — filtered BEFORE decoding and
+    ranking, pruning row groups inside each probed cell."""
     import posixpath
 
     from tugas_2_big_data_spark.sources import sinks
@@ -2246,13 +2300,17 @@ def ivfsq_build_index(
         fan_out(corpus).select(
             F.col(id_col).alias("nbr_id"),
             F.col(vec_col).cast("array<double>").alias("nbr_vec"),
+            *[F.col(c) for c in meta_cols],
         ),
         "nbr_id",
         "nbr_vec",
         1,
     )
     codes = cells.join(F.broadcast(bounds)).select(
-        "cid", "nbr_id", _sq_codes_expr(F.col("nbr_vec")).alias("codes")
+        "cid",
+        "nbr_id",
+        _sq_codes_expr(F.col("nbr_vec")).alias("codes"),
+        *meta_cols,
     )
     sinks.write_parquet(
         codes.repartition(F.col("cid")),
@@ -2269,18 +2327,28 @@ def ivfsq_topk_from_index(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where: Column | None = None,
 ) -> DataFrame:
     """Serve IVF-SQ from the persisted artifact: assign only the query
     batch (broadcast one-row centroid state), equi-join the probed
     cells' code partitions, decode + ADC — no training, no assignment,
     no encode, no raw-vector reads at query time. Bit-identical to
     `ivfsq_topk` (parquet round-trips the doubles and int codes
-    exactly) — same oracle."""
+    exactly) — same oracle.
+
+    ``where`` (over columns built in via `meta_cols`) is metadata-
+    filtered search with the same contract as
+    `ivf_topk_from_index(where=…)`: applied directly to the codes
+    read, so it reaches the parquet scan as a pushed filter and
+    candidates are filtered BEFORE decode + ranking — top-k ranks
+    among vectors satisfying the predicate."""
     import posixpath
 
     cents = spark.read.parquet(posixpath.join(path, "centroids"))
     bounds = spark.read.parquet(posixpath.join(path, "bounds"))
     codes = spark.read.parquet(posixpath.join(path, "codes"))
+    if where is not None:
+        codes = codes.filter(where)
     recon = codes.join(F.broadcast(bounds)).select(
         F.col("cid").cast("long"),
         "nbr_id",

@@ -2353,6 +2353,108 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NPROBE_CURVE = (1, 2, 4, 8)
+
+
+def _nprobe_curve_sql() -> str:
+    """One row per nprobe: (nprobe, cells_scanned, n_exact, n_hits,
+    recall) — the kmeans chain and cassign are shared across curve
+    points; only the query-assignment CTE varies with nprobe."""
+    parts = _ivf_assign_parts(
+        8, 2, 64, 2, 5, k_sql=_SQRT_K_SQL, pts_sql=_IVF_TRAIN_PTS_SQL
+    )
+    # the shared prelude's qassign (nprobe=2) is unused; per-point
+    # assignments get their own CTEs below
+    for n in _NPROBE_CURVE:
+        parts.append(f"""qa{n} AS (
+  SELECT vec_id AS query_id, vec AS query_vec, cid FROM (
+    SELECT c.vec_id, c.vec, ct.cid,
+      row_number() OVER (
+        PARTITION BY c.vec_id
+        ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC, ct.cid
+      ) AS crn
+    FROM corpus c CROSS JOIN cents ct
+    WHERE c.vec_id < 5
+  ) WHERE crn <= {n}
+)""")
+        parts.append(f"""sel{n} AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT q.query_id, a.nbr_id,
+      row_number() OVER (
+        PARTITION BY q.query_id
+        ORDER BY list_cosine_similarity(q.query_vec, a.nbr_vec) DESC,
+                 a.nbr_id
+      ) AS rk
+    FROM qa{n} q JOIN cassign a USING (cid)
+    WHERE a.nbr_id != q.query_id
+  ) WHERE rk <= 5
+)""")
+    parts.append(f"exact AS ({_ANN_TOPK_SQL})")
+    ctes = ",\n".join(parts)
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({n} AS BIGINT) AS nprobe,
+  (SELECT CAST(count(*) AS BIGINT) FROM qa{n}) AS cells_scanned,
+  (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+  (SELECT CAST(count(*) AS BIGINT)
+   FROM exact e JOIN sel{n} a
+     ON a.query_id = e.query_id AND a.nbr_id = e.nbr_id) AS n_hits,
+  (SELECT CAST(count(*) AS DOUBLE)
+   FROM exact e JOIN sel{n} a
+     ON a.query_id = e.query_id AND a.nbr_id = e.nbr_id)
+  / (SELECT count(*) FROM exact) AS recall"""
+        for n in _NPROBE_CURVE
+    )
+    return f"WITH {ctes}\n{rows}"
+
+
+@register("ann_ivf_nprobe_curve", _nprobe_curve_sql())
+def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe/recall OPERATING CURVE of the persisted IVF index,
+    as a registered (oracle-checked) query: one row per nprobe —
+    (nprobe, cells_scanned, n_exact, n_hits, recall) — so capacity
+    planning reads measured numbers, not asserted ones. The curve is
+    monotone: more probed cells → more candidates → recall rises
+    toward 1.0 while serve cost grows as nprobe·N/nlist; the operating
+    point is the smallest nprobe meeting the retrieval SLO (the round-5
+    filtered-search finding — recall 0.60 at nprobe=2 under a filter —
+    is exactly a point this curve exposes before it ships). Serving
+    reads the artifact only; cells_scanned comes from the same
+    broadcast-centroid assignment serving uses
+    (similarity.ivf_probed_cells)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q5 = emb.filter(F.col("vec_id") < 5)
+    path = _ann_artifact_dir(sf_dir, "ivf")
+    _ensure_artifact(
+        spark, path, "invfile", lambda p: similarity.ivf_build_index(emb, p)
+    )
+    ex = similarity.cosine_topk(emb, q5, k=5).select("query_id", "nbr_id")
+    n_ex = ex.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    out = None
+    for n in _NPROBE_CURVE:
+        approx = similarity.ivf_topk_from_index(
+            spark, path, q5, nprobe=n, k=5
+        ).select("query_id", "nbr_id")
+        hits = ex.join(approx, ["query_id", "nbr_id"], "left_semi").agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        )
+        cells = similarity.ivf_probed_cells(spark, path, q5, nprobe=n).agg(
+            F.count(F.lit(1)).cast("long").alias("cells_scanned")
+        )
+        row = (
+            cells.crossJoin(n_ex)
+            .crossJoin(hits)
+            .select(
+                F.lit(n).cast("long").alias("nprobe"),
+                "cells_scanned",
+                "n_exact",
+                "n_hits",
+                (F.col("n_hits") / F.col("n_exact")).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def _pq_parts(
     m: int, ks: int, iters: int, dim: int, qv: str
 ) -> tuple[list[str], str, str]:
@@ -2439,17 +2541,28 @@ def _ivfpq_sql(
     dim: int = 64,
     topk: int = 5,
     n_queries: int = 5,
+    nbr_filter_sql: str | None = None,
 ) -> str:
     """IVF-PQ oracle = the IVF assign prelude (coarse cells,
     cassign/qassign) composed with the shared PQ pieces (`_pq_parts`):
     candidates come from the cell equi-join, distances from the ADC
-    sum - both legs already proven separately, composed verbatim."""
+    sum - both legs already proven separately, composed verbatim.
+    ``nbr_filter_sql`` restricts the corpus side (metadata-filtered
+    search): candidates filtered BEFORE ranking, same as the engine's
+    `where=` pushdown."""
     pq_parts, cent_joins, dist = _pq_parts(
         m, ks, iters, dim, "q.query_vec"
     )
     parts = _ivf_assign_parts(n_centroids, iters, dim, nprobe, n_queries)
     parts += pq_parts
     ctes = ",\n".join(parts)
+    flt = (
+        f"""AND a.nbr_id IN (
+      SELECT vec_id FROM embeddings WHERE {nbr_filter_sql}
+    )"""
+        if nbr_filter_sql
+        else ""
+    )
     return f"""
 WITH {ctes}
 SELECT query_id, nbr_id, adc_dist, CAST(rk AS BIGINT) AS rk FROM (
@@ -2459,7 +2572,7 @@ SELECT query_id, nbr_id, adc_dist, CAST(rk AS BIGINT) AS rk FROM (
     ) AS rk
   FROM qassign q JOIN cassign a USING (cid)
   JOIN codes x ON x.vec_id = a.nbr_id {cent_joins}
-  WHERE a.nbr_id != q.query_id
+  WHERE a.nbr_id != q.query_id {flt}
 ) WHERE rk <= {topk}
 """
 
@@ -2580,11 +2693,12 @@ def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _recall_over_sql(approx_sql: str) -> str:
+def _recall_over_sql(approx_sql: str, exact_sql: str | None = None) -> str:
     """Recall@5 oracle of any approximate top-k SQL leg vs the exact
-    cosine ground truth — the `_ivf_recall_sql` shape, generalized."""
+    cosine ground truth (or a supplied exact leg, e.g. the FILTERED
+    truth) — the `_ivf_recall_sql` shape, generalized."""
     return f"""
-WITH exact AS ({_ANN_TOPK_SQL}),
+WITH exact AS ({exact_sql or _ANN_TOPK_SQL}),
 approx AS ({approx_sql}),
 n_ex AS (
   SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
@@ -2742,12 +2856,16 @@ def _ivfsq_sql(
     nprobe: int = 2,
     topk: int = 5,
     n_queries: int = 5,
+    nbr_filter_sql: str | None = None,
 ) -> str:
     """IVF-SQ oracle = the proven IVF assign prelude (coarse cells,
     cassign/qassign) composed with the SQ8 bounds/reconstruction CTEs
     over the same `corpus` relation — both legs already proven
     separately, composed verbatim (the `_ivfpq_sql` pattern with the
-    PQ codes swapped for per-dim scalar codes)."""
+    PQ codes swapped for per-dim scalar codes). ``nbr_filter_sql``
+    restricts the corpus side (metadata-filtered search), candidates
+    filtered BEFORE ranking; the SQ bounds stay full-corpus (they are
+    the artifact's frozen state, not a per-query quantity)."""
     mins = ", ".join(f"min(vec[{i}])" for i in range(1, dim + 1))
     maxs = ", ".join(f"max(vec[{i}])" for i in range(1, dim + 1))
     dist = (
@@ -2767,6 +2885,13 @@ def _ivfsq_sql(
   FROM corpus CROSS JOIN b
 )""")
     ctes = ",\n".join(parts)
+    flt = (
+        f"""AND a.nbr_id IN (
+      SELECT vec_id FROM embeddings WHERE {nbr_filter_sql}
+    )"""
+        if nbr_filter_sql
+        else ""
+    )
     return f"""
 WITH {ctes}
 SELECT query_id, nbr_id, adc_dist, CAST(rk AS BIGINT) AS rk FROM (
@@ -2776,7 +2901,7 @@ SELECT query_id, nbr_id, adc_dist, CAST(rk AS BIGINT) AS rk FROM (
     ) AS rk
   FROM qassign q JOIN cassign a USING (cid)
   JOIN recon r ON r.vec_id = a.nbr_id
-  WHERE a.nbr_id != q.query_id
+  WHERE a.nbr_id != q.query_id {flt}
 ) WHERE rk <= {topk}
 """
 
@@ -2831,6 +2956,97 @@ def ann_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, q5, nprobe=2, k=5
     ).select("query_id", "nbr_id")
     return _spark_recall_over(exact, approx)
+
+
+def _ivfsq_meta_artifact(spark, sf_dir: str) -> str:
+    """Ensure the meta-carrying IVF-SQ artifact (codes table includes
+    the `label` attribute column for filtered search). A separate kind
+    from the plain `ivfsq` artifact: the attribute schema is part of
+    the index contract, and mixing the two under one key would let a
+    label-less cache serve a filtered query."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    path = _ann_artifact_dir(sf_dir, "ivfsq_meta")
+    _ensure_artifact(
+        spark,
+        path,
+        "codes",
+        lambda p: similarity.ivfsq_build_index(emb, p, meta_cols=("label",)),
+    )
+    return path
+
+
+@register(
+    "ann_ivfsq_filtered_topk",
+    _ivfsq_sql(nbr_filter_sql=_ANN_FILTER_PRED_SQL),
+)
+def ann_ivfsq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED IVF-SQ serving: the predicate (label ∈
+    {1,3,5}) is applied to the persisted CODES scan itself —
+    `ivfsq_topk_from_index(where=…)` pushes it into the parquet read
+    (plan-pinned like the flat-IVF variant), so candidates are
+    filtered BEFORE decode + ADC ranking and top-k ranks among
+    vectors satisfying the predicate. The compressed twin of
+    `ann_ivf_filtered_topk`: at 100 TB the filter prunes row groups
+    inside each probed cell of a 4×-smaller relation."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    path = _ivfsq_meta_artifact(spark, sf_dir)
+    return similarity.ivfsq_topk_from_index(
+        spark, path, emb.filter(F.col("vec_id") < 5), nprobe=2, k=5,
+        where=F.col("label").isin(1, 3, 5),
+    )
+
+
+@register(
+    "ann_ivfsq_filtered_recall",
+    _recall_over_sql(
+        _ivfsq_sql(nbr_filter_sql=_ANN_FILTER_PRED_SQL),
+        exact_sql=_ANN_FILTERED_TOPK_SQL,
+    ),
+)
+def ann_ivfsq_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of FILTERED IVF-SQ serving vs the exact FILTERED
+    ground truth — the filter-thins-cells trap (`ann_ivf_filtered_recall`)
+    measured on the compressed index, where it compounds with SQ8
+    quantization error. Operational read: compare against
+    `ann_ivfsq_recall` (unfiltered) and `ann_ivf_filtered_recall`
+    (uncompressed) to attribute a regression to the filter or to the
+    codes."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q5 = emb.filter(F.col("vec_id") < 5)
+    allowed = emb.filter(F.col("label").isin(1, 3, 5))
+    path = _ivfsq_meta_artifact(spark, sf_dir)
+    exact = similarity.cosine_topk(allowed, q5, k=5).select(
+        "query_id", "nbr_id"
+    )
+    approx = similarity.ivfsq_topk_from_index(
+        spark, path, q5, nprobe=2, k=5,
+        where=F.col("label").isin(1, 3, 5),
+    ).select("query_id", "nbr_id")
+    return _spark_recall_over(exact, approx)
+
+
+@register(
+    "ann_ivfpq_filtered_topk",
+    _ivfpq_sql(nbr_filter_sql=_ANN_FILTER_PRED_SQL),
+)
+def ann_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED IVF-PQ serving: same pushed-predicate contract
+    as the IVF and IVF-SQ variants, on the m-byte PQ codes table —
+    `ivfpq_topk_from_index(where=…)` filters the codes scan before ADC
+    scoring. Completes the filtered-search matrix across the
+    quantization menu (flat / SQ8 / PQ)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    path = _ann_artifact_dir(sf_dir, "ivfpq_meta")
+    _ensure_artifact(
+        spark,
+        path,
+        "codes",
+        lambda p: similarity.ivfpq_build_index(emb, p, meta_cols=("label",)),
+    )
+    return similarity.ivfpq_topk_from_index(
+        spark, path, emb.filter(F.col("vec_id") < 5), nprobe=2, k=5,
+        where=F.col("label").isin(1, 3, 5),
+    )
 
 
 def _ivfpq_recall_sql() -> str:
