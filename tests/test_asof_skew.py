@@ -130,6 +130,132 @@ def test_salted_broadcast_join_matches_plain(spark):
     assert salted == plain
 
 
+def test_salted_semi_join_matches_plain(spark):
+    """Shuffled (non-broadcast) salted semi-join: identical membership
+    to the plain left-semi, with a hot key that dominates the left."""
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 3 else f"cold{i}") for i in range(600)],
+        ["rid", "k"],
+    )
+    keys = spark.createDataFrame(
+        [("hot",), ("cold3",), ("absent",)], ["k"]
+    )
+    plain = sorted(
+        r.rid for r in left.join(keys, "k", "left_semi").collect()
+    )
+    salted = sorted(
+        r.rid
+        for r in skew.salted_semi_join(
+            left, keys, "k", F.xxhash64("rid"), n_salts=4
+        ).collect()
+    )
+    assert salted == plain
+    # n_salts <= 1 must fall back to the plain join
+    off = sorted(
+        r.rid
+        for r in skew.salted_semi_join(
+            left, keys, "k", F.xxhash64("rid"), n_salts=1
+        ).collect()
+    )
+    assert off == plain
+
+
+def test_hot_split_semi_join_matches_plain(spark):
+    """Hot/cold split: membership identical to the plain left-semi,
+    with hot_top smaller than the key count so BOTH legs are
+    exercised (hot keys via broadcast, cold via shuffle)."""
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 3 else f"cold{i % 11}") for i in range(600)],
+        ["rid", "k"],
+    )
+    keys = spark.createDataFrame(
+        [("hot", 400), ("cold3", 18), ("cold7", 18), ("absent", 5)],
+        ["k", "n"],
+    )
+    plain = sorted(
+        r.rid for r in left.join(keys.select("k"), "k", "left_semi").collect()
+    )
+    split = sorted(
+        r.rid
+        for r in skew.hot_split_semi_join(
+            left, keys, "k", "n", hot_top=2
+        ).collect()
+    )
+    assert split == plain
+    # hot_top <= 0 must fall back to the plain join
+    off = sorted(
+        r.rid
+        for r in skew.hot_split_semi_join(
+            left, keys, "k", "n", hot_top=0
+        ).collect()
+    )
+    assert off == plain
+
+
+def test_hot_split_inner_join_matches_plain(spark):
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 2 else f"c{i % 7}") for i in range(400)],
+        ["rid", "k"],
+    )
+    right = spark.createDataFrame(
+        [("hot", 200, 1), ("c1", 29, 2), ("c3", 29, 3)],
+        ["k", "n", "payload"],
+    )
+    plain = sorted(
+        (r.rid, r.payload)
+        for r in left.join(right.drop("n"), "k").collect()
+    )
+    split = sorted(
+        (r.rid, r.payload)
+        for r in skew.hot_split_inner_join(
+            left, right, "k", "n", hot_top=1
+        ).collect()
+    )
+    assert split == plain
+
+
+def test_repeated_spans_hot_split_matches_unsplit(spark):
+    """hot_grams is a pure execution knob: the span list is identical
+    with the hot/cold split on (hot_top forced below the duplicated-
+    gram count so both legs run) and off (0), on a corpus with a hot
+    boilerplate gram present in every doc."""
+    from tugas_2_big_data_spark.operators import dedup
+
+    boiler = "all rights reserved contact the site administrator for details"
+    docs = spark.createDataFrame(
+        [
+            (i, f"{boiler} unique words number {i} " + " ".join(
+                f"w{i}x{j}" for j in range(10)
+            ))
+            for i in range(30)
+        ],
+        ["doc_id", "text"],
+    )
+    unsplit = sorted(
+        (r.doc_id, r.span_start, r.span_len)
+        for r in dedup.repeated_spans(docs, k=8, hot_grams=0).collect()
+    )
+    split = sorted(
+        (r.doc_id, r.span_start, r.span_len)
+        for r in dedup.repeated_spans(docs, k=8, hot_grams=1).collect()
+    )
+    assert split == unsplit
+    assert len(split) == 30  # every doc carries the boilerplate span
+    first_unsplit = sorted(
+        (r.doc_id, r.span_start, r.span_len)
+        for r in dedup.repeated_spans(
+            docs, k=8, keep="first", hot_grams=0
+        ).collect()
+    )
+    first_split = sorted(
+        (r.doc_id, r.span_start, r.span_len)
+        for r in dedup.repeated_spans(
+            docs, k=8, keep="first", hot_grams=1
+        ).collect()
+    )
+    assert first_split == first_unsplit
+
+
 def test_asof_null_payload_field_carried_atomically(spark):
     """The winning right row travels as one struct: a NULL field in the
     matched row stays NULL — it is NOT backfilled from an older right

@@ -332,15 +332,39 @@ def test_dedup_verify_joins_never_broadcast_sets(dfs):
                 ), f"{name}: set relation broadcast\n{block}"
 
 
-def test_repeated_spans_bucketed_never_all_pairs(dfs):
+def test_repeated_spans_bucketed_never_all_pairs(dfs, spark):
     """Span dedup must stay bucketed: gram-hash/gram-text equi-joins
     only (no cartesian/BNL anywhere), and the token-array verify
     rejoin pins SHUFFLE_HASH — an array-payload relation AQE must not
-    broadcast (the measured 100x-probe OOM mode)."""
+    broadcast (the measured 100x-probe OOM mode). The SHUFFLE_HASH pin
+    inspects a materialize=False construction: the registered form
+    localCheckpoints ctext EAGERLY, which executes (and hides from
+    explain) everything upstream of the verify stage — same
+    eager-invisibility note as the prebuilt-IVF plan test."""
     for name in ("dedup_repeated_spans", "dedup_repeated_spans_excise"):
-        plan = pi.explain_formatted(dfs[name])
         assert not pi.uses_cartesian_or_bnl(dfs[name]), name
-        assert "ShuffledHashJoin" in plan, name
+    from tugas_2_big_data_spark.operators import dedup
+    from tugas_2_big_data_spark.queries_training import corpus
+
+    lazy = dedup.repeated_spans(
+        corpus(spark, SF_UNIT), k=8, materialize=False
+    )
+    plan = pi.explain_formatted(lazy)
+    assert not pi.uses_cartesian_or_bnl(lazy)
+    assert "ShuffledHashJoin" in plan
+
+
+def test_repeated_spans_hot_split_has_broadcast_legs(dfs):
+    """The hot/cold skew split's signature: the span plan carries
+    BroadcastHashJoin LeftSemi legs (the top-hot_grams keys routed
+    map-only — the @boiler 26.6x -> 8.6x fix) ALONGSIDE the shuffle
+    legs, i.e. both leg families are present, and the hot-key TopK is
+    a TakeOrderedAndProject, never a global Sort."""
+    plan = pi.explain_formatted(dfs["dedup_repeated_spans"])
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    # the split must not have replaced the cold shuffle path entirely
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
 
 
 def test_ivf_prebuilt_serving_plan_reads_artifact(dfs):

@@ -28,6 +28,10 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from tugas_2_big_data_spark.functions import hashing
 from tugas_2_big_data_spark.operators.partitioning import fan_out
+from tugas_2_big_data_spark.operators.skew import (
+    hot_split_inner_join,
+    hot_split_semi_join,
+)
 
 
 def exact_dedup_groups(
@@ -953,6 +957,7 @@ def repeated_spans(
     k: int = 8,
     keep: str = "none",
     materialize: bool = True,
+    hot_grams: int = 1024,
 ) -> DataFrame:
     """Cross-document repeated-span identification — the ExactSubstr
     operation of Lee et al., "Deduplicating Training Data Makes
@@ -995,6 +1000,28 @@ def repeated_spans(
        k-gram positions into maximal spans — state is one cumulative
        max per doc partition.
 
+    ``hot_grams``: the two joins keyed on gram identity (the candidate
+    semi-join on gram HASH and the verified-gram join on gram TEXT)
+    are the skew hot spots — a boilerplate gram appearing in most
+    documents sends its ENTIRE occurrence list to one reducer (the
+    26.6×-at-100× concentration measured on the boilerplate probe
+    corpus; the hot-gram groupBys are immune — min/max partial-
+    aggregate map-side). Mitigation is a HOT/COLD split, not salting:
+    the top `hot_grams` duplicated keys by occurrence count (a bounded
+    TopK — deterministic, count then key tiebreak) join via BROADCAST
+    semi/inner joins (map-only over the checkpointed occurrence
+    relation: no shuffle, so a hot key cannot concentrate anywhere),
+    and the remaining cold keys keep the plain shuffle join — which
+    REUSES the exchange of the hot-detection groupBy (both shuffle on
+    the bare key). Salting was measured first and rejected: salting
+    the join key to (key, salt) breaks that exchange reuse and forces
+    two extra corpus-sized shuffles — the main-corpus 100× probe went
+    11.6 s → 104.6 s (9×) under it, while the hot/cold split leaves
+    the cold path's plan bit-identical to the unmitigated one.
+    Results are identical by construction (the hot and cold key sets
+    partition the duplicated-key set, so the union of the two legs'
+    memberships is exactly the unsplit membership); 0 disables.
+
     The DuckDB oracle groups directly on gram text (no hash stage),
     proving the hash prune is a pure optimization with identical
     output.
@@ -1008,6 +1035,8 @@ def repeated_spans(
     `jaccard_pairs_prefix`. On a multi-node cluster swap for
     persist(DISK_ONLY) or a reliable checkpoint (localCheckpoint dies
     with its executor)."""
+    if keep not in ("none", "first"):
+        raise ValueError(f"unknown keep policy: {keep!r}")
     toks = _span_tokens(df, text_col, id_col, k)
     if materialize:
         toks = toks.localCheckpoint()
@@ -1024,33 +1053,48 @@ def repeated_spans(
         grams = grams.localCheckpoint()
     hot = (
         grams.groupBy("_gh")
-        .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+        .agg(
+            F.min(id_col).alias("_lo"),
+            F.max(id_col).alias("_hi"),
+            F.count(F.lit(1)).alias("_n"),
+        )
         .filter(F.col("_lo") != F.col("_hi"))
-        .select("_gh")
+        .select("_gh", "_n")
     )
-    cand = grams.join(hot, "_gh", "left_semi").select(id_col, "pos")
+    cand = hot_split_semi_join(grams, hot, "_gh", "_n", hot_grams).select(
+        id_col, "pos"
+    )
     ctext = cand.join(toks.hint("shuffle_hash"), id_col).select(
         F.col(id_col),
         F.col("pos"),
         F.concat_ws(" ", F.slice("_w", F.col("pos"), k)).alias("_gt"),
     )
+    if materialize:
+        # consumed three ways (the verify groupBy + both split-join
+        # legs); without this the candidate-join lineage re-executes
+        # for the broadcast leg
+        ctext = ctext.localCheckpoint()
     vg = (
         ctext.groupBy("_gt")
-        .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+        .agg(
+            F.min(id_col).alias("_lo"),
+            F.max(id_col).alias("_hi"),
+            F.count(F.lit(1)).alias("_n"),
+        )
         .filter(F.col("_lo") != F.col("_hi"))
     )
     if keep == "none":
-        dup = ctext.join(vg.select("_gt"), "_gt", "left_semi").select(
-            id_col, "pos"
-        )
-    elif keep == "first":
+        dup = hot_split_semi_join(
+            ctext, vg.select("_gt", "_n"), "_gt", "_n", hot_grams
+        ).select(id_col, "pos")
+    else:
         dup = (
-            ctext.join(vg.select("_gt", "_lo"), "_gt")
+            hot_split_inner_join(
+                ctext, vg.select("_gt", "_lo", "_n"), "_gt", "_n", hot_grams
+            )
             .filter(F.col(id_col) != F.col("_lo"))
             .select(id_col, "pos")
         )
-    else:
-        raise ValueError(f"unknown keep policy: {keep!r}")
 
     from pyspark.sql import Window
 
@@ -1080,6 +1124,7 @@ def excise_repeated_spans(
     k: int = 8,
     keep: str = "none",
     materialize: bool = True,
+    hot_grams: int = 1024,
 ) -> DataFrame:
     """Apply the `repeated_spans` removal list: duplicated span
     occurrences are cut and the surviving tokens re-joined
@@ -1100,7 +1145,7 @@ def excise_repeated_spans(
     shrink downstream corpus counts. Empty docs come back as ''."""
     return apply_span_removal(
         df,
-        repeated_spans(df, text_col, id_col, k, keep, materialize),
+        repeated_spans(df, text_col, id_col, k, keep, materialize, hot_grams),
         text_col,
         id_col,
     )
@@ -1279,6 +1324,7 @@ def benchmark_span_overlap(
     id_col: str = "doc_id",
     k: int = 8,
     materialize: bool = True,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Span-level benchmark DECONTAMINATION: every maximal token span
     of a training document that appears verbatim anywhere in the
@@ -1329,8 +1375,18 @@ def benchmark_span_overlap(
     if materialize:
         gd = gd.localCheckpoint()
         gb = gb.localCheckpoint()
+    # `broadcast_benchmark` (default): both corpus-side gram joins pin
+    # a broadcast of the (distinct, benchmark-derived, small-by-
+    # definition) key set, making them MAP-ONLY — a boilerplate gram
+    # shared with the benchmark can never concentrate its occurrence
+    # list in one reducer because nothing shuffles by gram. Disable
+    # only for a benchmark too large to broadcast (then the shuffle
+    # join applies and AQE skew handling is the fallback).
+    def _bc(rel: DataFrame) -> DataFrame:
+        return F.broadcast(rel) if broadcast_benchmark else rel
+
     gb_hashes = gb.select("_gh").distinct()
-    cand = gd.join(gb_hashes, "_gh", "left_semi").select(id_col, "pos")
+    cand = gd.join(_bc(gb_hashes), "_gh", "left_semi").select(id_col, "pos")
     ctext = cand.join(toks_d.hint("shuffle_hash"), id_col).select(
         F.col(id_col),
         F.col("pos"),
@@ -1344,7 +1400,7 @@ def benchmark_span_overlap(
         )
         .distinct()
     )
-    dup = ctext.join(btext, "_gt", "left_semi").select(id_col, "pos")
+    dup = ctext.join(_bc(btext), "_gt", "left_semi").select(id_col, "pos")
 
     from pyspark.sql import Window
 
