@@ -191,6 +191,71 @@ def _calibrate(spark) -> float:
     return round(min(run(), run()), 3)
 
 
+# interleaved host sampling: a START/END-only calibration under-corrects
+# BURSTY co-tenant load (round 5's end-of-round driver run tripped 10
+# false flags on plans the same code measured at ~1x hours earlier).
+# Every CAL_EVERY queries a SHORT calibration sample (1/8 of the anchor
+# job, ~0.2 s) is taken, and each query's regression check normalizes by
+# the host factor of its NEAREST sample instead of the run-wide mean.
+CAL_EVERY = 15
+_SHORT_CAL_ROWS = 1_500_000_000
+
+
+def _calibrate_short(spark) -> float:
+    """The interleaved sample: same job shape as `_calibrate` at 1/8
+    the rows. min-of-2 (the anchor's warmup already compiled the shape;
+    a single sample on a 0.2 s job is itself noise)."""
+    from pyspark.sql import functions as F
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, _SHORT_CAL_ROWS, 1, 32).select(
+            F.sum(F.xxhash64("id"))
+        ).collect()
+        return time.perf_counter() - t0
+
+    return round(min(run(), run()), 3)
+
+
+def host_ratio(
+    sample_s: float | None,
+    sample0_s: float | None,
+    cal_start: float | None,
+    cal_base: float | None,
+) -> float:
+    """Host slowdown factor vs the frozen baseline at the moment a
+    short sample was taken: (cal_start / cal_base) anchors this run's
+    start to the baseline host speed via the simultaneous long+short
+    pair, (sample / sample0) tracks drift SINCE start. Clamped at 1.0 —
+    a faster-than-baseline host never tightens the bar (same policy as
+    the round-5 run-wide ratio). Degrades to the anchor-only ratio when
+    samples are missing, and to 1.0 with no baseline at all."""
+    ratio = 1.0
+    if cal_base and cal_start:
+        ratio = cal_start / cal_base
+        if sample0_s and sample_s:
+            ratio *= sample_s / sample0_s
+    return max(ratio, 1.0)
+
+
+def is_flagged(t: float, baseline_s: float, ratio: float) -> bool:
+    """>1.5x beyond what the host factor explains, with a 0.3 s
+    absolute floor (local[32] noise on sub-0.5 s queries routinely
+    exceeds 1.5x ratio-only)."""
+    bn = baseline_s * ratio
+    return t > 1.5 * bn and t - bn > 0.3
+
+
+def nearest_sample(
+    samples: list[tuple[int, float]], query_idx: int
+) -> float | None:
+    """The short-calibration sample taken closest (by query position)
+    to query_idx; None when no samples exist."""
+    if not samples:
+        return None
+    return min(samples, key=lambda s: abs(s[0] - query_idx))[1]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -210,7 +275,12 @@ def main() -> None:
     )
     # JVM/codegen warmup on the flagship so steady-state numbers dominate
     _materialize(registry[names[0]](spark, sf_dir))
-    for name in names:
+    # (query_position, short_sample_s): sample 0 anchors the short job's
+    # scale to cal_start (taken back-to-back), later samples track load
+    # drift through the run for the nearest-sample flag normalization.
+    cal_samples: list[tuple[int, float]] = [(0, _calibrate_short(spark))]
+    query_pos: dict[str, int] = {}
+    for idx, name in enumerate(names):
         # two timed runs, min reported: the first run of each query pays
         # its one-time codegen compile + JIT (measured swings of 0.6 s ↔
         # 7 s on identical plans); min-of-2 reports the steady-state the
@@ -222,8 +292,11 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
+        query_pos[name] = idx
         # progress to stderr only: stdout must stay a single JSON line
         print(f"[bench] {name}: {timings[name]:.3f}s", file=sys.stderr)
+        if (idx + 1) % CAL_EVERY == 0:
+            cal_samples.append((idx, _calibrate_short(spark)))
     total = round(sum(timings.values()), 3)
     sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
     cal_end = _calibrate(spark)
@@ -243,38 +316,49 @@ def main() -> None:
     # total on any run that tripped a flag).
     regressions: dict[str, dict[str, float]] = {}
     cal_base = None
+    sample0 = cal_samples[0][1] if cal_samples else None
     base_path = os.path.join(REPO_DIR, "BENCH_BASELINE.json")
     try:
         with open(base_path) as f:
             baseline = json.load(f)
         base_q = baseline.get("queries", {})
         cal_base = baseline.get("calibration_s")
-        cal_ratio = (
-            max(cal_now / cal_base, 1.0) if cal_base else 1.0
-        )
         if baseline.get("sf") == sf_num:
-
-            def flagged(t: float, b: float) -> bool:
-                bn = b * cal_ratio
-                return t > 1.5 * bn and t - bn > 0.3
-
             for name, t in sorted(timings.items()):
                 b = base_q.get(name)
-                if b is None or not flagged(t, b):
+                if b is None:
                     continue
+                # the query's own moment: nearest interleaved sample
+                r_then = host_ratio(
+                    nearest_sample(cal_samples, query_pos[name]),
+                    sample0,
+                    cal_start,
+                    cal_base,
+                )
+                if not is_flagged(t, b, r_then):
+                    continue
+                # confirmation re-run with a FRESH sample taken
+                # immediately before it — a burst that inflated the
+                # first measurement and is still present inflates the
+                # fresh sample identically, so the re-run judges the
+                # plan, not the burst
+                fresh = _calibrate_short(spark)
                 t0 = time.perf_counter()
                 _materialize(registry[name](spark, sf_dir))
                 rerun = round(time.perf_counter() - t0, 3)
-                if flagged(rerun, b):
+                r_rerun = host_ratio(fresh, sample0, cal_start, cal_base)
+                if is_flagged(rerun, b, r_rerun):
                     regressions[name] = {
                         "baseline_s": b,
                         "run_s": t,
                         "rerun_s": rerun,
+                        "host_ratio_run": round(r_then, 3),
+                        "host_ratio_rerun": round(r_rerun, 3),
                     }
                 else:
                     print(
                         f"[bench] {name}: flag cleared on re-run "
-                        f"({rerun:.3f}s)",
+                        f"({rerun:.3f}s, host x{r_rerun:.2f})",
                         file=sys.stderr,
                     )
     except (OSError, ValueError):
@@ -289,6 +373,9 @@ def main() -> None:
         "calibration_start_s": cal_start,
         "calibration_end_s": cal_end,
         "calibration_baseline_s": cal_base,
+        "calibration_samples": [
+            {"after_query": i, "short_s": s} for i, s in cal_samples
+        ],
         "sf": sf_num,
     }
     full_path = os.path.join(REPO_DIR, "BENCH_FULL.json")

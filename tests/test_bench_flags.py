@@ -1,0 +1,94 @@
+"""Regression-flag logic of bench.py (pure functions — no Spark).
+
+The round-5 failure mode this pins: a bursty co-tenant load mid-run
+inflated 10 queries past the 1.5x bar while the START/END calibration
+pair — both taken on a quiet host — explained none of it. With
+interleaved samples, a burst that inflates a query inflates its
+NEAREST sample identically, so the normalized check stays quiet; a
+genuine plan regression inflates the query but NOT the sample, so the
+flag still fires.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+spec = importlib.util.spec_from_file_location(
+    "bench",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py"),
+)
+bench = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(bench)
+
+CAL_BASE = 1.68  # frozen anchor in BENCH_BASELINE.json
+
+
+def test_uniform_burst_produces_no_false_flag():
+    """Host 2.4x slower for the whole window around a query: the query
+    runs 2.4x over baseline AND the nearest sample reads 2.4x — the
+    normalized flag must stay quiet."""
+    burst = 2.4
+    cal_start = CAL_BASE * burst
+    sample0 = 0.21 * burst
+    sample_near = 0.21 * burst
+    r = bench.host_ratio(sample_near, sample0, cal_start, CAL_BASE)
+    assert abs(r - burst) < 1e-9
+    baseline_s = 2.76  # pipeline_span_clean, the round-5 watch item
+    measured = baseline_s * burst * 1.1  # 10% noise on top of the burst
+    assert not bench.is_flagged(measured, baseline_s, r)
+
+
+def test_mid_run_burst_without_interleaving_would_misfire():
+    """The exact round-5 shape: quiet start/end (anchor ratio ~1) but a
+    2x burst mid-run. The run-wide ratio flags the query (the old
+    behavior); the nearest-sample ratio does not."""
+    cal_start = CAL_BASE  # quiet at start
+    sample0 = 0.21
+    samples = [(0, 0.21), (14, 0.21), (29, 0.42), (44, 0.21)]
+    baseline_s = 2.0
+    measured = 4.1  # 2x burst + noise, at query position 30
+    # old behavior: ratio from the quiet anchor alone -> false flag
+    r_anchor_only = bench.host_ratio(None, None, cal_start, CAL_BASE)
+    assert bench.is_flagged(measured, baseline_s, r_anchor_only)
+    # new behavior: position-30 query normalizes by the (29, 0.42)
+    # sample -> no flag
+    near = bench.nearest_sample(samples, 30)
+    assert near == 0.42
+    r = bench.host_ratio(near, sample0, cal_start, CAL_BASE)
+    assert not bench.is_flagged(measured, baseline_s, r)
+
+
+def test_genuine_plan_regression_still_fires_under_load():
+    """A 3x plan regression on a host that is ALSO 1.5x loaded: the
+    sample explains the 1.5x, not the 3x — flag fires."""
+    load = 1.5
+    cal_start = CAL_BASE * load
+    sample0 = 0.21 * load
+    sample_near = 0.21 * load
+    r = bench.host_ratio(sample_near, sample0, cal_start, CAL_BASE)
+    baseline_s = 2.0
+    measured = baseline_s * load * 3.0
+    assert bench.is_flagged(measured, baseline_s, r)
+
+
+def test_faster_host_never_tightens_the_bar():
+    r = bench.host_ratio(0.1, 0.21, CAL_BASE * 0.5, CAL_BASE)
+    assert r == 1.0
+
+
+def test_absolute_floor_spares_subsecond_noise():
+    """0.2 s -> 0.45 s is >2x but under the 0.3 s floor — quiet."""
+    assert not bench.is_flagged(0.45, 0.2, 1.0)
+    assert bench.is_flagged(1.2, 0.2, 1.0)
+
+
+def test_nearest_sample_selection_and_degraded_modes():
+    samples = [(0, 0.2), (14, 0.25), (29, 0.3)]
+    assert bench.nearest_sample(samples, 5) == 0.2
+    assert bench.nearest_sample(samples, 13) == 0.25
+    assert bench.nearest_sample(samples, 100) == 0.3
+    assert bench.nearest_sample([], 5) is None
+    # no baseline at all -> ratio 1.0; no samples -> anchor-only ratio
+    assert bench.host_ratio(None, None, None, None) == 1.0
+    assert bench.host_ratio(None, None, 3.36, CAL_BASE) == 2.0
