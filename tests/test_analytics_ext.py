@@ -224,3 +224,48 @@ def test_merge_count_min_equals_sketch_of_concat(spark):
         ).collect()
     }
     assert merged == whole
+
+
+def test_hll_registers_bounded_and_accurate(spark):
+    """The register table never exceeds 2^b rows whatever the input
+    cardinality; the estimate lands within 5 sigma of truth in both
+    regimes (linear-counting small-n, raw estimator large-n); rho stays
+    inside [1, 53]; NULL items contribute nothing."""
+    import math
+
+    from tugas_2_big_data_spark.operators import sketches
+
+    small = spark.createDataFrame(
+        [(i % 40,) for i in range(500)] + [(None,)], ["v"]
+    )
+    big = spark.createDataFrame([(i,) for i in range(20000)], ["v"])
+    for df, truth in ((small, 40), (big, 20000)):
+        reg = sketches.hll_registers(df, "v")
+        rows = reg.collect()
+        assert len(rows) <= 256
+        assert all(1 <= r.r <= 53 for r in rows)
+        [(est,)] = sketches.hll_estimate(reg).collect()
+        sigma = 1.04 / math.sqrt(256)
+        assert abs(est - truth) / truth <= 5 * sigma, (est, truth)
+
+
+def test_merge_hll_equals_sketch_of_concat(spark):
+    """Cell-wise max of two register tables == the register table of
+    the concatenated inputs, register-for-register — the identity that
+    lets per-batch sketches merge into the ingest-state sketch without
+    re-reading the corpus."""
+    from tugas_2_big_data_spark.operators import sketches
+
+    a = spark.createDataFrame([(i,) for i in range(0, 900, 2)], ["v"])
+    b = spark.createDataFrame([(i,) for i in range(1, 1200, 3)], ["v"])
+    merged = {
+        r.idx: r.r
+        for r in sketches.merge_hll(
+            sketches.hll_registers(a, "v"), sketches.hll_registers(b, "v")
+        ).collect()
+    }
+    whole = {
+        r.idx: r.r
+        for r in sketches.hll_registers(a.unionByName(b), "v").collect()
+    }
+    assert merged == whole

@@ -1184,3 +1184,35 @@ def test_ivfsq_append_to_index_matches_full_build_on_duplicate_batch(spark, tmp_
     # each query's duplicate (vec_id + 100, cosine 1.0) now ranks first
     top1 = {r.query_id: r.nbr_id for r in after if r.rk == 1}
     assert top1 == {qid: qid + 100 for qid in (0, 1, 2)}
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """Upper-triangle covariance equals numpy's population covariance
+    (rounded to the operator's 6 decimals) on a small corpus; output
+    is exactly d(d+1)/2 cells."""
+    import numpy as np
+
+    from tugas_2_big_data_spark.operators import similarity
+
+    rng = [
+        [0.5, -1.0, 2.0, 0.0],
+        [1.5, 0.5, -0.5, 1.0],
+        [-0.5, 2.0, 0.5, -1.0],
+        [0.0, 1.0, 1.0, 0.5],
+        [2.0, -0.5, 0.0, 1.5],
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(rng)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        (r.i, r.j): r.cov
+        for r in similarity.embedding_covariance(df).collect()
+    }
+    assert len(out) == 4 * 5 // 2
+    # numpy sees the float32-truncated values the operator casts up
+    m = np.array(rng, dtype=np.float32).astype(np.float64)
+    c = np.cov(m, rowvar=False, bias=True)
+    for (i, j), cov in out.items():
+        assert i <= j
+        assert abs(cov - round(float(c[i, j]), 6)) <= 1e-9, (i, j)

@@ -314,3 +314,45 @@ def test_nb_learns_separable_classes(spark):
         201: ("fr", True),
         202: ("fr", True),
     }
+
+
+def test_bm25_ranking_contract(spark):
+    """BM25 orders by relevance: a doc matching two query terms
+    outranks a same-length doc matching one; a longer doc with the
+    same tf is penalized by length normalization; docs with no query
+    term are absent. Scores are 9-decimal-rounded for rank stability."""
+    from tugas_2_big_data_spark.operators import text_analysis
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),          # both terms, short
+            (2, "alpha alpha beta epsilon"),        # alpha x2 + beta
+            (3, "zeta eta theta iota"),             # no match
+            (4, "alpha beta " + "pad " * 20),       # both terms, long
+        ],
+        ["doc_id", "text"],
+    )
+    out = text_analysis.bm25_topk(
+        docs, ["alpha", "beta"], k=10
+    ).collect()
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids
+    assert len(ids) == 3
+    # doc 2 (two alphas + beta, short) must beat doc 4 (long)
+    assert ids.index(2) < ids.index(4)
+    # doc 1 matches alpha+beta once each, short -> beats the padded doc 4
+    assert ids.index(1) < ids.index(4)
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.score == round(r.score, 9) for r in out)
+
+
+def test_bm25_k_limits_and_id_tiebreak(spark):
+    from tugas_2_big_data_spark.operators import text_analysis
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(10)], ["doc_id", "text"]
+    )
+    out = text_analysis.bm25_topk(docs, ["alpha"], k=4).collect()
+    # identical docs -> identical scores -> doc_id ascending tiebreak
+    assert [r.doc_id for r in out] == [0, 1, 2, 3]

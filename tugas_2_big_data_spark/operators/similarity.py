@@ -2365,3 +2365,91 @@ def ivfsq_topk_from_index(
         nprobe,
     )
     return _ivfsq_rank(q, recon, k)
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Population covariance matrix of an embedding column as (i, j,
+    cov) rows (full d x d, 0-based dims) — the statistic behind
+    whitening / PCA preprocessing of embedding corpora before
+    clustering or SemDeDup.
+
+    The matrix is symmetric, so only the UPPER TRIANGLE (i <= j) is
+    computed and emitted — d(d+1)/2 rows.
+
+    Plan, one pass and ZERO joins over the corpus: each row explodes
+    its own d(d+1)/2 (i, j, xi*xj) products IN-ROW (a single generator
+    — no self-join, so the corpus is never shuffled by vec_id), and
+    the (i, j) hash aggregate partial-aggregates map-side, shuffling
+    only ~tasks * d^2/2 partial cells whatever the corpus size.
+    Per-dim means ride the same cells: cov = E[xy] - E[x]E[y] with the
+    mean relation (d rows, diagonal-derived) broadcast back onto the
+    cells.
+
+    cov is rounded to ``round_to`` decimals IN the operator (and the
+    same in the oracle): near-zero covariances would otherwise
+    hash-mismatch on summation-order last bits. Components are cast
+    to double BEFORE multiplying — float*float underflows the
+    products' low bits differently per engine.
+
+    Scale note: for d in the hundreds, block the dims (e.g. 64x64
+    tiles) to bound the per-row explosion; at d=64 the triangle is
+    2080 cells."""
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    prods = df.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    emb,
+                    lambda xi, i: F.transform(
+                        # only dims j >= i: slice element m (0-based)
+                        # is dimension j = i + m
+                        F.slice(emb, i + 1, F.size(F.col(vec_col)) - i),
+                        lambda xj, m: F.struct(
+                            i.alias("i"),
+                            (i + m).alias("j"),
+                            (xi * xj).alias("p"),
+                            xi.alias("x"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("c")
+    ).select(
+        F.col("c.i").alias("i"),
+        F.col("c.j").alias("j"),
+        F.col("c.p").alias("p"),
+        F.col("c.x").alias("x"),
+    )
+    cells = prods.groupBy("i", "j").agg(
+        F.sum("p").alias("_sp"),
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("x").alias("_sx"),
+    )
+    # per-dim means from the diagonal cells (i == j carries sum(x_i))
+    means = cells.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("_d"),
+        (F.col("_sx") / F.col("_n")).alias("_mean"),
+    )
+    return (
+        cells.join(
+            F.broadcast(means.select(F.col("_d").alias("i"), F.col("_mean").alias("_mi"))),
+            "i",
+        )
+        .join(
+            F.broadcast(means.select(F.col("_d").alias("j"), F.col("_mean").alias("_mj"))),
+            "j",
+        )
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            F.round(
+                F.col("_sp") / F.col("_n") - F.col("_mi") * F.col("_mj"),
+                round_to,
+            ).alias("cov"),
+        )
+    )

@@ -245,3 +245,89 @@ def count_min_heavy(
         )
         .orderBy(F.desc("exact_cnt"), "item")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog: mergeable distinct-count registers whose every
+# bit the DuckDB oracle recomputes
+# ---------------------------------------------------------------------------
+
+HLL_B = 8  # 2^8 = 256 registers -> standard error 1.04/sqrt(256) = 6.5%
+
+
+def hll_registers(df: DataFrame, item_col: str, b: int = HLL_B) -> DataFrame:
+    """The (idx, r) register table of a deterministic, cross-engine
+    HyperLogLog (Flajolet et al. 2007) over ``df[item_col]``:
+
+      h   = hash60(item)           (md5-derived 60-bit non-negative int)
+      idx = h mod 2^b              (register index — low b bits)
+      w   = h >> b                 (the remaining 60-b bit window)
+      rho = leading zeros of w within the window + 1
+          = (60-b) + 1 - bit_length(w)   [w = 0 -> (60-b)+1]
+      r   = max(rho) per idx; an ABSENT idx means register value 0.
+
+    bit_length is length(bin(w)) — both Spark and DuckDB print minimal
+    binary (no leading zeros), so the oracle replays every register
+    bit-for-bit; this is the fully-value-checked twin of the built-in
+    HLL++ (`sketch_distinct_users`, whose engine-internal estimate can
+    only be bound-flag-checked). Bit ops (pmod / shiftright), never
+    float division: h/2^b in a double loses low bits past 2^53.
+
+    Scale: one map-only projection + one b-bounded groupBy whose max()
+    partial-aggregates map-side — the whole sketch is <= 2^b rows no
+    matter the corpus. max() is associative/commutative, so register
+    tables MERGE by cell-wise max (`merge_hll`) — the distinct-count
+    member of the mergeable-state family (bloom: bit_or, count-min:
+    sum, heavy-hitters: SpaceSaving merge)."""
+    m = 1 << b
+    wbits = 60 - b
+    h = hashing.hash60(F.col(item_col).cast("string"))
+    # NULL items contribute nothing (the standard distinct-count
+    # convention, matching count(DISTINCT col)); without the filter a
+    # NULL hash would seed a NULL register row
+    df = df.filter(F.col(item_col).isNotNull())
+    win = df.select(
+        F.pmod(h, F.lit(m)).cast("int").alias("idx"),
+        F.shiftright(h, b).alias("_w"),
+    )
+    rho = F.when(F.col("_w") == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(F.col("_w")))
+    )
+    return (
+        win.select("idx", rho.cast("int").alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def merge_hll(reg_a: DataFrame, reg_b: DataFrame) -> DataFrame:
+    """hll(A) merged with hll(B) = hll(A ++ B): cell-wise max of the
+    register tables (max of maxes over the union of contributions).
+    Exact, not approximate-on-approximate: the merged table is
+    IDENTICAL to the table built over the concatenated input."""
+    return (
+        reg_a.unionByName(reg_b).groupBy("idx").agg(F.max("r").alias("r"))
+    )
+
+
+def hll_estimate(registers: DataFrame, b: int = HLL_B) -> DataFrame:
+    """One-row (estimate DOUBLE) from a register table: the standard
+    HLL estimator raw = alpha_m * m^2 / (sum 2^-r + V) where V counts
+    zero (absent) registers, with the linear-counting correction
+    m * ln(m / V) when raw <= 2.5m and V > 0 (the small-range regime
+    where raw overestimates). alpha_m = 0.7213/(1 + 1.079/m) for
+    m >= 128. All arithmetic is portable (power/ln) — the oracle
+    recomputes the estimate itself, not just a bound flag."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("_s"),
+        F.count(F.lit(1)).alias("_present"),
+    )
+    zeros = (F.lit(m) - F.col("_present")).cast("double")
+    raw = F.lit(alpha * m * m) / (F.col("_s") + zeros)
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(est.alias("estimate"))

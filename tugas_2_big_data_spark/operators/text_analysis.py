@@ -866,3 +866,86 @@ def naive_bayes_langid(
         label_col,
         (F.col("pred_lang") == F.col(label_col)).alias("correct"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval: score every document against a fixed bag
+    of query terms, return the top-k by (score DESC, id ASC).
+
+      idf(t)   = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)   [RSJ, +1: non-negative]
+      score(D) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    with tf the raw term count in D, dl the whitespace token count,
+    avgdl the corpus mean. The score is rounded to 9 decimals BEFORE
+    ranking so the ordering is invariant to float association order —
+    two engines summing the per-term contributions in different orders
+    agree on the ranking and on the emitted score.
+
+    Scale: the only corpus-sized stages are the tokenize + explode
+    (map-only; the isin(query_terms) filter drops every non-query term
+    BEFORE the shuffle) and the doc-length projection. df/N/avgdl are
+    tiny aggregates broadcast back; the final top-k is a
+    TakeOrderedAndProject, never a full sort. The reference has no
+    retrieval operator (SURVEY §2 — transform-only pipelines); BM25 is
+    the standard lexical ranking a curation pipeline pairs with ANN
+    (`similarity.*`) for hybrid search."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = df.select(F.col(id_col), words.alias("_w"))
+    dl = toks.select(id_col, F.size("_w").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("dl").alias("_avgdl"),
+    )
+    tf = (
+        toks.select(F.col(id_col), F.explode("_w").alias("term"))
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("_df"))
+        .crossJoin(F.broadcast(stats.select("_n")))
+        .select(
+            "term",
+            F.log(
+                (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+                + 1.0
+            ).alias("idf"),
+        )
+    )
+    contrib = (
+        tf.join(dl, id_col)
+        .crossJoin(F.broadcast(stats.select("_avgdl")))
+        .join(F.broadcast(idf), "term")
+        .select(
+            F.col(id_col),
+            (
+                F.col("idf")
+                * F.col("tf")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("_avgdl")
+                    )
+                )
+            ).alias("_c"),
+        )
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(F.round(F.sum("_c"), 9).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

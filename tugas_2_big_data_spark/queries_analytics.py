@@ -911,3 +911,251 @@ def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog — the fully-value-checked distinct sketch
+# (sketches.hll_registers / hll_estimate / merge_hll). Unlike
+# sketch_distinct_users (built-in HLL++, engine-internal hash, only the
+# error BOUND is checkable), every register bit and the estimate itself
+# are recomputed by the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 256  # sketches.HLL_B = 8
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+# 5 sigma of the documented standard error 1.04/sqrt(m)
+_HLL_BOUND = 5 * 1.04 / (_HLL_M ** 0.5)
+
+
+def _hll_reg_sql(col: str, src: str = "events") -> str:
+    """DuckDB register table for one column: the SQL twin of
+    sketches.hll_registers (same md5 hash, same bit split, same
+    minimal-form bin() leading-zero count)."""
+    from tugas_2_big_data_spark.functions.hashing import hexn_sql
+
+    h = hexn_sql(f"md5(CAST({col} AS VARCHAR))", 15)
+    return f"""
+  SELECT h % {_HLL_M} AS idx,
+         max(CASE WHEN (h // {_HLL_M}) = 0 THEN 53
+             ELSE 53 - length(bin(h // {_HLL_M})) END) AS r
+  FROM (SELECT ({h}) AS h FROM {src} WHERE {col} IS NOT NULL)
+  GROUP BY 1"""
+
+
+# alpha_m * m^2 as ONE python-computed double literal, CAST AS DOUBLE:
+# DuckDB types a bare decimal literal as DECIMAL(18) and the register
+# arithmetic overflows it
+_HLL_AMM = f"CAST({_HLL_ALPHA * _HLL_M * _HLL_M!r} AS DOUBLE)"
+_HLL_EST_SQL = (
+    f"CASE WHEN ({_HLL_AMM} / (s + ({_HLL_M} - present)))"
+    f" <= {2.5 * _HLL_M!r} AND present < {_HLL_M} "
+    f"THEN {_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - present)) "
+    f"ELSE {_HLL_AMM} / (s + ({_HLL_M} - present)) END"
+)
+
+
+def _hll_branch_sql(col: str) -> str:
+    return f"""
+SELECT '{col}' AS col_name, estimate,
+  (SELECT CAST(count(DISTINCT {col}) AS BIGINT) FROM events)
+    AS exact_distinct,
+  abs(estimate - (SELECT count(DISTINCT {col}) FROM events))
+    / (SELECT count(DISTINCT {col}) FROM events) AS rel_err,
+  abs(estimate - (SELECT count(DISTINCT {col}) FROM events))
+    / (SELECT count(DISTINCT {col}) FROM events) <= {_HLL_BOUND!r}
+    AS within_bound
+FROM (
+  SELECT {_HLL_EST_SQL} AS estimate
+  FROM (
+    SELECT sum(power(2.0, -r)) AS s, count(*) AS present
+    FROM ({_hll_reg_sql(col)})
+  )
+)"""
+
+
+_HLL_PORTABLE_SQL = (
+    _hll_branch_sql("user_id") + "\nUNION ALL" + _hll_branch_sql("event_id")
+)
+
+
+@register("sketch_hll_portable", _HLL_PORTABLE_SQL)
+def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled portable HyperLogLog over two cardinality regimes:
+    user_id (~150 distinct — exercises the linear-counting correction,
+    zero registers exist) and event_id (10k+ distinct — the raw
+    harmonic-mean estimator, registers saturated). The oracle replays
+    the ENTIRE sketch — every register's leading-zero count and the
+    estimator arithmetic — so the estimate itself is value-compared,
+    the strongest oracle form a sketch can have (the built-in HLL++
+    twin `sketch_distinct_users` can only pin its error bound).
+    within_bound asserts |est-exact|/exact <= 5·(1.04/√m).
+
+    Scale: one map-only projection + a ≤256-row groupBy per column;
+    the exact count here is the oracle contract, not the production
+    path — a deployment reads the estimate alone."""
+    ev = load_table(spark, "events", sf_dir)
+
+    def branch(col: str) -> DataFrame:
+        est = sketches.hll_estimate(sketches.hll_registers(ev, col))
+        exact = ev.agg(
+            F.countDistinct(col).cast("long").alias("exact_distinct")
+        )
+        return (
+            est.crossJoin(F.broadcast(exact))
+            .select(
+                F.lit(col).alias("col_name"),
+                "estimate",
+                "exact_distinct",
+                (
+                    F.abs(F.col("estimate") - F.col("exact_distinct"))
+                    / F.col("exact_distinct")
+                ).alias("rel_err"),
+            )
+            .withColumn("within_bound", F.col("rel_err") <= _HLL_BOUND)
+        )
+
+    return branch("user_id").unionByName(branch("event_id"))
+
+
+_HLL_MERGE_SQL = f"""
+WITH half_a AS ({_hll_reg_sql("user_id",
+    "(SELECT user_id FROM events WHERE abs(coalesce(event_id, 0)) % 2 = 0)")}),
+half_b AS ({_hll_reg_sql("user_id",
+    "(SELECT user_id FROM events WHERE abs(coalesce(event_id, 0)) % 2 = 1)")}),
+merged AS (
+  SELECT idx, max(r) AS r
+  FROM (SELECT * FROM half_a UNION ALL SELECT * FROM half_b) GROUP BY 1
+),
+whole AS ({_hll_reg_sql("user_id")}),
+mism AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_register_mismatches FROM (
+    (SELECT * FROM merged EXCEPT SELECT * FROM whole)
+    UNION ALL
+    (SELECT * FROM whole EXCEPT SELECT * FROM merged)
+  )
+),
+est_m AS (
+  SELECT {_HLL_EST_SQL} AS merged_estimate
+  FROM (SELECT sum(power(2.0, -r)) AS s, count(*) AS present FROM merged)
+),
+est_w AS (
+  SELECT {_HLL_EST_SQL} AS whole_estimate
+  FROM (SELECT sum(power(2.0, -r)) AS s, count(*) AS present FROM whole)
+)
+SELECT merged_estimate, whole_estimate, n_register_mismatches
+FROM est_m, est_w, mism
+"""
+
+
+@register("sketch_hll_merge", _HLL_MERGE_SQL)
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability proof for the portable HLL, executed end-to-end:
+    the corpus is split into two halves (event_id parity — a stand-in
+    for two ingest batches or two cluster partitions), each half
+    builds its own register table, and merge_hll (cell-wise max) must
+    reproduce the whole-corpus registers EXACTLY — n_register_mismatches
+    pins the identity register-by-register (EXCEPT both ways), and the
+    two estimates are value-compared. This is the property that lets
+    the sketch ride the append-only ingest loop: per-batch register
+    tables merge into the state sketch without ever re-reading the
+    corpus (the distinct-count member of the mergeable-state family:
+    bloom bit_or, count-min cell sum, SpaceSaving merge)."""
+    ev = load_table(spark, "events", sf_dir)
+    parity = F.abs(F.coalesce(F.col("event_id"), F.lit(0))) % 2
+    half_a = sketches.hll_registers(ev.filter(parity == 0), "user_id")
+    half_b = sketches.hll_registers(ev.filter(parity == 1), "user_id")
+    merged = sketches.merge_hll(half_a, half_b)
+    whole = sketches.hll_registers(ev, "user_id")
+    mism = (
+        merged.exceptAll(whole)
+        .unionByName(whole.exceptAll(merged))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_register_mismatches"))
+    )
+    est_m = sketches.hll_estimate(merged).select(
+        F.col("estimate").alias("merged_estimate")
+    )
+    est_w = sketches.hll_estimate(whole).select(
+        F.col("estimate").alias("whole_estimate")
+    )
+    return est_m.crossJoin(est_w).crossJoin(F.broadcast(mism))
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust statistics — percentile clipping per group, the
+# outlier treatment a feature/quality pipeline applies before
+# normalizing signals into training-data filters.
+# ---------------------------------------------------------------------------
+
+_WINSORIZE_SQL = """
+WITH pct AS (
+  SELECT event_type,
+    quantile_cont(value, 0.05) AS p05,
+    quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY 1
+),
+clipped AS (
+  SELECT e.event_type,
+    greatest(least(e.value, p.p95), p.p05) AS v,
+    e.value, p.p05, p.p95
+  FROM events e JOIN pct p USING (event_type)
+)
+SELECT event_type,
+  CAST(count(value) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clipped_low,
+  CAST(sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clipped_high,
+  round(any_value(p05), 6) AS p05,
+  round(any_value(p95), 6) AS p95,
+  round(avg(value), 6) AS mean_raw,
+  round(avg(v), 6) AS mean_winsorized,
+  round(stddev_samp(value), 6) AS std_raw,
+  round(stddev_samp(v), 6) AS std_winsorized
+FROM clipped GROUP BY event_type
+"""
+
+
+@register("stats_winsorized_by_type", _WINSORIZE_SQL)
+def stats_winsorized_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization at [p05, p95]: EXACT linear-interpolated
+    percentiles (Spark `percentile`, DuckDB `quantile_cont` — both
+    type-7, so the oracle reproduces the cut points to the bit), values
+    clipped into the band, and robust-vs-raw moments side by side. The
+    approximate twin for corpus scale is `sketch_value_quantiles` (GK);
+    this is the exact form for grouped signals whose per-group row
+    count makes a sort-based percentile affordable — two shuffles (the
+    percentile agg and the final agg; the join is a broadcast of one
+    row per group)."""
+    ev = load_table(spark, "events", sf_dir)
+    pct = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clipped = ev.join(F.broadcast(pct), "event_type").select(
+        "event_type",
+        F.greatest(F.least(F.col("value"), F.col("p95")), F.col("p05")).alias(
+            "v"
+        ),
+        "value",
+        "p05",
+        "p95",
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("value").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("value") < F.col("p05"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum(
+            F.when(F.col("value") > F.col("p95"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_clipped_high"),
+        F.round(F.first("p05"), 6).alias("p05"),
+        F.round(F.first("p95"), 6).alias("p95"),
+        F.round(F.avg("value"), 6).alias("mean_raw"),
+        F.round(F.avg("v"), 6).alias("mean_winsorized"),
+        F.round(F.stddev_samp("value"), 6).alias("std_raw"),
+        F.round(F.stddev_samp("v"), 6).alias("std_winsorized"),
+    )

@@ -447,3 +447,55 @@ def stream_incremental_two_batches(
         seen_sets,
         checkpoint_dir=f"{work}/ckpt",
     )
+
+
+def _stream_hll_sql() -> str:
+    from tugas_2_big_data_spark.queries_analytics import (
+        _HLL_EST_SQL,
+        _hll_reg_sql,
+    )
+
+    return f"""
+WITH reg AS ({_hll_reg_sql("user_id")}),
+agg AS (SELECT sum(power(2.0, -r)) AS s, count(*) AS present FROM reg)
+SELECT {_HLL_EST_SQL} AS estimate,
+  CAST(0 AS BIGINT) AS n_register_mismatches
+FROM agg
+"""
+
+
+@register("stream_hll_distinct", _stream_hll_sql())
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable-HLL sketch maintained ACROSS micro-batches
+    (streaming/events.run_streaming_hll): per-batch register tables
+    fold into the running state by cell-wise max before the next batch
+    arrives — bounded (<=256-row) state however long the stream. Since
+    max-merge is exact, the drained state must equal the batch-built
+    whole-corpus registers REGISTER-FOR-REGISTER: the emitted
+    n_register_mismatches (two-way EXCEPT vs the batch registers,
+    pinned 0 by the oracle) is the batch/stream parity check, and the
+    estimate is value-compared against the oracle's full replay of the
+    sketch math."""
+    import tempfile
+
+    from tugas_2_big_data_spark.operators import sketches
+
+    work = tempfile.mkdtemp(prefix="tugas2_stream_hll_")
+    streamed = se.run_streaming_hll(
+        spark,
+        se.read_events_stream(spark, sf_dir),
+        checkpoint_dir=f"{work}/ckpt",
+        item_col="user_id",
+    )
+    from tugas_2_big_data_spark.sources.catalog import load_table
+
+    batch_reg = sketches.hll_registers(
+        load_table(spark, "events", sf_dir), "user_id"
+    )
+    mism = (
+        streamed.exceptAll(batch_reg)
+        .unionByName(batch_reg.exceptAll(streamed))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_register_mismatches"))
+    )
+    est = sketches.hll_estimate(streamed)
+    return est.crossJoin(F.broadcast(mism))

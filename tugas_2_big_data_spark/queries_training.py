@@ -1112,6 +1112,63 @@ def txt_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ["scan", "join", "window"]
+_BM25_K = 15
+
+_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+    string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+    SELECT doc_id, unnest(w) AS term FROM toks
+  ) WHERE term IN ('scan', 'join', 'window')
+  GROUP BY 1, 2
+),
+idf AS (
+  SELECT term,
+    ln((stats.n - cnt + 0.5) / (cnt + 0.5) + 1.0) AS idf
+  FROM (SELECT term, CAST(count(*) AS DOUBLE) AS cnt FROM tf GROUP BY 1),
+    stats
+),
+scored AS (
+  SELECT tf.doc_id,
+    round(sum(
+      idf.idf * tf.tf * 2.2
+      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+    ), 9) AS score
+  FROM tf
+  JOIN dl USING (doc_id)
+  JOIN idf USING (term), stats
+  GROUP BY 1
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {_BM25_K}
+"""
+
+
+@register("txt_bm25_topk", _BM25_SQL)
+def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval (text_analysis.bm25_topk) for a
+    fixed 3-term query at k1=1.2, b=0.75 — the standard length-
+    normalized ranking a curation pipeline pairs with the ANN serving
+    paths for hybrid search. The oracle replays idf, the saturation
+    term, and the 9-decimal rounding that makes the ranking
+    association-order-invariant; constants in the SQL: 2.2 = k1+1,
+    0.25 = 1-b."""
+    return text_analysis.bm25_topk(
+        load_table(spark, "documents", sf_dir),
+        _BM25_TERMS,
+        k=_BM25_K,
+    )
+
+
 # ---------------------------------------------------------------------------
 # dataset splitting (operators/sampling.py)
 # ---------------------------------------------------------------------------
@@ -4946,4 +5003,46 @@ def txt_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = similarity.hash_embed(docs, dim=64)
     return similarity.cosine_topk(
         vecs, vecs.filter(F.col("vec_id") < 3), k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding statistics (operators/similarity.py embedding_covariance)
+# ---------------------------------------------------------------------------
+
+_EMB_COV_SQL = """
+WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+prods AS (
+  SELECT a.d AS i, b.d AS j,
+    CAST(embedding[a.d + 1] AS DOUBLE) * CAST(embedding[b.d + 1] AS DOUBLE)
+      AS p,
+    CAST(embedding[a.d + 1] AS DOUBLE) AS x
+  FROM embeddings, dims a, dims b
+  WHERE b.d >= a.d
+),
+cells AS (
+  SELECT i, j, sum(p) AS sp, count(*) AS n, sum(x) AS sx
+  FROM prods GROUP BY 1, 2
+),
+means AS (SELECT i AS d, sx / n AS m FROM cells WHERE i = j)
+SELECT CAST(c.i AS INT) AS i, CAST(c.j AS INT) AS j,
+  round(c.sp / c.n - mi.m * mj.m, 6) AS cov
+FROM cells c
+JOIN means mi ON c.i = mi.d
+JOIN means mj ON c.j = mj.d
+"""
+
+
+@register("emb_covariance", _EMB_COV_SQL)
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle population covariance matrix of the embedding
+    corpus (similarity.embedding_covariance) — the whitening / PCA-prep
+    statistic an embedding pipeline computes before clustering or
+    SemDeDup. One corpus pass, zero joins on the corpus: per-row in-row
+    product explosion + a map-side-partial (i, j) hash agg whose output
+    is d(d+1)/2 cells whatever the corpus size; the oracle replays the
+    triangle, the E[xy]-E[x]E[y] arithmetic, and the 6-decimal
+    stabilization rounding."""
+    return similarity.embedding_covariance(
+        load_table(spark, "embeddings", sf_dir)
     )

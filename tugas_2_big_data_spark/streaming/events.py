@@ -483,3 +483,46 @@ def run_evolving_near_dup(
     for a in accepted[1:]:
         out = out.unionByName(a)
     return out
+
+
+def run_streaming_hll(
+    spark: SparkSession,
+    stream: DataFrame,
+    checkpoint_dir: str,
+    item_col: str = "user_id",
+) -> DataFrame:
+    """Streaming maintenance of the portable HyperLogLog: each
+    micro-batch's register table merges (cell-wise max,
+    sketches.merge_hll) into the running sketch state BEFORE the next
+    micro-batch — the distinct-count member of the streaming
+    mergeable-state loop (`run_evolving_near_dup` is the dedup member).
+    State is bounded at <= 2^b rows whatever the stream length or
+    micro-batching, and because max-merge is exact, the drained state
+    is IDENTICAL to the batch-built whole-corpus registers — the
+    batch/stream parity the registered query pins register-for-register.
+    At scale the localCheckpointed state becomes a <=2^b-row parquet
+    overwrite per micro-batch (sketch-sized, not corpus-sized).
+
+    Returns the final register table (idx, r)."""
+    from tugas_2_big_data_spark.operators import sketches
+
+    state = {"reg": spark.createDataFrame([], "idx int, r int")}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        breg = sketches.hll_registers(batch_df, item_col)
+        state["reg"] = sketches.merge_hll(
+            state["reg"], breg
+        ).localCheckpoint()
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return state["reg"]
