@@ -43,3 +43,42 @@ def test_every_registered_query_has_a_value_oracle():
     registered with oracle=None must be a deliberate, documented
     exception — there are none today."""
     assert set(q.queries()) == set(q.oracle_sql())
+
+
+def _load_refresh_docs():
+    import importlib.util
+
+    path = os.path.join(
+        os.path.dirname(README), "tools", "refresh_docs.py"
+    )
+    spec = importlib.util.spec_from_file_location("refresh_docs", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_round_notes_stamped_block_is_current():
+    """The newest ROUND*_NOTES.md carries a generated summary block
+    (registry count, bench totals, flag count, correctness rows)
+    between stamp markers; regenerating it from the artifacts must
+    reproduce the committed text byte-for-byte. Round 5's notes drifted
+    twice on hand-typed numbers — this makes the notes' headline claims
+    enforced, like the README counts. Refresh: python
+    tools/refresh_docs.py"""
+    rd = _load_refresh_docs()
+    notes = rd.latest_round_notes()
+    assert notes is not None, "no ROUND*_NOTES.md found"
+    text = open(notes).read()
+    m = re.search(
+        re.escape(rd.STAMP_BEGIN) + r"\n(.*?)\n" + re.escape(rd.STAMP_END),
+        text,
+        re.DOTALL,
+    )
+    assert m, (
+        f"{os.path.basename(notes)} has no stamped summary block — add "
+        f"the markers and run tools/refresh_docs.py"
+    )
+    assert m.group(1) == rd.stamped_block(), (
+        f"{os.path.basename(notes)} stamped block is stale — run "
+        f"tools/refresh_docs.py"
+    )
