@@ -269,3 +269,86 @@ def test_merge_hll_equals_sketch_of_concat(spark):
         for r in sketches.hll_registers(a.unionByName(b), "v").collect()
     }
     assert merged == whole
+
+
+def test_hll_intersection_inclusion_exclusion(spark):
+    """est_intersection = est_a + est_b - est_union exactly (the I-E
+    identity over the three estimates), and the estimate lands near
+    the true overlap when the overlap is a large fraction of the
+    union (the regime the estimator is for)."""
+    from tugas_2_big_data_spark.operators import sketches
+
+    a = spark.createDataFrame([(i,) for i in range(0, 3000)], ["v"])
+    b = spark.createDataFrame([(i,) for i in range(1500, 4500)], ["v"])
+    ra = sketches.hll_registers(a, "v")
+    rb = sketches.hll_registers(b, "v")
+    [row] = sketches.hll_intersection_estimate(ra, rb).collect()
+    assert abs(
+        row.est_intersection - (row.est_a + row.est_b - row.est_union)
+    ) < 1e-9
+    # truth: 1500 overlap of a 4500 union; 5 sigma of the union size
+    assert abs(row.est_intersection - 1500) <= 5 * (1.04 / 16) * row.est_union
+
+
+def test_bloom_prefilter_join_equals_plain_join(spark):
+    """The bloom prefilter is semantically invisible: identical rows to
+    the plain inner join, including under a deliberately tiny bloom
+    (high false-positive rate — the join must clean up every FP) and
+    with fact keys absent from dim."""
+    from tugas_2_big_data_spark.operators import joins
+
+    fact = spark.createDataFrame(
+        [(i, i % 50, float(i)) for i in range(800)], ["rid", "k", "v"]
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 50, 7)], ["k", "name"]
+    )
+    plain = sorted(
+        (r.rid, r.name) for r in fact.join(dim, "k").collect()
+    )
+    for n_blocks in (8, 4096):  # 8 blocks ~ saturated bloom, all FPs
+        got = sorted(
+            (r.rid, r.name)
+            for r in joins.bloom_prefilter_join(
+                fact, dim, "k", n_blocks=n_blocks
+            ).collect()
+        )
+        assert got == plain, n_blocks
+
+
+def test_histogram_quantile_bound_and_degenerate_grid(spark):
+    """The histogram estimator's certain guarantee: |est - exact| <=
+    one bin width, at every probed p; the sketch stays <= n_bins rows;
+    an all-equal column (degenerate grid) does not divide by zero."""
+    from tugas_2_big_data_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(float(i) ** 1.5,) for i in range(2000)], ["v"]
+    )
+    hist = sketches.histogram_counts(df, "v", n_bins=64)
+    rows = hist.collect()
+    assert len(rows) <= 64
+    width = rows[0].width
+    est = {
+        r.p: r.est
+        for r in sketches.histogram_quantile_estimates(
+            hist, [0.5, 0.9, 0.99]
+        ).collect()
+    }
+    import math
+
+    n = 2000
+    for p, e in est.items():
+        # type-7 exact quantile of the generated data
+        rank = p * (n - 1)
+        lofl = math.floor(rank)
+        frac = rank - lofl
+        exact = (lofl ** 1.5) * (1 - frac) + ((lofl + 1) ** 1.5) * frac
+        assert abs(e - exact) <= width + 1e-9, (p, e, exact)
+
+    flat = spark.createDataFrame([(5.0,)] * 10, ["v"])
+    fh = sketches.histogram_counts(flat, "v", n_bins=8)
+    [r] = fh.collect()
+    assert r.bin == 0 and r.cnt == 10
+    [e] = sketches.histogram_quantile_estimates(fh, [0.5]).collect()
+    assert e.est is not None

@@ -331,3 +331,120 @@ def hll_estimate(registers: DataFrame, b: int = HLL_B) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(raw)
     return agg.select(est.alias("estimate"))
+
+
+def hll_intersection_estimate(
+    reg_a: DataFrame, reg_b: DataFrame, b: int = HLL_B
+) -> DataFrame:
+    """Distinct-overlap estimate for two item sets from their HLL
+    register tables via inclusion-exclusion: |A ∩ B| ≈ E(A) + E(B) −
+    E(A ∪ B), where E(A ∪ B) comes from the exact max-merge — the
+    classic planner/profiler trick for join-cardinality estimation
+    without co-shuffling the two sides (each side is sketched
+    independently, possibly on different days; only 2·2^b register
+    rows ever meet).
+
+    One row: (est_a, est_b, est_union, est_intersection). Error is the
+    DIFFERENCE of three estimates, so its deviation scales with the
+    UNION size (1.04/sqrt(m) · O(|union|)), not the intersection —
+    small overlaps of large sets drown in noise; callers should gate
+    on est_union like the registered query's within_bound does."""
+    ea = hll_estimate(reg_a, b).select(F.col("estimate").alias("est_a"))
+    eb = hll_estimate(reg_b, b).select(F.col("estimate").alias("est_b"))
+    eu = hll_estimate(merge_hll(reg_a, reg_b), b).select(
+        F.col("estimate").alias("est_union")
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+        )
+    )
+
+
+def histogram_counts(
+    df: DataFrame, value_col: str, n_bins: int = 256
+) -> DataFrame:
+    """Fixed-binning histogram sketch over ``df[value_col]``: bin =
+    min(floor((v - lo) / width), n_bins-1) on the exact [min, max]
+    grid, counts per bin — <= n_bins rows (each carrying the grid)
+    whatever the corpus, MERGEABLE by cell-wise sum given the same
+    grid, the quantile member of the portable mergeable-sketch family
+    (bloom: bit_or, count-min/histogram: sum, HLL: max). The grid
+    comes from an exact min/max aggregate broadcast back as a one-row
+    cross join — exact extremes are engine-portable where a sampled
+    grid would not be (the two-pass shape every fixed-grid histogram
+    pays once; a production sketch would freeze the grid in an
+    artifact and single-pass thereafter). NULLs contribute nothing."""
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("_v")
+    )
+    grid = vals.agg(
+        F.min("_v").alias("lo"), F.max("_v").alias("_hi")
+    ).select(
+        "lo",
+        # degenerate grid (all values equal) -> any positive width puts
+        # everything in bin 0 instead of dividing by zero
+        F.when(F.col("_hi") == F.col("lo"), F.lit(1.0))
+        .otherwise((F.col("_hi") - F.col("lo")) / n_bins)
+        .alias("width"),
+    )
+    binned = vals.crossJoin(F.broadcast(grid)).select(
+        F.least(
+            F.floor((F.col("_v") - F.col("lo")) / F.col("width")),
+            F.lit(n_bins - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        "lo",
+        "width",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.first("lo").alias("lo"),
+        F.first("width").alias("width"),
+    )
+
+
+def histogram_quantile_estimates(
+    hist: DataFrame, probs: list[float]
+) -> DataFrame:
+    """(p, est) rows from a histogram sketch: est = the UPPER edge of
+    the first bin whose cumulative count reaches ceil(p * total) — a
+    deterministic estimator whose error is bounded by one bin width
+    (the estimate and the true quantile lie in the same bin). The
+    cumulative walk is a window over <= n_bins rows — sketch-sized,
+    never data-sized (the single-partition window is over the SKETCH,
+    which is the point of sketching)."""
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bin", "cnt", "lo", "width", F.sum("cnt").over(w).alias("cum")
+    ).crossJoin(F.broadcast(hist.agg(F.sum("cnt").alias("_total"))))
+    parts = []
+    for p in probs:
+        need = F.ceil(F.lit(p) * F.col("_total"))
+        est_bin = cum.filter(F.col("cum") >= need).agg(
+            F.min("bin").alias("_b"),
+            F.first("lo").alias("_lo"),
+            F.first("width").alias("_width"),
+        )
+        parts.append(
+            est_bin.select(
+                F.lit(p).alias("p"),
+                (F.col("_lo") + (F.col("_b") + 1) * F.col("_width")).alias(
+                    "est"
+                ),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out

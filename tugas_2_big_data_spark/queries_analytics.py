@@ -1159,3 +1159,287 @@ def stats_winsorized_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("value"), 6).alias("std_raw"),
         F.round(F.stddev_samp("v"), 6).alias("std_winsorized"),
     )
+
+
+_HLL_OVR_A = "(SELECT user_id FROM events WHERE event_type = 'purchase')"
+_HLL_OVR_B = "(SELECT user_id FROM events WHERE event_type = 'click')"
+
+_HLL_OVERLAP_SQL = f"""
+WITH reg_a AS ({{ra}}),
+reg_b AS ({{rb}}),
+reg_u AS (
+  SELECT idx, max(r) AS r
+  FROM (SELECT * FROM reg_a UNION ALL SELECT * FROM reg_b) GROUP BY 1
+),
+ea AS (SELECT {_HLL_EST_SQL} AS est_a FROM
+  (SELECT sum(power(2.0, -r)) AS s, count(*) AS present FROM reg_a)),
+eb AS (SELECT {_HLL_EST_SQL} AS est_b FROM
+  (SELECT sum(power(2.0, -r)) AS s, count(*) AS present FROM reg_b)),
+eu AS (SELECT {_HLL_EST_SQL} AS est_union FROM
+  (SELECT sum(power(2.0, -r)) AS s, count(*) AS present FROM reg_u)),
+exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM (
+    SELECT user_id FROM {_HLL_OVR_A} INTERSECT
+    SELECT user_id FROM {_HLL_OVR_B}
+  )
+)
+SELECT est_a, est_b, est_union,
+  est_a + est_b - est_union AS est_intersection,
+  exact_intersection,
+  abs(est_a + est_b - est_union - exact_intersection)
+    <= CAST({5 * 1.04 / 16.0!r} AS DOUBLE) * est_union AS within_bound
+FROM ea, eb, eu, exact
+""".format(
+    ra=_hll_reg_sql("user_id", _HLL_OVR_A),
+    rb=_hll_reg_sql("user_id", _HLL_OVR_B),
+)
+
+
+@register("sketch_hll_overlap", _HLL_OVERLAP_SQL)
+def sketch_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from independent sketches
+    (sketches.hll_intersection_estimate): the distinct-user overlap of
+    two event types by inclusion-exclusion over three HLL estimates —
+    the two sides are sketched INDEPENDENTLY (different scans, different
+    days, different clusters) and only 2x256 register rows ever meet, vs
+    the exact path's co-shuffle of both user sets. The oracle replays
+    all three register tables and the I-E arithmetic; within_bound uses
+    5 sigma of the UNION size, the honest scale of an I-E difference
+    (a small overlap of two large sets is where this estimator drowns
+    — the bound states that, rather than hiding it)."""
+    ev = load_table(spark, "events", sf_dir)
+    users_a = ev.filter(F.col("event_type") == "purchase")
+    users_b = ev.filter(F.col("event_type") == "click")
+    est = sketches.hll_intersection_estimate(
+        sketches.hll_registers(users_a, "user_id"),
+        sketches.hll_registers(users_b, "user_id"),
+    )
+    exact = (
+        users_a.select("user_id")
+        .intersect(users_b.select("user_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_a",
+        "est_b",
+        "est_union",
+        "est_intersection",
+        "exact_intersection",
+        (
+            F.abs(F.col("est_intersection") - F.col("exact_intersection"))
+            <= F.lit(5 * 1.04 / 16.0) * F.col("est_union")
+        ).alias("within_bound"),
+    )
+
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS median_value
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, e.value, m.median_value,
+    abs(e.value - m.median_value) AS adev
+  FROM events e JOIN med m USING (event_type)
+  WHERE e.value IS NOT NULL
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  round(any_value(d.median_value), 6) AS median_value,
+  round(any_value(m.mad), 6) AS mad,
+  CAST(sum(CASE WHEN abs(d.value - d.median_value)
+                     > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+@register("stats_mad_outliers", _MAD_SQL)
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: median absolute deviation
+    with the 1.4826 normal-consistency constant, flagging |x - median|
+    > 3 sigma-equivalents — the robust twin of evt_value_zscore (whose
+    mean/std are themselves dragged by the outliers they're hunting).
+    Exact type-7 medians (Spark `percentile` = DuckDB `quantile_cont`);
+    two percentile shuffles + one broadcast-stats pass over the fact."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull()
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("median_value")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "median_value",
+        F.abs(F.col("value") - F.col("median_value")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.first("median_value"), 6).alias("median_value"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+_BLOOM_JOIN_SQL = """
+SELECT c.c_mktsegment,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  sum(o.o_totalprice) AS total_price
+FROM orders o
+JOIN (SELECT c_custkey, c_mktsegment FROM customer
+      WHERE c_acctbal > 9000) c
+  ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("join_bloom_prefilter", _BLOOM_JOIN_SQL)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom runtime-filter join (joins.bloom_prefilter_join): the
+    selective customer dim's keys build a fixed-size blocked-Bloom word
+    table that thins the orders fact MAP-SIDE before the join's
+    exchange. The oracle is the PLAIN join — the bloom must be
+    semantically invisible (false positives are removed by the join
+    itself, no false negatives exist). The plan carries the broadcast
+    word-table probe before the join (plan-pinned)."""
+    from tugas_2_big_data_spark.operators import joins
+
+    orders = load_table(spark, "orders", sf_dir).withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_mktsegment")
+    )
+    joined = joins.bloom_prefilter_join(orders, cust, "c_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("o_totalprice").alias("total_price"),
+    )
+
+
+_HIST_BINS = 256
+_HIST_PROBS = (0.5, 0.9, 0.99)
+
+_HIST_QUANT_SQL = f"""
+WITH vals AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+),
+grid AS (
+  SELECT min(v) AS lo,
+    CASE WHEN max(v) = min(v) THEN 1.0
+         ELSE (max(v) - min(v)) / {_HIST_BINS} END AS width
+  FROM vals
+),
+hist AS (
+  SELECT CAST(least(floor((v - lo) / width), {_HIST_BINS - 1}) AS INT)
+    AS bin, count(*) AS cnt
+  FROM vals, grid GROUP BY 1
+),
+cum AS (
+  SELECT bin, cnt,
+    sum(cnt) OVER (ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    (SELECT sum(cnt) FROM hist) AS total
+  FROM hist
+),
+probs AS (
+  SELECT CAST(0.5 AS DOUBLE) AS p
+  UNION ALL SELECT CAST(0.9 AS DOUBLE)
+  UNION ALL SELECT CAST(0.99 AS DOUBLE)
+),
+est AS (
+  SELECT probs.p, min(c.bin) AS b
+  FROM probs, cum c
+  WHERE c.cum >= ceil(probs.p * c.total)
+  GROUP BY probs.p
+),
+exact AS (
+  SELECT CAST(0.5 AS DOUBLE) AS p, quantile_cont(v, 0.5) AS exact
+    FROM vals
+  UNION ALL SELECT CAST(0.9 AS DOUBLE), quantile_cont(v, 0.9) FROM vals
+  UNION ALL SELECT CAST(0.99 AS DOUBLE), quantile_cont(v, 0.99) FROM vals
+)
+SELECT est.p, g.lo + (est.b + 1) * g.width AS est, exact.exact,
+  abs(g.lo + (est.b + 1) * g.width - exact.exact) <= g.width
+    AS within_bound
+FROM est JOIN exact USING (p), grid g
+"""
+
+
+@register("sketch_histogram_quantiles", _HIST_QUANT_SQL)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid histogram quantile sketch
+    (sketches.histogram_counts / histogram_quantile_estimates):
+    256 bins on the exact [min, max] grid, estimate = upper edge of the
+    first bin reaching ceil(p·total) — DETERMINISTIC, so unlike the GK
+    twin (`sketch_value_quantiles`, engine-internal, bound-flag-only)
+    the estimates themselves are value-compared by a full DuckDB replay
+    of the binning, the cumulative walk, and the edge arithmetic.
+    within_bound pins the estimator's certain guarantee: the estimate
+    and the true quantile lie in the same bin, so |est − exact| <=
+    width. The bin table merges by cell-wise sum (same grid) — the
+    quantile member of the portable mergeable-sketch family."""
+    ev = load_table(spark, "events", sf_dir)
+    hist = sketches.histogram_counts(ev, "value", n_bins=_HIST_BINS)
+    est = sketches.histogram_quantile_estimates(hist, list(_HIST_PROBS))
+    exact = ev.filter(F.col("value").isNotNull()).agg(
+        *[
+            F.expr(f"percentile(CAST(value AS DOUBLE), {p})").alias(
+                f"_x{i}"
+            )
+            for i, p in enumerate(_HIST_PROBS)
+        ],
+        (
+            F.when(
+                F.max(F.col("value").cast("double"))
+                == F.min(F.col("value").cast("double")),
+                F.lit(1.0),
+            ).otherwise(
+                (
+                    F.max(F.col("value").cast("double"))
+                    - F.min(F.col("value").cast("double"))
+                )
+                / _HIST_BINS
+            )
+        ).alias("_w"),
+    )
+    exact_long = None
+    for i, p in enumerate(_HIST_PROBS):
+        part = exact.select(
+            F.lit(p).alias("p"),
+            F.col(f"_x{i}").alias("exact"),
+            F.col("_w").alias("_w"),
+        )
+        exact_long = part if exact_long is None else exact_long.unionByName(part)
+    return (
+        est.join(F.broadcast(exact_long), "p")
+        .select(
+            "p",
+            "est",
+            "exact",
+            (F.abs(F.col("est") - F.col("exact")) <= F.col("_w")).alias(
+                "within_bound"
+            ),
+        )
+    )
