@@ -21,7 +21,9 @@ spec = importlib.util.spec_from_file_location(
 bench = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(bench)
 
-CAL_BASE = 1.68  # frozen anchor in BENCH_BASELINE.json
+CAL_BASE = 1.68  # representative anchor value (the tests are pure
+# functions of their inputs; the live anchor lives in
+# BENCH_BASELINE.json and is re-frozen per baseline refresh)
 
 
 def test_uniform_burst_produces_no_false_flag():
