@@ -352,3 +352,39 @@ def test_histogram_quantile_bound_and_degenerate_grid(spark):
     assert r.bin == 0 and r.cnt == 10
     [e] = sketches.histogram_quantile_estimates(fh, [0.5]).collect()
     assert e.est is not None
+
+
+def test_profile_columns_values_and_types(spark):
+    """Profile stats on a hand-checkable frame: counts, nulls, exact
+    distincts, typed extremes (numeric double, timestamp epoch-us,
+    string native), avg only for numerics."""
+    from datetime import datetime
+
+    from tugas_2_big_data_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 2.0, datetime(2024, 1, 1, 0, 0, 0)),
+            (2, "b", None, datetime(2024, 1, 2, 0, 0, 0)),
+            (3, "a", 4.0, None),
+            (None, None, 6.0, datetime(2024, 1, 1, 0, 0, 0)),
+        ],
+        "k long, s string, v double, t timestamp",
+    )
+    prof = {r.column: r for r in profiling.profile_columns(df).collect()}
+    assert set(prof) == {"k", "s", "v", "t"}
+    assert all(r.n == 4 for r in prof.values())
+    k = prof["k"]
+    assert (k.n_null, k.n_distinct, k.min_num, k.max_num) == (1, 3, 1.0, 3.0)
+    assert k.avg_num == 2.0 and k.min_str is None
+    s = prof["s"]
+    assert (s.n_null, s.n_distinct, s.min_str, s.max_str) == (1, 2, "a", "b")
+    assert s.min_num is None and s.avg_num is None
+    v = prof["v"]
+    assert (v.n_null, v.min_num, v.max_num, v.avg_num) == (1, 2.0, 6.0, 4.0)
+    t = prof["t"]
+    assert t.n_null == 1 and t.n_distinct == 2
+    # epoch microseconds, UTC session timezone pinned by the session
+    assert t.min_num == 1704067200000000.0
+    assert t.max_num == 1704153600000000.0
+    assert t.avg_num is None

@@ -92,6 +92,8 @@ PROBE = [
     "txt_nb_langid",                # NB train pass + broadcast-scored test
     "ann_ivfsq_topk",               # cells x SQ8 codes, in-query build
     "ann_ivfsq_topk_prebuilt",      # served from cell-partitioned codes
+    "txt_bm25_topk",                # query-term prefilter before shuffle
+    "emb_covariance",               # in-row d(d+1)/2 explode, zero joins
 ]
 
 # Zipfian-vocabulary corpus variant: the prefix-filter dedups claim

@@ -1,0 +1,131 @@
+"""Single-pass table profiling — the DESCRIBE/data-quality summary an
+engine exposes over landing tables before heavier curation runs.
+
+Reference scope: the reference inspects its collections ad hoc
+(SURVEY.md §2.1 S5/S6 probe existence only); a profile TABLE (null
+rates, exact distinct counts, typed extremes) is the engine-
+completeness form of that, and at 100 TB the discipline is the same as
+every sketch here: ONE pass over the corpus, bounded output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# how each profiled column contributes extremes: numerics (and
+# epoch-able timestamps) land in min_num/max_num as doubles, strings in
+# min_str/max_str — one schema for every column type, NULLs where a
+# stat does not apply
+_NUM = "num"
+_STR = "str"
+_TS = "ts"
+
+
+def _kind(dtype: str) -> str:
+    if dtype in ("string",):
+        return _STR
+    if dtype.startswith("timestamp"):
+        return _TS
+    return _NUM
+
+
+def profile_columns(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Profile table: one row per column with
+    (column, n, n_null, n_distinct, min_num, max_num, avg_num,
+    min_str, max_str).
+
+    - exact distinct counts (count(DISTINCT c) — Catalyst plans the
+      multi-distinct agg with one Expand over the scan: still a single
+      corpus pass, widened by one duplicate per distinct column, the
+      standard profiling cost; swap for approx_count_distinct when the
+      estimate suffices);
+    - extremes computed in the column's NATIVE type, then surfaced as
+      doubles (numerics; timestamps as epoch MICROSECONDS — exact in a
+      double up to year ~2255, and portable where timestamp→string
+      formatting is not) or strings;
+    - avg only for true numerics, rounded to 6 decimals (oracle
+      stability — same policy as the covariance/winsorize queries).
+
+    The wide one-row aggregate is localCheckpointed before the per-
+    column unpivot: the long form references it once per column, and
+    without the checkpoint each reference would re-run the corpus
+    aggregate."""
+    cols = columns or df.columns
+    kinds = dict(zip(df.columns, [_kind(t) for _, t in df.dtypes]))
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        k = kinds[c]
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nulls")
+        )
+        aggs.append(F.countDistinct(c).cast("long").alias(f"{c}__nd"))
+        if k == _NUM:
+            aggs.append(
+                F.min(F.col(c)).cast("double").alias(f"{c}__min")
+            )
+            aggs.append(
+                F.max(F.col(c)).cast("double").alias(f"{c}__max")
+            )
+            aggs.append(
+                F.round(F.avg(F.col(c)), 6).alias(f"{c}__avg")
+            )
+        elif k == _TS:
+            aggs.append(
+                F.unix_micros(F.min(F.col(c)))
+                .cast("double")
+                .alias(f"{c}__min")
+            )
+            aggs.append(
+                F.unix_micros(F.max(F.col(c)))
+                .cast("double")
+                .alias(f"{c}__max")
+            )
+        else:
+            aggs.append(F.min(F.col(c)).alias(f"{c}__smin"))
+            aggs.append(F.max(F.col(c)).alias(f"{c}__smax"))
+    wide = df.agg(*aggs).localCheckpoint()
+
+    parts = []
+    for c in cols:
+        k = kinds[c]
+        parts.append(
+            wide.select(
+                F.lit(c).alias("column"),
+                F.col("_n").cast("long").alias("n"),
+                F.col(f"{c}__nulls").alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                (
+                    F.col(f"{c}__min")
+                    if k in (_NUM, _TS)
+                    else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.col(f"{c}__max")
+                    if k in (_NUM, _TS)
+                    else F.lit(None).cast("double")
+                ).alias("max_num"),
+                (
+                    F.col(f"{c}__avg")
+                    if k == _NUM
+                    else F.lit(None).cast("double")
+                ).alias("avg_num"),
+                (
+                    F.col(f"{c}__smin")
+                    if k == _STR
+                    else F.lit(None).cast("string")
+                ).alias("min_str"),
+                (
+                    F.col(f"{c}__smax")
+                    if k == _STR
+                    else F.lit(None).cast("string")
+                ).alias("max_str"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1443,3 +1443,183 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _profile_leg_sql(col: str, kind: str) -> str:
+    base = (
+        f"SELECT '{col}' AS column, CAST(count(*) AS BIGINT) AS n,\n"
+        f"  CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_null,\n"
+        f"  CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,\n"
+    )
+    if kind == "num":
+        stats = (
+            f"  CAST(min({col}) AS DOUBLE) AS min_num,\n"
+            f"  CAST(max({col}) AS DOUBLE) AS max_num,\n"
+            f"  round(avg({col}), 6) AS avg_num,\n"
+            f"  CAST(NULL AS VARCHAR) AS min_str,\n"
+            f"  CAST(NULL AS VARCHAR) AS max_str\n"
+        )
+    elif kind == "ts":
+        stats = (
+            f"  CAST(epoch_us(min({col})) AS DOUBLE) AS min_num,\n"
+            f"  CAST(epoch_us(max({col})) AS DOUBLE) AS max_num,\n"
+            f"  CAST(NULL AS DOUBLE) AS avg_num,\n"
+            f"  CAST(NULL AS VARCHAR) AS min_str,\n"
+            f"  CAST(NULL AS VARCHAR) AS max_str\n"
+        )
+    else:
+        stats = (
+            f"  CAST(NULL AS DOUBLE) AS min_num,\n"
+            f"  CAST(NULL AS DOUBLE) AS max_num,\n"
+            f"  CAST(NULL AS DOUBLE) AS avg_num,\n"
+            f"  min({col}) AS min_str,\n"
+            f"  max({col}) AS max_str\n"
+        )
+    return base + stats + "FROM events"
+
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    _profile_leg_sql(c, k)
+    for c, k in [
+        ("event_id", "num"),
+        ("ts", "ts"),
+        ("user_id", "num"),
+        ("event_type", "str"),
+        ("value", "num"),
+        ("props", "str"),
+    ]
+)
+
+
+@register("profile_events", _PROFILE_SQL)
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile (operators/profiling.profile_columns):
+    per-column row counts, null counts, EXACT distinct counts, and
+    typed extremes (numerics as doubles, timestamps as epoch
+    microseconds, strings as strings) — the DESCRIBE-grade landing-
+    table summary run before heavier curation. One corpus pass (the
+    multi-distinct agg plans as a single Expand scan); the one-row wide
+    aggregate is checkpointed so the per-column unpivot doesn't re-run
+    it. The oracle recomputes each column's leg independently."""
+    from tugas_2_big_data_spark.operators import profiling
+
+    return profiling.profile_columns(load_table(spark, "events", sf_dir))
+
+
+_TRIGRAM_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+    lead(event_type, 1) OVER w AS e2,
+    lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+  SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+    count(*) AS n
+  FROM seq WHERE e3 IS NOT NULL
+  GROUP BY 1
+)
+SELECT path, CAST(n AS BIGINT) AS n
+FROM tri ORDER BY n DESC, path LIMIT 20
+"""
+
+
+@register("evt_top_event_trigrams", _TRIGRAM_SQL)
+def evt_top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-event behavioral paths: per-user event streams
+    ordered by (ts, event_id — the total order that makes window
+    results deterministic on both engines), sliding trigrams via two
+    leads over ONE window spec (one shuffle by user_id, both leads in
+    a single Window node), then a global count + TakeOrdered top-20.
+    The path-mining primitive behind funnel discovery — where
+    evt_funnel_conversion checks a KNOWN path, this surfaces the paths
+    worth checking."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
+
+
+_OOV_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+'))
+    AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS cnt FROM toks GROUP BY 1
+    ORDER BY cnt DESC, term LIMIT 24
+  )
+),
+scored AS (
+  SELECT t.doc_id,
+    count(*) AS n_tokens,
+    sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM toks t LEFT JOIN vocab v USING (term)
+  GROUP BY 1
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_oov AS BIGINT) AS n_oov,
+  round(n_oov / n_tokens, 6) AS oov_rate
+FROM scored
+"""
+
+
+@register("txt_oov_rate", _OOV_SQL)
+def txt_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-24 word vocabulary — the tokenizer-coverage quality signal
+    (docs full of words a fixed vocab can't represent cost tokens and
+    carry noise). Vocabulary = deterministic TopK of the word counts
+    (count desc, term asc), broadcast into a left join on the exploded
+    token relation; one token-count shuffle + one per-doc aggregate.
+    At 100 TB the vocab build amortizes across batches (freeze it in
+    an artifact like the ANN indexes); the per-doc scoring is map-side
+    against the broadcast vocab."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("term"),
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(24)
+        .select("term", F.lit(True).alias("_inv"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )
