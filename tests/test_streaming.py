@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from tests.conftest import SF_UNIT
 from tugas_2_big_data_spark.sources.catalog import load_table
 from tugas_2_big_data_spark.streaming import events as se
@@ -370,3 +372,51 @@ def test_streaming_near_dup_matches_batch(spark):
         ).collect()
     }
     assert streamed == batch and streamed
+
+
+def test_rocksdb_state_store_batch_parity(spark):
+    """The tumbling aggregation drained under the RocksDB state-store
+    provider equals the batch GROUP BY value-for-value. HDFS-backed
+    (in-memory) state is the local default, but RocksDB is the
+    provider a 100-TB streaming deployment runs — state spills to
+    local disk instead of executor heap — so the engine's streaming
+    queries must be provider-agnostic. The conf is set for the
+    duration of this drain and restored after (provider choice must
+    never change RESULTS, only where state lives)."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = se.run_to_memory(
+            se.tumbling_agg(se.read_events_stream(spark, SF_UNIT)),
+            "t_rocksdb_parity",
+            "complete",
+        )
+        got = {
+            (r.window_start, r.event_type): (r.n_events, round(r.total_value, 6))
+            for r in out.collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    ev = load_table(spark, "events", SF_UNIT)
+    batch = {
+        (r.w, r.event_type): (r.n, round(r.s, 6))
+        for r in ev.groupBy(
+            F.window("ts", "5 minutes").start.alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == batch

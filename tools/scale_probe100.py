@@ -92,7 +92,9 @@ PROBE = [
     "txt_nb_langid",                # NB train pass + broadcast-scored test
     "ann_ivfsq_topk",               # cells x SQ8 codes, in-query build
     "ann_ivfsq_topk_prebuilt",      # served from cell-partitioned codes
-    "txt_bm25_topk",                # query-term prefilter before shuffle
+    # txt_bm25_topk is NOT probed: the 100x corpus suffixes every word
+    # with a per-copy tag, so the fixed query terms match nothing and
+    # the measurement would time an empty result (rows 15 -> 0)
     "emb_covariance",               # in-row d(d+1)/2 explode, zero joins
 ]
 

@@ -5046,3 +5046,91 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_covariance(
         load_table(spark, "embeddings", sf_dir)
     )
+
+
+_EMB_DRIFT_SQL = """
+WITH halves AS (
+  SELECT label, vec_id % 2 AS half,
+    unnest(range(0, 64)) AS dim,
+    CAST(embedding[unnest(range(0, 64)) + 1] AS DOUBLE) AS x
+  FROM embeddings
+),
+means AS (
+  SELECT label, half, dim, avg(x) AS m, count(*) AS n
+  FROM halves GROUP BY 1, 2, 3
+),
+paired AS (
+  SELECT a.label, a.dim, a.m AS ma, b.m AS mb,
+    a.n AS na, b.n AS nb
+  FROM means a JOIN means b
+    ON a.label = b.label AND a.dim = b.dim
+  WHERE a.half = 0 AND b.half = 1
+)
+SELECT label,
+  CAST(any_value(na) AS BIGINT) AS n_half_a,
+  CAST(any_value(nb) AS BIGINT) AS n_half_b,
+  round(sum(ma * mb)
+    / (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb))), 6) AS centroid_cosine,
+  round(sqrt(sum((ma - mb) * (ma - mb))), 6) AS centroid_l2_dist
+FROM paired GROUP BY label
+"""
+
+
+@register("emb_centroid_drift", _EMB_DRIFT_SQL)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: the corpus split into two
+    halves (vec_id parity — a stand-in for two ingest batches or two
+    snapshot dates), per-label mean vectors compared by cosine and L2 —
+    the continuous check an embedding pipeline runs to catch encoder
+    or upstream-distribution drift before it poisons ANN indexes and
+    dedup thresholds. Plan: one explode + (label, half, dim) hash agg
+    (map-side partial, output bounded by labels × 2 × d), then the
+    cosine/L2 over the d-row mean pairs — drift cost is independent of
+    corpus size beyond the single scan. 6-decimal rounding as in
+    emb_covariance. The oracle's two parallel unnests ZIP in DuckDB
+    (same length), so its exploded relation matches posexplode
+    row-for-row."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    x = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        ).alias("dim", "x"),
+    )
+    means = x.groupBy("label", "half", "dim").agg(
+        F.avg("x").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    a = means.filter(F.col("half") == 0).select(
+        "label", "dim",
+        F.col("m").alias("ma"), F.col("n").alias("na"),
+    )
+    b = means.filter(F.col("half") == 1).select(
+        "label", "dim",
+        F.col("m").alias("mb"), F.col("n").alias("nb"),
+    )
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            (F.first("na")).cast("long").alias("n_half_a"),
+            (F.first("nb")).cast("long").alias("n_half_b"),
+            F.round(
+                F.sum(F.col("ma") * F.col("mb"))
+                / (
+                    F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                    * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("ma") - F.col("mb"))
+                        * (F.col("ma") - F.col("mb"))
+                    )
+                ),
+                6,
+            ).alias("centroid_l2_dist"),
+        )
+    )
