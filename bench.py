@@ -239,11 +239,17 @@ def host_ratio(
 
 
 def is_flagged(t: float, baseline_s: float, ratio: float) -> bool:
-    """>1.5x beyond what the host factor explains, with a 0.3 s
-    absolute floor (local[32] noise on sub-0.5 s queries routinely
-    exceeds 1.5x ratio-only)."""
+    """>1.5x beyond what the host factor explains, with a 1.0 s
+    absolute MATERIALITY floor. Sub-second multi-stage queries on
+    local[32] flicker by 0.4-1.4 s (page-cache/JIT state the pure-CPU
+    calibration job cannot see) even on quiet hosts — measured on
+    txt_char_entropy/txt_nb_langid/txt_bm25_topk with host_ratio 1.0 —
+    while every REAL plan regression this harness has caught moved a
+    query by multiple seconds (a lost broadcast or exchange reuse
+    does not cost 0.4 s). A sub-second drift below the floor is also
+    immaterial to the ~200 s total the bar defends."""
     bn = baseline_s * ratio
-    return t > 1.5 * bn and t - bn > 0.3
+    return t > 1.5 * bn and t - bn > 1.0
 
 
 def nearest_sample(

@@ -80,9 +80,13 @@ def test_faster_host_never_tightens_the_bar():
 
 
 def test_absolute_floor_spares_subsecond_noise():
-    """0.2 s -> 0.45 s is >2x but under the 0.3 s floor — quiet."""
-    assert not bench.is_flagged(0.45, 0.2, 1.0)
-    assert bench.is_flagged(1.2, 0.2, 1.0)
+    """Sub-second flicker (0.4 -> 1.1 s — measured on quiet hosts with
+    host_ratio 1.0) stays under the 1.0 s materiality floor; a real
+    blow-up of the same tiny query (0.4 -> 3 s, the lost-broadcast
+    scale) still fires."""
+    assert not bench.is_flagged(1.1, 0.4, 1.0)
+    assert not bench.is_flagged(1.187, 0.512, 1.0)  # the bm25 flicker
+    assert bench.is_flagged(3.0, 0.4, 1.0)
 
 
 def test_nearest_sample_selection_and_degraded_modes():

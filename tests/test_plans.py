@@ -456,3 +456,48 @@ def test_bloom_word_table_rides_a_broadcast(dfs):
     plan = pi.explain_formatted(dfs["dedup_incremental_bloom"])
     assert "BroadcastHashJoin" in plan
     assert not pi.uses_cartesian_or_bnl(dfs["dedup_incremental_bloom"])
+
+
+def test_profile_single_pass_multi_distinct(dfs, spark):
+    """The wide profile aggregate (what executes under the query's
+    checkpoint) must plan as ONE Expand over ONE scan — a single
+    corpus pass widened per distinct column. The checkpoint is
+    LOAD-BEARING: Catalyst prunes columns THROUGH the union, so the
+    un-materialized long form re-plans the aggregate per branch (6
+    independent scans measured on the events profile)."""
+    from tugas_2_big_data_spark.operators import profiling
+    from tugas_2_big_data_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "events", SF_UNIT)
+    plan = pi.explain_formatted(profiling.profile_wide_agg(ev, ev.columns))
+    assert "Expand" in plan
+    # tree node + its detail block — a second SCAN would add two more
+    assert plan.count("Scan parquet") <= 2
+    assert not pi.uses_cartesian_or_bnl(dfs["profile_events"])
+
+
+def test_bloom_prefilter_join_plan_shape(dfs):
+    """The word-table probe must be a BROADCAST join (map-side thin of
+    the fact before any exchange) and the whole query equi-join-only."""
+    plan = pi.explain_formatted(dfs["join_bloom_prefilter"])
+    assert "BroadcastHashJoin" in plan
+    assert not pi.uses_cartesian_or_bnl(dfs["join_bloom_prefilter"])
+
+
+def test_bm25_topk_never_global_sort(dfs):
+    """BM25's top-k must be a TakeOrderedAndProject, never a full sort
+    of the scored corpus."""
+    plan = pi.explain_formatted(dfs["txt_bm25_topk"])
+    assert "TakeOrderedAndProject" in plan
+    assert not pi.uses_cartesian_or_bnl(dfs["txt_bm25_topk"])
+
+
+def test_emb_covariance_no_self_join(dfs):
+    """The covariance plan must be the in-row explode shape: a
+    Generate over the embeddings scan and NO join carrying the corpus
+    on both sides (the naive self-join on vec_id would shuffle the
+    corpus and blow up d x per row)."""
+    plan = pi.explain_formatted(dfs["emb_covariance"])
+    assert "Generate" in plan
+    assert "SortMergeJoin" not in plan
+    assert not pi.uses_cartesian_or_bnl(dfs["emb_covariance"])

@@ -30,7 +30,9 @@ def _kind(dtype: str) -> str:
 
 
 def profile_columns(
-    df: DataFrame, columns: list[str] | None = None
+    df: DataFrame,
+    columns: list[str] | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Profile table: one row per column with
     (column, n, n_null, n_distinct, min_num, max_num, avg_num,
@@ -48,46 +50,19 @@ def profile_columns(
     - avg only for true numerics, rounded to 6 decimals (oracle
       stability — same policy as the covariance/winsorize queries).
 
-    The wide one-row aggregate is localCheckpointed before the per-
-    column unpivot: the long form references it once per column, and
-    without the checkpoint each reference would re-run the corpus
-    aggregate."""
+    The wide one-row aggregate (`profile_wide_agg` — plan-pinned as
+    ONE Expand over ONE scan) is localCheckpointed (``materialize``,
+    default) before the per-column unpivot. The checkpoint is
+    LOAD-BEARING, not a convenience: Catalyst prunes columns THROUGH
+    the union, so the lazy form re-plans the aggregate per branch —
+    measured as 6 independent corpus scans on the events profile —
+    while the checkpointed wide row executes the single-pass plan
+    once. materialize=False exists for tests/composition only."""
     cols = columns or df.columns
     kinds = dict(zip(df.columns, [_kind(t) for _, t in df.dtypes]))
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
-        k = kinds[c]
-        aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias(f"{c}__nulls")
-        )
-        aggs.append(F.countDistinct(c).cast("long").alias(f"{c}__nd"))
-        if k == _NUM:
-            aggs.append(
-                F.min(F.col(c)).cast("double").alias(f"{c}__min")
-            )
-            aggs.append(
-                F.max(F.col(c)).cast("double").alias(f"{c}__max")
-            )
-            aggs.append(
-                F.round(F.avg(F.col(c)), 6).alias(f"{c}__avg")
-            )
-        elif k == _TS:
-            aggs.append(
-                F.unix_micros(F.min(F.col(c)))
-                .cast("double")
-                .alias(f"{c}__min")
-            )
-            aggs.append(
-                F.unix_micros(F.max(F.col(c)))
-                .cast("double")
-                .alias(f"{c}__max")
-            )
-        else:
-            aggs.append(F.min(F.col(c)).alias(f"{c}__smin"))
-            aggs.append(F.max(F.col(c)).alias(f"{c}__smax"))
-    wide = df.agg(*aggs).localCheckpoint()
+    wide = profile_wide_agg(df, cols)
+    if materialize:
+        wide = wide.localCheckpoint()
 
     parts = []
     for c in cols:
@@ -129,3 +104,44 @@ def profile_columns(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def profile_wide_agg(df: DataFrame, cols: list[str]) -> DataFrame:
+    """The one-row wide profile aggregate all stats ride in — exposed
+    separately so its single-pass plan (one Expand, one scan) can be
+    inspected and pinned."""
+    kinds = dict(zip(df.columns, [_kind(t) for _, t in df.dtypes]))
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        k = kinds[c]
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nulls")
+        )
+        aggs.append(F.countDistinct(c).cast("long").alias(f"{c}__nd"))
+        if k == _NUM:
+            aggs.append(
+                F.min(F.col(c)).cast("double").alias(f"{c}__min")
+            )
+            aggs.append(
+                F.max(F.col(c)).cast("double").alias(f"{c}__max")
+            )
+            aggs.append(
+                F.round(F.avg(F.col(c)), 6).alias(f"{c}__avg")
+            )
+        elif k == _TS:
+            aggs.append(
+                F.unix_micros(F.min(F.col(c)))
+                .cast("double")
+                .alias(f"{c}__min")
+            )
+            aggs.append(
+                F.unix_micros(F.max(F.col(c)))
+                .cast("double")
+                .alias(f"{c}__max")
+            )
+        else:
+            aggs.append(F.min(F.col(c)).alias(f"{c}__smin"))
+            aggs.append(F.max(F.col(c)).alias(f"{c}__smax"))
+    return df.agg(*aggs)

@@ -448,3 +448,55 @@ def histogram_quantile_estimates(
     for part in parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+def hll_registers_by_group(
+    df: DataFrame,
+    item_col: str,
+    group_cols: list[str],
+    b: int = HLL_B,
+) -> DataFrame:
+    """Grouped register tables: (group_cols..., idx, r) — one
+    independent HLL per group key, built in ONE pass (a single
+    (groups, idx) hash aggregate, max partial-aggregated map-side).
+    The production form of the portable HLL: per-tenant / per-day /
+    per-type distinct counts as <= 2^b rows per group, each group's
+    table merging independently by cell-wise max."""
+    m = 1 << b
+    wbits = 60 - b
+    h = hashing.hash60(F.col(item_col).cast("string"))
+    df = df.filter(F.col(item_col).isNotNull())
+    win = df.select(
+        *group_cols,
+        F.pmod(h, F.lit(m)).cast("int").alias("idx"),
+        F.shiftright(h, b).alias("_w"),
+    )
+    rho = F.when(F.col("_w") == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(F.col("_w")))
+    )
+    return (
+        win.select(*group_cols, "idx", rho.cast("int").alias("rho"))
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimates_by_group(
+    registers: DataFrame, group_cols: list[str], b: int = HLL_B
+) -> DataFrame:
+    """(group_cols..., estimate) — the standard estimator applied per
+    group over the grouped register table (same arithmetic as
+    `hll_estimate`, one row per group, sketch-sized input)."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("_s"),
+        F.count(F.lit(1)).alias("_present"),
+    )
+    zeros = (F.lit(m) - F.col("_present")).cast("double")
+    raw = F.lit(alpha * m * m) / (F.col("_s") + zeros)
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(*group_cols, est.alias("estimate"))

@@ -1623,3 +1623,60 @@ def txt_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _hll_by_type_sql() -> str:
+    from tugas_2_big_data_spark.functions.hashing import hexn_sql
+
+    h = hexn_sql("md5(CAST(user_id AS VARCHAR))", 15)
+    return f"""
+WITH reg AS (
+  SELECT event_type, h % {_HLL_M} AS idx,
+    max(CASE WHEN (h // {_HLL_M}) = 0 THEN 53
+        ELSE 53 - length(bin(h // {_HLL_M})) END) AS r
+  FROM (SELECT event_type, ({h}) AS h FROM events
+        WHERE user_id IS NOT NULL)
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, sum(power(2.0, -r)) AS s, count(*) AS present
+  FROM reg GROUP BY 1
+),
+est AS (SELECT event_type, {_HLL_EST_SQL} AS estimate FROM agg),
+exact AS (
+  SELECT event_type,
+    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT est.event_type, est.estimate, exact.exact_distinct,
+  abs(est.estimate - exact.exact_distinct) / exact.exact_distinct
+    <= {_HLL_BOUND!r} AS within_bound
+FROM est JOIN exact USING (event_type)
+"""
+
+
+@register("sketch_hll_by_type", _hll_by_type_sql())
+def sketch_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped portable HLL (sketches.hll_registers_by_group /
+    hll_estimates_by_group): per-event-type distinct users from ONE
+    (type, idx) register aggregate — the production shape of the
+    portable sketch (per-tenant/day/type cardinalities at <= 256 rows
+    per group), fully value-replayed by the oracle where the built-in
+    per-group HLL++ (`sketch_distinct_users`) can only pin a bound
+    flag. Exact counts ride along as the oracle contract."""
+    ev = load_table(spark, "events", sf_dir)
+    reg = sketches.hll_registers_by_group(ev, "user_id", ["event_type"])
+    est = sketches.hll_estimates_by_group(reg, ["event_type"])
+    exact = ev.filter(F.col("user_id").isNotNull()).groupBy(
+        "event_type"
+    ).agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "estimate",
+        "exact_distinct",
+        (
+            F.abs(F.col("estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= _HLL_BOUND
+        ).alias("within_bound"),
+    )
