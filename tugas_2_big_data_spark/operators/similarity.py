@@ -2453,3 +2453,44 @@ def embedding_covariance(
             ).alias("cov"),
         )
     )
+
+
+def rrf_fuse(
+    ranked_legs: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) of N ranked candidate
+    lists: rrf(d) = Σ_legs 1/(c + rank_leg(d)) over the legs where d
+    appears (the standard hybrid-retrieval combiner — rank-based, so
+    BM25 scores and cosine similarities fuse without any score
+    normalization). Each leg is (id_col, rank) with rank 1-based;
+    output: (id_col, rrf_score, rank_1..rank_N nullable) top-k by
+    (rrf DESC, id) — deterministic because ranks are integers and the
+    reciprocal sum of identical rank sets is bit-identical on any
+    engine.
+
+    Scale: legs are top-N candidate lists (sketch-sized — the corpus
+    work happened inside each leg's retrieval), so the fusion is a
+    full-outer join of bounded relations; k-way fusion folds joins
+    left-to-right."""
+    fused = None
+    for i, leg in enumerate(ranked_legs, start=1):
+        l_i = leg.select(
+            F.col(id_col),
+            F.col("rank").cast("long").alias(f"rank_{i}"),
+        )
+        fused = l_i if fused is None else fused.join(l_i, id_col, "full")
+    score = None
+    for i in range(1, len(ranked_legs) + 1):
+        term = F.when(
+            F.col(f"rank_{i}").isNotNull(),
+            1.0 / (F.lit(float(c)) + F.col(f"rank_{i}")),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    return (
+        fused.withColumn("rrf_score", score)
+        .orderBy(F.desc("rrf_score"), F.col(id_col))
+        .limit(k)
+    )

@@ -5134,3 +5134,165 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_l2_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 (lexical) + hash-embedding cosine (semantic)
+# fused by reciprocal-rank fusion (similarity.rrf_fuse)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 15
+_RRF_LEG_K = 50
+_RRF_C = 60
+
+
+def _hybrid_rrf_sql() -> str:
+    bucket = _hex24_sql("md5(word)")
+    terms = "', '".join(_BM25_TERMS)
+    qtext = " ".join(_BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+    SELECT doc_id, unnest(w) AS term FROM toks
+  ) WHERE term IN ('{terms}')
+  GROUP BY 1, 2
+),
+idf AS (
+  SELECT term, ln((stats.n - cnt + 0.5) / (cnt + 0.5) + 1.0) AS idf
+  FROM (SELECT term, CAST(count(*) AS DOUBLE) AS cnt FROM tf GROUP BY 1),
+    stats
+),
+lex AS (
+  SELECT doc_id, CAST(row_number() OVER (
+      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM (
+    SELECT tf.doc_id,
+      round(sum(idf.idf * tf.tf * 2.2
+        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 9)
+        AS score
+    FROM tf JOIN dl USING (doc_id) JOIN idf USING (term), stats
+    GROUP BY 1
+  ) QUALIFY rank <= {_RRF_LEG_K}
+),
+words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+'))
+    AS word
+  FROM documents
+),
+w2 AS (SELECT doc_id, word FROM words WHERE word <> ''),
+cnt AS (
+  SELECT doc_id, ({bucket}) % 64 AS bucket,
+    CAST(count(*) AS DOUBLE) AS c
+  FROM w2 GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.doc_id, g.i AS bucket
+  FROM (SELECT DISTINCT doc_id FROM w2) d, unnest(range(0, 64)) AS g(i)
+),
+dense AS (
+  SELECT grid.doc_id, list(coalesce(cnt.c, 0.0) ORDER BY grid.bucket) AS v
+  FROM grid LEFT JOIN cnt USING (doc_id, bucket)
+  GROUP BY 1
+),
+qcnt AS (
+  SELECT ({bucket}) % 64 AS bucket, CAST(count(*) AS DOUBLE) AS c
+  FROM (SELECT unnest(string_split_regex('{qtext}', '\\s+')) AS word)
+  GROUP BY 1
+),
+qv AS (
+  SELECT list(coalesce(qcnt.c, 0.0) ORDER BY g.i) AS v
+  FROM unnest(range(0, 64)) AS g(i) LEFT JOIN qcnt ON qcnt.bucket = g.i
+),
+sem AS (
+  SELECT doc_id, CAST(row_number() OVER (
+      ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank
+  FROM (
+    SELECT d.doc_id,
+      round(list_cosine_similarity(d.v, qv.v), 9) AS cosine
+    FROM dense d, qv
+  ) QUALIFY rank <= {_RRF_LEG_K}
+)
+SELECT doc_id, rank_1, rank_2, rrf_score FROM (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+    lex.rank AS rank_1, sem.rank AS rank_2,
+    (CASE WHEN lex.rank IS NULL THEN 0.0
+          ELSE 1.0 / ({_RRF_C} + lex.rank) END
+     + CASE WHEN sem.rank IS NULL THEN 0.0
+            ELSE 1.0 / ({_RRF_C} + sem.rank) END) AS rrf_score
+  FROM lex FULL OUTER JOIN sem USING (doc_id)
+)
+ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_K}
+"""
+
+
+@register("hybrid_rrf_topk", _hybrid_rrf_sql())
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the BM25 lexical leg and the hash-embedding
+    cosine leg (query vector = the same terms feature-hashed) each
+    produce a top-50 candidate list, fused by reciprocal-rank fusion
+    (similarity.rrf_fuse, c=60) into the final top-15 — the standard
+    lexical+semantic composition, rank-based so no score normalization
+    is needed. Both legs rank on 9-decimal-ROUNDED scores with id
+    tiebreaks, so the ranks (and therefore the fused scores, exact
+    reciprocal sums of integers) are engine-identical. Leg work is
+    corpus-sized; the fusion itself joins two 50-row lists."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    lex = (
+        text_analysis.bm25_topk(docs, _BM25_TERMS, k=_RRF_LEG_K)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.col("doc_id"))
+            ),
+        )
+        .select("doc_id", "rank")
+    )
+    vecs = similarity.hash_embed(docs, dim=64)
+    qtext = " ".join(_BM25_TERMS)
+    qdoc = docs.sparkSession.createDataFrame(
+        [(-1, qtext)], "doc_id long, text string"
+    )
+    qvec = similarity.hash_embed(qdoc, dim=64)
+    scored = (
+        vecs.select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .crossJoin(
+            F.broadcast(
+                qvec.select(
+                    F.col("embedding").cast("array<double>").alias("qv")
+                )
+            )
+        )
+        .select(
+            "doc_id",
+            F.round(similarity.cosine(F.col("qv"), F.col("v")), 9).alias(
+                "cosine"
+            ),
+        )
+    )
+    # TakeOrdered top-50 FIRST (scalable — never a global sort or a
+    # corpus-wide single-partition window), then rank the 50-row list
+    sem = (
+        scored.orderBy(F.desc("cosine"), F.col("doc_id"))
+        .limit(_RRF_LEG_K)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cosine"), F.col("doc_id"))
+            ),
+        )
+        .select("doc_id", "rank")
+    )
+    return similarity.rrf_fuse([lex, sem], k=_RRF_K, c=_RRF_C).select(
+        "doc_id", "rank_1", "rank_2", "rrf_score"
+    )
