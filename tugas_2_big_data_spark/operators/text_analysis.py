@@ -949,3 +949,72 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """CCNet-style LM quality filter, one model class up from
+    `unigram_logprob`: per-document mean -log2 probability under an
+    INTERPOLATED BIGRAM model trained on the corpus's own counts —
+    P(w2|w1) = lam * c(w1 w2)/c(w1 ·) + (1-lam) * c(w2)/N, with
+    c(w1 ·) the count of bigrams starting with w1 (so the
+    interpolation is well-defined at every position that exists) and
+    N the corpus token count. Low mean surprise = templated/repetitive
+    text, high = rare-token soup; the bigram term additionally
+    penalizes UNUSUAL WORD ORDER that unigram surprise cannot see.
+    Output: (id, n_bigrams, mean_neg_log2_prob) for docs with >= 2
+    tokens (a one-token doc has no bigram to score).
+
+    Scale shape: the bigram stream is built IN-ROW (transform over
+    positions, then one explode); corpus model = two hash aggregates
+    (bigram counts; context counts derived from them by a second
+    bounded groupBy) + the unigram relation; scoring joins the stream
+    once on the bigram key and once on the context/unigram keys —
+    hash-partitioned equi-joins, the same class as unigram_logprob's
+    word join. lam is a Python literal, so Spark and the DuckDB
+    oracle interpolate with the identical constant; the per-doc mean
+    is rounded to 6 (summation-order policy)."""
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = df.select(F.col(id_col), w.alias("_w"))
+    big = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_w", i).alias("w1"),
+                        F.element_at("_w", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("_b"),
+    ).select(F.col(id_col), F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+    cb = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("cb")
+    )
+    ctx = cb.groupBy("w1").agg(F.sum("cb").alias("c1"))
+    uni = toks.select(F.explode("_w").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("cu")
+    )
+    n_tok = uni.agg(F.sum("cu").alias("_N"))
+    p = (
+        F.lit(lam) * F.col("cb") / F.col("c1")
+        + F.lit(1.0 - lam) * F.col("cu") / F.col("_N")
+    )
+    scored = (
+        big.join(cb, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni.withColumnRenamed("w", "w2"), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .select(F.col(id_col), (-F.log2(p)).alias("_nlp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("_nlp"), 6).alias("mean_neg_log2_prob"),
+    )

@@ -5296,3 +5296,127 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rrf_fuse([lex, sem], k=_RRF_K, c=_RRF_C).select(
         "doc_id", "rank_1", "rank_2", "rrf_score"
     )
+
+
+_BIGRAM_PPL_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+big AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (
+    SELECT doc_id, w, unnest(range(1, len(w))) AS i
+    FROM toks WHERE len(w) >= 2
+  )
+),
+cb AS (
+  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cb
+  FROM big GROUP BY 1, 2
+),
+ctx AS (SELECT w1, sum(cb) AS c1 FROM cb GROUP BY 1),
+uni AS (
+  SELECT w, CAST(count(*) AS DOUBLE) AS cu FROM (
+    SELECT unnest(w) AS w FROM toks
+  ) GROUP BY 1
+),
+n AS (SELECT sum(cu) AS n FROM uni),
+scored AS (
+  SELECT big.doc_id,
+    -log2(0.75 * cb.cb / ctx.c1 + 0.25 * uni.cu / n.n) AS nlp
+  FROM big
+  JOIN cb USING (w1, w2)
+  JOIN ctx USING (w1)
+  JOIN uni ON uni.w = big.w2, n
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  round(avg(nlp), 6) AS mean_neg_log2_prob
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("txt_bigram_perplexity", _BIGRAM_PPL_SQL)
+def txt_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM surprise per document
+    (text_analysis.bigram_perplexity, lam=0.75) — the CCNet-style
+    quality filter one model class above txt_unigram_logprob: word
+    ORDER now matters, so templated text scores low and scrambled text
+    scores high even when its unigram mix is normal. The oracle
+    replays the whole model (bigram/context/unigram counts and the
+    interpolation arithmetic)."""
+    return text_analysis.bigram_perplexity(
+        load_table(spark, "documents", sf_dir)
+    )
+
+
+_KEEP_BEST_SQL = f"""
+WITH pairs AS ({_lsh_verified_pairs_sql("id_a", "id_b", "x.doc_id < y.doc_id")}),
+docs AS (
+  SELECT doc_id, CAST(length(trim(text)) AS BIGINT) AS n_chars
+  FROM ({CORPUS_SQL})
+),
+edges AS (
+  SELECT id_a AS d, id_b AS n FROM pairs
+  UNION ALL SELECT id_b AS d, id_a AS n FROM pairs
+),
+dominated AS (
+  SELECT DISTINCT e.d AS doc_id
+  FROM edges e
+  JOIN docs dd ON dd.doc_id = e.d
+  JOIN docs dn ON dn.doc_id = e.n
+  WHERE dn.n_chars > dd.n_chars
+     OR (dn.n_chars = dd.n_chars AND dn.doc_id < dd.doc_id)
+)
+SELECT doc_id, n_chars FROM docs
+WHERE doc_id NOT IN (SELECT doc_id FROM dominated)
+"""
+
+
+@register("curate_near_dup_keep_best", _KEEP_BEST_SQL)
+def curate_near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup canonicalization: instead of the usual
+    keep-min-id, a document is DROPPED when any verified near-dup
+    neighbor dominates it on (longer text, then lower id) — the
+    longest-version-wins policy real pipelines use for news/article
+    corpora where the fullest copy should survive, expressed as a
+    local-maxima rule over the verified LSH pair graph (no transitive
+    closure: a chain keeps every local maximum, which is the honest
+    greedy contract — full-cluster canonicalization is
+    dedup_text_components' job). Pipeline shape: the registered LSH
+    candidates + exact-Jaccard verify (same shared oracle chain as
+    dedup_minhash_lsh_pairs), both edge directions, one domination
+    anti-join."""
+    c = corpus(spark, sf_dir)
+    sets = dedup.shingle_sets(c).localCheckpoint()
+    sig = dedup.minhash_signatures_from_sets(sets, k=8)
+    cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
+    pairs = dedup.jaccard_verify_sets(sets, cand, threshold=0.5)
+    docs = c.select(
+        "doc_id", F.length(F.trim(F.col("text"))).cast("long").alias("n_chars")
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("d"), F.col("id_b").alias("n")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("d"), F.col("id_a").alias("n"))
+    )
+    dominated = (
+        edges.join(
+            docs.select(
+                F.col("doc_id").alias("d"), F.col("n_chars").alias("_cd")
+            ),
+            "d",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("n"), F.col("n_chars").alias("_cn")
+            ),
+            "n",
+        )
+        .filter(
+            (F.col("_cn") > F.col("_cd"))
+            | ((F.col("_cn") == F.col("_cd")) & (F.col("n") < F.col("d")))
+        )
+        .select(F.col("d").alias("doc_id"))
+        .distinct()
+    )
+    return docs.join(dominated, "doc_id", "left_anti")
