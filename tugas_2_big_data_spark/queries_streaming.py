@@ -499,3 +499,57 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = sketches.hll_estimate(streamed)
     return est.crossJoin(F.broadcast(mism))
+
+
+def _stream_ann_append_sql() -> str:
+    from tugas_2_big_data_spark.queries_training import _ivf_incradd_sql
+
+    return (
+        "SELECT query_id, nbr_id, cosine, rk FROM ("
+        + _ivf_incradd_sql(stages=(2,))
+        + ")"
+    )
+
+
+@register("stream_ann_incremental_add", _stream_ann_append_sql())
+def stream_ann_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index-maintenance loop as a STREAMING drain — the
+    vector twin of stream_incremental_two_batches, closing the
+    streaming symmetry (every incremental loop now has a streaming
+    form: exact dedup, LSH near-dup, embedding buckets, the HLL
+    sketch, and the vector index). Batch 1 (even vec_ids) builds a
+    fresh IVF index into a per-run tempdir and freezes its quantizer;
+    batch 2 (odd vec_ids) arrives as TWO micro-batch files, each
+    folded in by `similarity.ivf_append_to_index` inside foreachBatch
+    (streaming/events.run_streaming_ann_append). Serving after the
+    drain must equal the batch build-then-append result — the shared
+    stage-2 oracle: a frozen index that ignored the stream would miss
+    every odd vector and hash-mismatch; appends that depended on the
+    micro-batching would too."""
+    import tempfile
+
+    from tugas_2_big_data_spark.operators import similarity
+    from tugas_2_big_data_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    work = tempfile.mkdtemp(prefix="tugas2_stream_annadd_")
+    index_path = f"{work}/index"
+    similarity.ivf_build_index(b1, index_path)
+    # two real micro-batches: odd halves split again by vec_id % 4
+    se.write_ingest_batches(
+        [
+            b2.filter(F.col("vec_id") % 4 == 1),
+            b2.filter(F.col("vec_id") % 4 == 3),
+        ],
+        f"{work}/batches",
+    )
+    n = se.run_streaming_ann_append(
+        spark, f"{work}/batches", index_path, f"{work}/ckpt"
+    )
+    assert n == 2, f"expected 2 micro-batches, folded {n}"
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk_from_index(
+        spark, index_path, q, nprobe=2, k=5
+    ).select("query_id", "nbr_id", "cosine", "rk")

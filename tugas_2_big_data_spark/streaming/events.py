@@ -526,3 +526,49 @@ def run_streaming_hll(
     finally:
         q.stop()
     return state["reg"]
+
+
+def run_streaming_ann_append(
+    spark: SparkSession,
+    batches_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    schema: str = "vec_id long, embedding array<float>, label int",
+) -> int:
+    """Streaming half of the ANN index-maintenance loop
+    (`similarity.ivf_append_to_index` is the batch half): each
+    micro-batch of arriving vectors is assigned under the index's
+    FROZEN centroids and appended to its cid-partitioned inverted
+    file BEFORE the next micro-batch — per-batch cost independent of
+    index size, the exact discipline of the dedup state merges. The
+    final artifact content is the union of appends, so it is
+    independent of HOW the stream was micro-batched — which is what
+    lets the registered query share the batch two-batch oracle.
+    Returns the number of non-empty micro-batches folded."""
+    from tugas_2_big_data_spark.operators import similarity
+
+    n = {"batches": 0}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        similarity.ivf_append_to_index(spark, index_path, batch_df)
+        n["batches"] += 1
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(batches_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return n["batches"]
