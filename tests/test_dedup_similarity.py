@@ -1216,3 +1216,32 @@ def test_embedding_covariance_matches_numpy(spark):
     for (i, j), cov in out.items():
         assert i <= j
         assert abs(cov - round(float(c[i, j]), 6)) <= 1e-9, (i, j)
+
+
+def test_rrf_fuse_three_legs_and_missing_ranks(spark):
+    """RRF over three legs: scores are exact reciprocal sums over the
+    legs where a doc appears; docs missing from a leg contribute 0 for
+    it; ordering ties break on id."""
+    from tugas_2_big_data_spark.operators import similarity
+
+    leg = lambda rows: spark.createDataFrame(rows, "doc_id long, rank long")
+    a = leg([(1, 1), (2, 2), (3, 3)])
+    b = leg([(2, 1), (1, 2)])
+    c = leg([(4, 1)])
+    out = {
+        r.doc_id: (r.rrf_score, r.rank_1, r.rank_2, r.rank_3)
+        for r in similarity.rrf_fuse([a, b, c], k=10, c=60).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert abs(out[1][0] - (1 / 61 + 1 / 62)) < 1e-12
+    assert abs(out[2][0] - (1 / 62 + 1 / 61)) < 1e-12
+    assert abs(out[3][0] - 1 / 63) < 1e-12
+    assert abs(out[4][0] - 1 / 61) < 1e-12
+    assert out[3][1:] == (3, None, None)
+    assert out[4][1:] == (None, None, 1)
+    # 1 and 2 tie exactly -> id tiebreak puts 1 first
+    ordered = [
+        r.doc_id
+        for r in similarity.rrf_fuse([a, b, c], k=2, c=60).collect()
+    ]
+    assert ordered == [1, 2]

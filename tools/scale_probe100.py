@@ -96,6 +96,10 @@ PROBE = [
     # with a per-copy tag, so the fixed query terms match nothing and
     # the measurement would time an empty result (rows 15 -> 0)
     "emb_covariance",               # in-row d(d+1)/2 explode, zero joins
+    "emb_centroid_drift",           # bounded (label x half x dim) agg
+    "txt_bigram_perplexity",        # bigram LM: 2 model aggs + stream joins
+    "txt_oov_rate",                 # topk vocab broadcast, map-side score
+    "curate_near_dup_keep_best",    # LSH+verify pairs -> domination anti
 ]
 
 # Zipfian-vocabulary corpus variant: the prefix-filter dedups claim
