@@ -281,3 +281,71 @@ def test_hash_split_partitions_input(spark, ids):
     assert {r.split for r in out} <= {"train", "val", "test"}
     again = {r.doc_id: r.split for r in hash_split(df).collect()}
     assert {r.doc_id: r.split for r in out} == again
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=60,
+    ),
+    split_at=st.integers(min_value=0, max_value=10_000),
+)
+@settings(**_SETTINGS)
+def test_hll_merge_invariant_under_any_split(spark, ids, split_at):
+    """For ANY item multiset and ANY split point, merging the two
+    halves' register tables equals the whole-input registers (the
+    property that lets the sketch ride any micro-batching), and the
+    register count never exceeds 2^b."""
+    from tugas_2_big_data_spark.operators import sketches
+
+    df = spark.createDataFrame([(i,) for i in ids], ["v"])
+    a = df.filter(df.v <= split_at)
+    b = df.filter(df.v > split_at)
+    merged = {
+        r.idx: r.r
+        for r in sketches.merge_hll(
+            sketches.hll_registers(a, "v"), sketches.hll_registers(b, "v")
+        ).collect()
+    }
+    whole = {r.idx: r.r for r in sketches.hll_registers(df, "v").collect()}
+    assert merged == whole
+    assert len(whole) <= 256
+
+
+@given(
+    keys=st.lists(
+        st.sampled_from(["hot", "k1", "k2", "k3", "k4"]),
+        min_size=1,
+        max_size=80,
+    ),
+    hot_top=st.integers(min_value=0, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_hot_split_semi_membership_invariant(spark, keys, hot_top):
+    """hot_split_semi_join membership equals the plain left-semi for
+    ANY key distribution and ANY hot_top (0 = disabled, larger than
+    the key count = everything broadcasts)."""
+    from pyspark.sql import functions as F
+
+    from tugas_2_big_data_spark.operators import skew
+
+    left = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], ["rid", "k"]
+    )
+    keyset = (
+        left.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        # drop one key from the set so non-membership is exercised
+        .filter(F.col("k") != "k2")
+    )
+    plain = sorted(
+        r.rid
+        for r in left.join(keyset.select("k"), "k", "left_semi").collect()
+    )
+    split = sorted(
+        r.rid
+        for r in skew.hot_split_semi_join(
+            left, keyset, "k", "n", hot_top=hot_top
+        ).collect()
+    )
+    assert split == plain
