@@ -1245,3 +1245,52 @@ def test_rrf_fuse_three_legs_and_missing_ranks(spark):
         for r in similarity.rrf_fuse([a, b, c], k=2, c=60).collect()
     ]
     assert ordered == [1, 2]
+
+
+def test_compact_index_relation_one_file_per_cell_and_identical_serving(
+    spark, tmp_path
+):
+    """After two appends each cell dir holds multiple files; compaction
+    leaves exactly one parquet file per cell and serving results are
+    row-for-row identical."""
+    import glob
+    import os
+
+    from tugas_2_big_data_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + j * 3) % 11) / 10 for j in range(8)], 0)
+            for i in range(120)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    b1 = vecs.filter(vecs.vec_id % 3 == 0)
+    b2 = vecs.filter(vecs.vec_id % 3 == 1)
+    b3 = vecs.filter(vecs.vec_id % 3 == 2)
+    path = str(tmp_path / "idx")
+    similarity.ivf_build_index(b1, path)
+    similarity.ivf_append_to_index(spark, path, b2)
+    similarity.ivf_append_to_index(spark, path, b3)
+    q = vecs.filter(vecs.vec_id < 3)
+    before = sorted(
+        (r.query_id, r.nbr_id, r.cosine, r.rk)
+        for r in similarity.ivf_topk_from_index(
+            spark, path, q, nprobe=2, k=5
+        ).collect()
+    )
+    cell_dirs = glob.glob(os.path.join(path, "invfile", "cid=*"))
+    assert cell_dirs
+    assert any(
+        len(glob.glob(os.path.join(d, "*.parquet"))) > 1 for d in cell_dirs
+    ), "appends should have produced multi-file cells"
+    similarity.compact_index_relation(spark, path)
+    for d in glob.glob(os.path.join(path, "invfile", "cid=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+    after = sorted(
+        (r.query_id, r.nbr_id, r.cosine, r.rk)
+        for r in similarity.ivf_topk_from_index(
+            spark, path, q, nprobe=2, k=5
+        ).collect()
+    )
+    assert after == before

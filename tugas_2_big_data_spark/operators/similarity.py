@@ -17,6 +17,7 @@ computes float32 when fed FLOAT[], so both sides cast to double first.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
@@ -418,9 +419,10 @@ def ivf_append_to_index(
     is non-idempotent on re-run (sinks.append's documented contract);
     a real deployment appends under a table format's transaction or
     tracks batch ids. Compaction of the accumulated small per-batch
-    files is the existing maintenance half
-    (`bucketing.compact_appended_state` applies unchanged to hive-
-    partitioned layouts via dynamic overwrite)."""
+    files is the maintenance half: `compact_index_relation` rewrites
+    the relation to one file per cell with serving provably invariant
+    (`ann_ivf_compacted_topk` shares this loop's un-compacted
+    oracle)."""
     import posixpath
 
     from tugas_2_big_data_spark.sources import sinks
@@ -2494,3 +2496,43 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.col(id_col))
         .limit(k)
     )
+
+
+def compact_index_relation(
+    spark, path: str, relation: str = "invfile"
+) -> None:
+    """Maintenance half of the ANN append loop (the index twin of
+    `bucketing.compact_appended_state`): after B frozen-centroid
+    appends each cell directory of the cid-partitioned relation holds
+    ~B small files; this rewrites the relation to ONE file per cell —
+    one relation-sized shuffle (repartition by cid puts each cell in
+    exactly one task, so dynamic partitioning emits exactly one file
+    per cell), restoring scan efficiency while serving results stay
+    bit-identical (pinned by unit test and by the registered query
+    sharing the UN-compacted oracle).
+
+    The rewrite goes to a sibling directory and is swapped in by
+    renames — never an in-place overwrite of a path being lazily read.
+    The swap is not transactional for CONCURRENT readers of the same
+    artifact dir; the artifact store's mtime-keyed layout
+    (queries_training._ann_artifact_dir) gives each corpus version its
+    own key, and a production deployment compacts under a table
+    format's transaction — same caveat as the append itself."""
+    import posixpath
+    import shutil
+
+    rel = posixpath.join(path, relation)
+    tmp = rel + "._compacting"
+    old = rel + "._precompact"
+    df = spark.read.parquet(rel)
+    part_cols = [c for c in ("cid",) if c in df.columns]
+    (
+        df.repartition(*[F.col(c) for c in part_cols])
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(tmp)
+    )
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(rel, old)
+    os.rename(tmp, rel)
+    shutil.rmtree(old)

@@ -553,3 +553,4 @@ def stream_ann_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_from_index(
         spark, index_path, q, nprobe=2, k=5
     ).select("query_id", "nbr_id", "cosine", "rk")
+

@@ -5420,3 +5420,40 @@ def curate_near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return docs.join(dominated, "doc_id", "left_anti")
+
+
+def _ivf_compacted_sql() -> str:
+    return (
+        "SELECT query_id, nbr_id, cosine, rk FROM ("
+        + _ivf_incradd_sql(stages=(2,))
+        + ")"
+    )
+
+
+@register("ann_ivf_compacted_topk", _ivf_compacted_sql())
+def ann_ivf_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving after COMPACTION of an appended index: batch 1 builds,
+    batch 2 appends under the frozen quantizer, then
+    `similarity.compact_index_relation` rewrites the inverted file to
+    one file per cell — and serving must be bit-identical to the
+    UN-compacted index (the shared build-then-append stage-2 oracle):
+    compaction is provably invisible, exactly as
+    dedup_incremental_compacted proves for the dedup state. The
+    build+append+compact chain runs once through the artifact store
+    (`_ensure_artifact`) like every prebuilt index; steady-state cost
+    is serving-only."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+
+    def _build(p: str) -> None:
+        similarity.ivf_build_index(b1, p)
+        similarity.ivf_append_to_index(spark, p, b2)
+        similarity.compact_index_relation(spark, p)
+
+    path = _ann_artifact_dir(sf_dir, "ivf_incr_b1b2_compacted")
+    _ensure_artifact(spark, path, "invfile", _build)
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk_from_index(
+        spark, path, q, nprobe=2, k=5
+    ).select("query_id", "nbr_id", "cosine", "rk")
