@@ -500,3 +500,89 @@ def hll_estimates_by_group(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(raw)
     return agg.select(*group_cols, est.alias("estimate"))
+
+
+def histogram_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    n_bins: int = 256,
+) -> DataFrame:
+    """Grouped histogram sketch: (group_cols..., bin, cnt, lo, width)
+    with an independent exact-[min,max] grid PER GROUP — the mergeable
+    production twin of an exact grouped percentile (per-group sort
+    cost replaced by two bounded aggregates), mirroring
+    `hll_registers_by_group` for the quantile family. <= n_bins rows
+    per group; same-grid tables merge by cell-wise sum."""
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, F.col(value_col).cast("double").alias("_v")
+    )
+    grid = (
+        vals.groupBy(*group_cols)
+        .agg(F.min("_v").alias("lo"), F.max("_v").alias("_hi"))
+        .select(
+            *group_cols,
+            "lo",
+            F.when(F.col("_hi") == F.col("lo"), F.lit(1.0))
+            .otherwise((F.col("_hi") - F.col("lo")) / n_bins)
+            .alias("width"),
+        )
+    )
+    binned = vals.join(F.broadcast(grid), group_cols).select(
+        *group_cols,
+        F.least(
+            F.floor((F.col("_v") - F.col("lo")) / F.col("width")),
+            F.lit(n_bins - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        "lo",
+        "width",
+    )
+    return binned.groupBy(*group_cols, "bin").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.first("lo").alias("lo"),
+        F.first("width").alias("width"),
+    )
+
+
+def histogram_quantiles_by_group(
+    hist: DataFrame, probs: list[float], group_cols: list[str]
+) -> DataFrame:
+    """(group_cols..., p, est) from a grouped histogram sketch — the
+    per-group cumulative walk runs over <= n_bins rows per group
+    (window PARTITIONED by the group, so no single-partition stage),
+    estimate = upper edge of the first bin reaching ceil(p * total)."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = hist.groupBy(*group_cols).agg(F.sum("cnt").alias("_total"))
+    cum = hist.select(
+        *group_cols, "bin", "lo", "width", F.sum("cnt").over(w).alias("cum")
+    ).join(F.broadcast(totals), group_cols)
+    parts = []
+    for p in probs:
+        need = F.ceil(F.lit(p) * F.col("_total"))
+        est = (
+            cum.filter(F.col("cum") >= need)
+            .groupBy(*group_cols)
+            .agg(
+                F.min("bin").alias("_b"),
+                F.first("lo").alias("_lo"),
+                F.first("width").alias("_width"),
+            )
+            .select(
+                *group_cols,
+                F.lit(p).alias("p"),
+                (F.col("_lo") + (F.col("_b") + 1) * F.col("_width")).alias(
+                    "est"
+                ),
+            )
+        )
+        parts.append(est)
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out

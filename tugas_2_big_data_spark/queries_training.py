@@ -20,6 +20,7 @@ from tugas_2_big_data_spark.operators import (
     partitioning,
     sampling,
     similarity,
+    sketches,
     text_analysis,
 )
 from tugas_2_big_data_spark.functions import hashing
@@ -5457,3 +5458,103 @@ def ann_ivf_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_from_index(
         spark, path, q, nprobe=2, k=5
     ).select("query_id", "nbr_id", "cosine", "rk")
+
+
+_HIST_LANG_SQL = """
+WITH vals AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents
+  WHERE n_chars IS NOT NULL
+),
+grid AS (
+  SELECT lang, min(v) AS lo,
+    CASE WHEN max(v) = min(v) THEN 1.0
+         ELSE (max(v) - min(v)) / 256 END AS width
+  FROM vals GROUP BY 1
+),
+hist AS (
+  SELECT v.lang,
+    CAST(least(floor((v.v - g.lo) / g.width), 255) AS INT) AS bin,
+    count(*) AS cnt
+  FROM vals v JOIN grid g USING (lang)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, bin, cnt,
+    sum(cnt) OVER (PARTITION BY lang ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(cnt) OVER (PARTITION BY lang) AS total
+  FROM hist
+),
+probs AS (
+  SELECT CAST(0.5 AS DOUBLE) AS p
+  UNION ALL SELECT CAST(0.9 AS DOUBLE)
+  UNION ALL SELECT CAST(0.99 AS DOUBLE)
+),
+est AS (
+  SELECT c.lang, probs.p, min(c.bin) AS b
+  FROM probs, cum c
+  WHERE c.cum >= ceil(probs.p * c.total)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT lang, CAST(0.5 AS DOUBLE) AS p, quantile_cont(v, 0.5) AS exact
+    FROM vals GROUP BY 1
+  UNION ALL SELECT lang, CAST(0.9 AS DOUBLE), quantile_cont(v, 0.9)
+    FROM vals GROUP BY 1
+  UNION ALL SELECT lang, CAST(0.99 AS DOUBLE), quantile_cont(v, 0.99)
+    FROM vals GROUP BY 1
+)
+SELECT est.lang, est.p, g.lo + (est.b + 1) * g.width AS est,
+  exact.exact,
+  abs(g.lo + (est.b + 1) * g.width - exact.exact) <= g.width
+    AS within_bound
+FROM est
+JOIN exact ON exact.lang = est.lang AND exact.p = est.p
+JOIN grid g ON g.lang = est.lang
+"""
+
+
+@register("sketch_histogram_by_lang", _HIST_LANG_SQL)
+def sketch_histogram_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped histogram quantile sketch
+    (sketches.histogram_by_group / histogram_quantiles_by_group):
+    per-language length quantiles from per-group 256-bin grids — the
+    mergeable production twin stats_quantiles_by_lang's docstring
+    promises for 100 TB (exact per-group percentile = per-group sort;
+    this = two bounded aggregates and a per-group sketch walk, tables
+    merging by cell-wise sum). The certain |est − exact| <= width
+    guarantee is pinned per (lang, p); full DuckDB replay as in the
+    global form."""
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("n_chars").isNotNull()
+    )
+    hist = sketches.histogram_by_group(docs, "n_chars", ["lang"])
+    est = sketches.histogram_quantiles_by_group(
+        hist, [0.5, 0.9, 0.99], ["lang"]
+    )
+    exact_parts = []
+    for p in (0.5, 0.9, 0.99):
+        exact_parts.append(
+            docs.groupBy("lang").agg(
+                F.expr(
+                    f"percentile(CAST(n_chars AS DOUBLE), {p})"
+                ).alias("exact")
+            ).select("lang", F.lit(p).alias("p"), "exact")
+        )
+    exact = exact_parts[0]
+    for part in exact_parts[1:]:
+        exact = exact.unionByName(part)
+    grid = hist.groupBy("lang").agg(F.first("width").alias("_w"))
+    return (
+        est.join(exact, ["lang", "p"])
+        .join(F.broadcast(grid), "lang")
+        .select(
+            "lang",
+            "p",
+            "est",
+            "exact",
+            (F.abs(F.col("est") - F.col("exact")) <= F.col("_w")).alias(
+                "within_bound"
+            ),
+        )
+    )
