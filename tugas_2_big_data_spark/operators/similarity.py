@@ -2449,9 +2449,18 @@ def embedding_covariance(
         .select(
             F.col("i").cast("int").alias("i"),
             F.col("j").cast("int").alias("j"),
-            F.round(
-                F.col("_sp") / F.col("_n") - F.col("_mi") * F.col("_mj"),
-                round_to,
+            # + 0.0 normalizes IEEE signed zero: a covariance whose
+            # true value straddles 0 can sum to a tiny NEGATIVE on one
+            # engine and a tiny POSITIVE on the other; both round to
+            # zero but -0.0 and +0.0 hash differently (seen live at
+            # sf0.01, cell (5, 9)). -0.0 + 0.0 == +0.0 under
+            # round-to-nearest, so both engines converge.
+            (
+                F.round(
+                    F.col("_sp") / F.col("_n") - F.col("_mi") * F.col("_mj"),
+                    round_to,
+                )
+                + F.lit(0.0)
             ).alias("cov"),
         )
     )

@@ -770,7 +770,7 @@ WITH stats AS (
   FROM events GROUP BY event_type
 )
 SELECT e.event_id, e.event_type, e.value,
-  round((e.value - s.mu) / NULLIF(s.sigma, 0), 9) AS z,
+  round((e.value - s.mu) / NULLIF(s.sigma, 0), 9) + 0.0 AS z,
   abs((e.value - s.mu) / NULLIF(s.sigma, 0)) > 2.0 AS is_outlier
 FROM events e JOIN stats s USING (event_type)
 WHERE e.value IS NOT NULL
@@ -801,7 +801,11 @@ def evt_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             "value",
-            F.round(z, 9).alias("z"),
+            # + 0.0 folds IEEE -0.0 into +0.0: a value landing within
+            # rounding distance of its group mean can produce a z that
+            # rounds to signed zero with engine-dependent sign (the
+            # emb_covariance hash-mismatch class).
+            (F.round(z, 9) + F.lit(0.0)).alias("z"),
             (F.abs(z) > 2.0).alias("is_outlier"),
         )
     )

@@ -5027,7 +5027,10 @@ cells AS (
 ),
 means AS (SELECT i AS d, sx / n AS m FROM cells WHERE i = j)
 SELECT CAST(c.i AS INT) AS i, CAST(c.j AS INT) AS j,
-  round(c.sp / c.n - mi.m * mj.m, 6) AS cov
+  -- + 0.0 folds IEEE -0.0 into +0.0 (mirrors the operator): a
+  -- near-zero covariance can round to -0.0 on one engine and +0.0 on
+  -- the other, which value-hash differently.
+  round(c.sp / c.n - mi.m * mj.m, 6) + 0.0 AS cov
 FROM cells c
 JOIN means mi ON c.i = mi.d
 JOIN means mj ON c.j = mj.d
