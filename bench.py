@@ -321,6 +321,13 @@ def main() -> None:
     # query (mixing best-of-3 for flagged entries quietly improved the
     # total on any run that tripped a flag).
     regressions: dict[str, dict[str, float]] = {}
+    # Relative-only drift report (ADVICE r6): the 1.0 s materiality
+    # floor deliberately hides sub-second drifts from the FLAG path; a
+    # genuine sub-second plan regression (e.g. a lost broadcast on a
+    # small query) would otherwise be invisible. drifts_vs_baseline
+    # records every >1.5x-beyond-host-ratio entry REGARDLESS of the
+    # floor, flag-free, so BENCH_FULL.json diffs keep them visible.
+    drifts: dict[str, dict[str, float]] = {}
     cal_base = None
     sample0 = cal_samples[0][1] if cal_samples else None
     base_path = os.path.join(REPO_DIR, "BENCH_BASELINE.json")
@@ -341,6 +348,12 @@ def main() -> None:
                     cal_start,
                     cal_base,
                 )
+                if t > 1.5 * b * r_then:
+                    drifts[name] = {
+                        "baseline_s": b,
+                        "run_s": t,
+                        "host_ratio": round(r_then, 3),
+                    }
                 if not is_flagged(t, b, r_then):
                     continue
                 # confirmation re-run with a FRESH sample taken
@@ -375,6 +388,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "regressions_vs_baseline": regressions,
+        "drifts_vs_baseline": drifts,
         "calibration_s": cal_now,
         "calibration_start_s": cal_start,
         "calibration_end_s": cal_end,

@@ -388,3 +388,14 @@ def test_profile_columns_values_and_types(spark):
     assert t.min_num == 1704067200000000.0
     assert t.max_num == 1704153600000000.0
     assert t.avg_num is None
+
+
+def test_hll_estimate_empty_registers_is_zero(spark):
+    """ADVICE r6: sum over an empty register table is NULL; the
+    estimator must coalesce it so the linear-counting branch yields
+    the correct 0.0 for an empty input, not NULL."""
+    from tugas_2_big_data_spark.operators import sketches
+
+    empty = spark.createDataFrame([], "idx int, r int")
+    row = sketches.hll_estimate(empty).collect()[0]
+    assert row.estimate == 0.0

@@ -1294,3 +1294,70 @@ def test_compact_index_relation_one_file_per_cell_and_identical_serving(
         ).collect()
     )
     assert after == before
+
+
+def test_ivf_append_ingest_key_is_replay_idempotent(spark, tmp_path):
+    """ADVICE r6: a foreachBatch checkpoint replay re-delivering a
+    batch must not double-write. With ingest_key the SAME batch
+    appended twice lands exactly once (deterministic per-key file
+    names overwrite themselves); serving equals the single-append
+    result."""
+    from tugas_2_big_data_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [float((i * 5 + j) % 13) / 12 for j in range(8)], 0)
+            for i in range(80)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    b1 = vecs.filter(vecs.vec_id % 2 == 0)
+    b2 = vecs.filter(vecs.vec_id % 2 == 1)
+    path = str(tmp_path / "idx")
+    similarity.ivf_build_index(b1, path)
+    similarity.ivf_append_to_index(spark, path, b2, ingest_key="b7")
+    once = spark.read.parquet(path + "/invfile").count()
+    # replay: identical batch, identical key
+    similarity.ivf_append_to_index(spark, path, b2, ingest_key="b7")
+    inv = spark.read.parquet(path + "/invfile")
+    assert inv.count() == once == 80
+    assert inv.groupBy("nbr_id").count().filter("count > 1").count() == 0
+    # a DIFFERENT key is a genuine new append, not an overwrite
+    similarity.ivf_append_to_index(
+        spark, path, b2.limit(0), ingest_key="b8"
+    )  # empty: no files, no error
+    assert spark.read.parquet(path + "/invfile").count() == 80
+
+
+def test_compact_index_relation_crash_recovery_and_cid_guard(spark, tmp_path):
+    """ADVICE r6: (a) a crash between the two swap renames leaves the
+    data only in ._precompact — a re-run must restore it, not delete
+    the sole copy; (b) a relation without the cid key refuses to
+    compact instead of raising TypeError from repartition(*[])."""
+    import os
+
+    import pytest
+
+    from tugas_2_big_data_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + j * 3) % 11) / 10 for j in range(8)], 0)
+            for i in range(60)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    path = str(tmp_path / "idx")
+    similarity.ivf_build_index(vecs, path)
+    rel = os.path.join(path, "invfile")
+    n_before = spark.read.parquet(rel).count()
+    # simulate the crash window: served path gone, data in ._precompact
+    os.rename(rel, rel + "._precompact")
+    similarity.compact_index_relation(spark, path)
+    assert spark.read.parquet(rel).count() == n_before
+    assert not os.path.exists(rel + "._precompact")
+    # cid-less relation: explicit refusal
+    flat = str(tmp_path / "flat")
+    vecs.select("vec_id").write.parquet(flat + "/invfile")
+    with pytest.raises(ValueError, match="cid"):
+        similarity.compact_index_relation(spark, flat)

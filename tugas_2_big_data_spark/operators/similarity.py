@@ -398,6 +398,7 @@ def ivf_append_to_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     meta_cols: tuple[str, ...] = (),
+    ingest_key: str | None = None,
 ) -> None:
     """INCREMENTAL index maintenance: fold a new vector batch into a
     persisted `ivf_build_index` artifact using the artifact's FROZEN
@@ -412,13 +413,24 @@ def ivf_append_to_index(
     (`ann_incremental_add_recall` measures exactly that drift, and a
     recall regression there is the retrain signal).
 
+    ``ingest_key`` makes the append IDEMPOTENT per key: the batch is
+    staged with mode=overwrite (itself replay-safe), then each cell's
+    single staged file is moved into the invfile under the
+    DETERMINISTIC name `ingest-<key>.parquet` — replaying the same key
+    (e.g. a foreachBatch checkpoint replay re-delivering a batch_id)
+    atomically overwrites exactly its own files instead of
+    double-writing. The move is a local-filesystem rename (same
+    constraint as compact_index_relation); an object-store deployment
+    keys appends under a table format's transaction instead. Without a
+    key the write is a blind parquet append — non-idempotent on re-run
+    (sinks.append's documented contract).
+
     Serving needs no new code: `ivf_topk_from_index` reads the invfile
     directory, so appended cells' files are discovered like built
     ones, and results are identical to an index whose BUILD had seen
-    the appended vectors with the same centroids. Blind parquet append
-    is non-idempotent on re-run (sinks.append's documented contract);
-    a real deployment appends under a table format's transaction or
-    tracks batch ids. Compaction of the accumulated small per-batch
+    the appended vectors with the same centroids. A real deployment
+    appends under a table format's transaction or keys appends by
+    batch id (``ingest_key``). Compaction of the accumulated small per-batch
     files is the maintenance half: `compact_index_relation` rewrites
     the relation to one file per cell with serving provably invariant
     (`ann_ivf_compacted_topk` shares this loop's un-compacted
@@ -442,13 +454,37 @@ def ivf_append_to_index(
     # same repartition-by-cid rationale as the build: each touched
     # cell's new vectors coalesce into one appended file, not one per
     # write task
-    sinks.append(
-        cells.select("cid", "nbr_id", "nbr_vec", *meta_cols).repartition(
-            F.col("cid")
-        ),
-        posixpath.join(path, "invfile"),
-        partition_by=["cid"],
+    out = cells.select("cid", "nbr_id", "nbr_vec", *meta_cols).repartition(
+        F.col("cid")
     )
+    inv = posixpath.join(path, "invfile")
+    if ingest_key is not None:
+        import glob
+        import shutil
+
+        staging = posixpath.join(path, f"_ingest_{ingest_key}")
+        sinks.write_parquet(
+            out, staging, mode="overwrite", partition_by=["cid"]
+        )
+        # one task per cell (repartition by cid) -> exactly one staged
+        # file per cid dir; frozen centroids make the cid set itself
+        # deterministic for a given batch, so a replay regenerates and
+        # atomically replaces the SAME target names.
+        for cell_dir in sorted(glob.glob(posixpath.join(staging, "cid=*"))):
+            files = sorted(glob.glob(posixpath.join(cell_dir, "*.parquet")))
+            target_dir = posixpath.join(inv, posixpath.basename(cell_dir))
+            os.makedirs(target_dir, exist_ok=True)
+            for i, src in enumerate(files):
+                suffix = f"-{i}" if i else ""
+                os.replace(
+                    src,
+                    posixpath.join(
+                        target_dir, f"ingest-{ingest_key}{suffix}.parquet"
+                    ),
+                )
+        shutil.rmtree(staging)
+    else:
+        sinks.append(out, inv, partition_by=["cid"])
 
 
 def ivfsq_append_to_index(
@@ -2522,19 +2558,38 @@ def compact_index_relation(
 
     The rewrite goes to a sibling directory and is swapped in by
     renames — never an in-place overwrite of a path being lazily read.
-    The swap is not transactional for CONCURRENT readers of the same
-    artifact dir; the artifact store's mtime-keyed layout
-    (queries_training._ann_artifact_dir) gives each corpus version its
-    own key, and a production deployment compacts under a table
-    format's transaction — same caveat as the append itself."""
+    Crash recovery: the pre-compaction copy is kept at
+    ``<relation>._precompact`` until the swapped-in relation has been
+    VERIFIED readable (a fresh parquet read of the new directory), so
+    a crash at any point leaves at least one complete copy on disk —
+    between the two renames the data lives at `._precompact`; rename
+    it back to recover. The swap is not transactional for CONCURRENT
+    readers of the same artifact dir; the artifact store's mtime-keyed
+    layout (queries_training._ann_artifact_dir) gives each corpus
+    version its own key, and a production deployment compacts under a
+    table format's transaction — same caveat as the append itself."""
     import posixpath
     import shutil
 
     rel = posixpath.join(path, relation)
     tmp = rel + "._compacting"
     old = rel + "._precompact"
+    if not os.path.exists(rel) and os.path.exists(old):
+        # a previous run crashed between the two renames: the served
+        # path is missing and the data lives only in ._precompact —
+        # restore it instead of letting the cleanup below delete the
+        # sole surviving copy.
+        os.rename(old, rel)
     df = spark.read.parquet(rel)
     part_cols = [c for c in ("cid",) if c in df.columns]
+    if not part_cols:
+        # repartition(*[]) raises TypeError; a relation without the
+        # cell key has nothing to compact by — refuse loudly rather
+        # than rewrite it into an unpartitioned layout.
+        raise ValueError(
+            f"relation {rel!r} has no 'cid' column; compact_index_relation "
+            "only compacts cell-partitioned index relations"
+        )
     (
         df.repartition(*[F.col(c) for c in part_cols])
         .write.mode("overwrite")
@@ -2544,4 +2599,9 @@ def compact_index_relation(
     shutil.rmtree(old, ignore_errors=True)
     os.rename(rel, old)
     os.rename(tmp, rel)
+    # verify the swapped-in relation is readable BEFORE deleting the
+    # only remaining pre-compaction copy (ADVICE r6: a crash between
+    # the renames used to leave the data solely in ._precompact while
+    # the unconditional rmtree deleted it on the next run).
+    spark.read.parquet(rel).schema
     shutil.rmtree(old)

@@ -321,7 +321,13 @@ def hll_estimate(registers: DataFrame, b: int = HLL_B) -> DataFrame:
     m = 1 << b
     alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = registers.agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("_s"),
+        # coalesce: sum over an EMPTY register table is NULL, which
+        # would NULL-out raw and the linear-counting condition; with 0
+        # registers present V = m and the correction correctly yields
+        # m * ln(m/m) = 0 — the right estimate for an empty input.
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("r"))), F.lit(0.0)
+        ).alias("_s"),
         F.count(F.lit(1)).alias("_present"),
     )
     zeros = (F.lit(m) - F.col("_present")).cast("double")
@@ -417,8 +423,14 @@ def histogram_quantile_estimates(
 ) -> DataFrame:
     """(p, est) rows from a histogram sketch: est = the UPPER edge of
     the first bin whose cumulative count reaches ceil(p * total) — a
-    deterministic estimator whose error is bounded by one bin width
-    (the estimate and the true quantile lie in the same bin). The
+    deterministic estimator. Error bound: |est - q| <= one bin width
+    is CERTAIN for the non-interpolated (lower / percentile_disc-style)
+    quantile, whose order statistic lies in the reached bin by
+    construction. Against type-7 INTERPOLATED quantiles (Spark
+    `percentile`, DuckDB `quantile_cont`) it is not a theorem — the
+    interpolation point between the ceil(p*n)-th and next order
+    statistic can cross bins where the data is sparse — but holds
+    empirically on the pinned test data. The
     cumulative walk is a window over <= n_bins rows — sketch-sized,
     never data-sized (the single-partition window is over the SKETCH,
     which is the point of sketching)."""
@@ -490,7 +502,11 @@ def hll_estimates_by_group(
     m = 1 << b
     alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = registers.groupBy(*group_cols).agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("_s"),
+        # a group only exists with >= 1 register row, so the sum can't
+        # be NULL here; coalesce kept for symmetry with hll_estimate
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("r"))), F.lit(0.0)
+        ).alias("_s"),
         F.count(F.lit(1)).alias("_present"),
     )
     zeros = (F.lit(m) - F.col("_present")).cast("double")

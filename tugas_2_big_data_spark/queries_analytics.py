@@ -1400,10 +1400,12 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin (`sketch_value_quantiles`, engine-internal, bound-flag-only)
     the estimates themselves are value-compared by a full DuckDB replay
     of the binning, the cumulative walk, and the edge arithmetic.
-    within_bound pins the estimator's certain guarantee: the estimate
-    and the true quantile lie in the same bin, so |est − exact| <=
-    width. The bin table merges by cell-wise sum (same grid) — the
-    quantile member of the portable mergeable-sketch family."""
+    within_bound pins |est − exact| <= width — certain for the lower
+    (non-interpolated) quantile, and empirically true here against the
+    type-7 interpolated percentile, which can in principle cross a
+    sparse bin (see histogram_quantile_estimates' docstring). The bin
+    table merges by cell-wise sum (same grid) — the quantile member of
+    the portable mergeable-sketch family."""
     ev = load_table(spark, "events", sf_dir)
     hist = sketches.histogram_counts(ev, "value", n_bins=_HIST_BINS)
     est = sketches.histogram_quantile_estimates(hist, list(_HIST_PROBS))

@@ -548,7 +548,8 @@ def stream_ann_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = se.run_streaming_ann_append(
         spark, f"{work}/batches", index_path, f"{work}/ckpt"
     )
-    assert n == 2, f"expected 2 micro-batches, folded {n}"
+    if n != 2:  # not assert: stripped under python -O
+        raise RuntimeError(f"expected 2 micro-batches, folded {n}")
     q = emb.filter(F.col("vec_id") < 5)
     return similarity.ivf_topk_from_index(
         spark, index_path, q, nprobe=2, k=5

@@ -5525,9 +5525,10 @@ def sketch_histogram_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable production twin stats_quantiles_by_lang's docstring
     promises for 100 TB (exact per-group percentile = per-group sort;
     this = two bounded aggregates and a per-group sketch walk, tables
-    merging by cell-wise sum). The certain |est − exact| <= width
-    guarantee is pinned per (lang, p); full DuckDB replay as in the
-    global form."""
+    merging by cell-wise sum). |est − exact| <= width is pinned per
+    (lang, p) — certain for lower quantiles, empirical against the
+    type-7 interpolated exact (see histogram_quantile_estimates);
+    full DuckDB replay as in the global form."""
     docs = load_table(spark, "documents", sf_dir).filter(
         F.col("n_chars").isNotNull()
     )

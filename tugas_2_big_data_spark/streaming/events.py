@@ -552,7 +552,12 @@ def run_streaming_ann_append(
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        similarity.ivf_append_to_index(spark, index_path, batch_df)
+        # batch_id-keyed append: a checkpoint replay re-delivering
+        # this batch overwrites its own files instead of duplicating
+        # them (ivf_append_to_index's ingest_key contract)
+        similarity.ivf_append_to_index(
+            spark, index_path, batch_df, ingest_key=f"b{batch_id}"
+        )
         n["batches"] += 1
 
     src = (
