@@ -36,6 +36,10 @@ def _norm_cell(v):
         return None
     if isinstance(v, bool):
         return v
+    # list-valued cells: Spark hands Python lists, DuckDB numpy arrays —
+    # normalize both to tuples so equality and the row sort work
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_norm_cell(x) for x in v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

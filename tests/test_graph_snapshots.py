@@ -1,0 +1,147 @@
+"""Unit tests: graph operators (pagerank_fixed, degree_stats),
+snapshots.scd2_merge, profiling.key_skew_profile, and the new
+text-analysis ops (ngram_char_fracs, postings)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tugas_2_big_data_spark.operators import graph, profiling, snapshots
+from tugas_2_big_data_spark.operators import text_analysis
+
+
+def _edges(spark, pairs):
+    return graph.symmetrize(
+        spark.createDataFrame(pairs, "id_a long, id_b long")
+    )
+
+
+def test_pagerank_sums_to_one_and_ranks_hub_highest(spark):
+    """Star graph a-{b,c,d}: ranks sum to 1 (no dangling mass on a
+    symmetric graph) and the hub outranks the leaves, which tie."""
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4)])
+    pr = {r.v: r.pagerank for r in graph.pagerank_fixed(e, iters=10).collect()}
+    assert set(pr) == {1, 2, 3, 4}
+    assert math.isclose(sum(pr.values()), 1.0, abs_tol=1e-6)
+    assert pr[1] > pr[2]
+    assert pr[2] == pr[3] == pr[4]
+
+
+def test_pagerank_regular_graph_is_uniform(spark):
+    """On a cycle (2-regular) the stationary distribution is uniform
+    and the fixed-iteration iterate stays exactly there from r0."""
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    pr = [r.pagerank for r in graph.pagerank_fixed(e, iters=3).collect()]
+    assert all(math.isclose(p, 0.25, abs_tol=1e-9) for p in pr)
+
+
+def test_pagerank_empty_edges(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    assert graph.pagerank_fixed(e, iters=2).count() == 0
+
+
+def test_degree_stats_symmetric(spark):
+    e = _edges(spark, [(1, 2), (1, 3)])
+    d = {r.v: (r.out_degree, r.in_degree) for r in graph.degree_stats(e).collect()}
+    assert d == {1: (2, 2), 2: (1, 1), 3: (1, 1)}
+
+
+def _scd2(spark, old_rows, new_rows):
+    old = spark.createDataFrame(old_rows, "k long, val string")
+    new = spark.createDataFrame(new_rows, "k long, val string")
+    return snapshots.scd2_merge(
+        old, new, ["k"], ["val"], "2026-01-01", "2026-02-01"
+    ).collect()
+
+
+def test_scd2_classifies_all_four_cases(spark):
+    rows = _scd2(
+        spark,
+        [(1, "a"), (2, "b"), (3, "c")],
+        [(1, "a"), (2, "B"), (4, "d")],
+    )
+    by = {}
+    for r in rows:
+        by.setdefault(r.k, []).append(r)
+    # unchanged: one open row with the OLD valid_from
+    (u,) = by[1]
+    assert (u.change, u.is_current, u.valid_from, u.valid_to) == (
+        "unchanged", True, "2026-01-01", None,
+    )
+    # changed: closed old + open new
+    ch = sorted(by[2], key=lambda r: r.is_current)
+    assert [r.change for r in ch] == ["changed", "changed"]
+    assert (ch[0].val, ch[0].valid_to, ch[0].is_current) == ("b", "2026-02-01", False)
+    assert (ch[1].val, ch[1].valid_to, ch[1].is_current) == ("B", None, True)
+    # deleted: single closed row
+    (d,) = by[3]
+    assert (d.change, d.is_current, d.valid_to) == ("deleted", False, "2026-02-01")
+    # inserted: single open row with the NEW valid_from
+    (i,) = by[4]
+    assert (i.change, i.is_current, i.valid_from) == ("inserted", True, "2026-02-01")
+
+
+def test_scd2_null_transition_is_a_change(spark):
+    """NULL -> value and value -> NULL must classify as changed
+    (null-safe compare), not unchanged."""
+    rows = _scd2(spark, [(1, None), (2, "x")], [(1, "y"), (2, None)])
+    changes = sorted(
+        (r.k, r.change, r.is_current) for r in rows
+    )
+    assert changes == [
+        (1, "changed", False), (1, "changed", True),
+        (2, "changed", False), (2, "changed", True),
+    ]
+
+
+def test_key_skew_profile_values(spark):
+    df = spark.createDataFrame(
+        [(k,) for k in [1] * 6 + [2] * 2 + [3] * 2 + [4] * 2], "k long"
+    )
+    rows = profiling.key_skew_profile(df, "k", top_k=2).collect()
+    assert [(r.key, r.cnt, r.rk) for r in rows] == [(1, 6, 1), (2, 2, 2)]
+    r = rows[0]
+    assert r.n_keys == 4
+    # max 6 / mean 3 = 2.0
+    assert math.isclose(r.skew_ratio, 2.0, abs_tol=1e-9)
+    # entropy: -[.5 log .5 + 3*(1/6 log 1/6)] bits
+    exp = -(0.5 * math.log2(0.5) + 3 * (1 / 6) * math.log2(1 / 6))
+    assert math.isclose(r.key_entropy, exp, abs_tol=1e-6)
+    assert math.isclose(r.share, 0.5, abs_tol=1e-9)
+
+
+def test_ngram_char_fracs_known_values(spark):
+    # "ab ab ab": 2-grams ['ab ab','ab ab'] -> top weight 2*4=8 over
+    # 6 chars -> 4/3; no 5-grams -> dup 0
+    df = spark.createDataFrame([(1, "ab ab ab")], "doc_id long, text string")
+    r = text_analysis.ngram_char_fracs(df).collect()[0]
+    assert math.isclose(r.top_ngram_char_frac, 8 / 6, abs_tol=1e-9)
+    assert r.dup_ngram_char_frac == 0.0
+    # a repeated 5-gram: 'a b c d e' twice over
+    txt = "a b c d e a b c d e"
+    r2 = text_analysis.ngram_char_fracs(
+        spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    ).collect()[0]
+    # grams 'a b c d e' (x2 among the 6 distinct 5-gram windows)
+    assert r2.dup_ngram_char_frac == pytest.approx(2 * 5 / 10, abs=1e-9)
+
+
+def test_ngram_char_fracs_empty_text(spark):
+    df = spark.createDataFrame([(1, "  ")], "doc_id long, text string")
+    r = text_analysis.ngram_char_fracs(df, with_counts=True).collect()[0]
+    assert r.top_ngram_char_frac == 0.0 and r.dup_ngram_char_frac == 0.0
+    assert r.n_chars_nospace == 0.0
+
+
+def test_postings_positions_and_tf(spark):
+    df = spark.createDataFrame(
+        [(1, "x y x"), (2, "y")], "doc_id long, text string"
+    )
+    rows = {
+        (r.word, r.doc_id): (r.tf, r.positions)
+        for r in text_analysis.postings(df).collect()
+    }
+    assert rows[("x", 1)] == (2, [1, 3])
+    assert rows[("y", 1)] == (1, [2])
+    assert rows[("y", 2)] == (1, [1])

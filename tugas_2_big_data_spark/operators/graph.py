@@ -1,0 +1,122 @@
+"""Graph operators over similarity/relationship edge lists (extension
+surface; the reference has no graph processing — these are the
+graph-shaped curation passes a training pipeline runs over its own
+near-duplicate graph: connected components lives in
+operators/similarity.py, centrality lives here).
+
+Scale shape: everything is edge-relation joins + hash aggregates —
+no adjacency materialization on the driver, no vertex-program
+framework. Per-iteration cost is one join on the edge relation and one
+(dst) aggregate, both AQE-planned; iterates are localCheckpointed so
+the lineage (and the re-execution cost of a lost stage) stays one
+iteration deep, the same fixpoint discipline as
+similarity.connected_components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def symmetrize(pairs: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
+    """Undirected pair list -> directed edge relation (both directions),
+    columns (src, dst)."""
+    return pairs.select(
+        F.col(a).alias("src"), F.col(b).alias("dst")
+    ).unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    round_to: int = 9,
+) -> DataFrame:
+    """PageRank with a FIXED iteration count over a directed edge
+    relation (src, dst) -> (v, pagerank) rows, one per node that
+    appears in the edge relation.
+
+    Fixed iterations instead of convergence-test iterations is a
+    deliberate portability and determinism choice: the result is a
+    closed-form function of the edge set, so an external engine can
+    replay it exactly (the registered query's DuckDB oracle chains one
+    CTE per iteration), and at 100 TB the scheduler sees a statically
+    known DAG instead of a data-dependent loop. Convergence monitoring
+    belongs in a metric (sum |r_t - r_{t-1}|), not in control flow.
+
+    Node scope: nodes OF THE GRAPH (distinct edge endpoints). Isolated
+    vertices never influence ranks of connected ones and hold the
+    trivial rank (1-d)/N' under every teleport convention, so callers
+    wanting them report that closed form rather than paying joins.
+
+    On a symmetrized (undirected) graph every node has out-degree >= 1,
+    so there is no dangling mass; for general directed input the
+    dangling correction is deliberately omitted and documented (the
+    near-dup graphs this engine builds are all symmetric).
+
+    Plan: degree = one (src) aggregate; per iteration one
+    edges-to-ranks join (shuffle keyed src — AQE broadcasts the rank
+    relation when small, and the edge relation's partitioning is
+    REUSED across iterations since the key never changes) + one (dst)
+    hash aggregate, then a localCheckpoint to cut lineage. Ranks are
+    rounded only at the END; intermediate iterates keep full doubles.
+    """
+    # materialize ONCE: the edge relation is consumed 2x per iteration
+    # (contrib join + via deg), and in this engine it is typically the
+    # tail of an expensive pipeline (LSH verify) — without the
+    # checkpoint every iteration would re-execute that whole lineage
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("v", F.lit(0.0).alias("pagerank")).limit(0)
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("_d")
+    ).localCheckpoint(eager=True)
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.select("v", F.lit(1.0 / n_nodes).alias("_pr"))
+    for _ in range(iters):
+        contribs = (
+            edges.join(deg, "src")
+            .join(ranks, F.col("src") == F.col("v"))
+            .select("dst", (F.col("_pr") / F.col("_d")).alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.v == contribs.dst, "left")
+            .select(
+                "v",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("_pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("v", F.round(F.col("_pr"), round_to).alias("pagerank"))
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-node (v, out_degree, in_degree) from a directed edge
+    relation — two hash aggregates and an outer join, the cheap
+    structural profile run before choosing a traversal strategy."""
+    out_d = edges.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("v")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )

@@ -10,7 +10,7 @@ every sketch here: ONE pass over the corpus, bounded output.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # how each profiled column contributes extremes: numerics (and
 # epoch-able timestamps) land in min_num/max_num as doubles, strings in
@@ -145,3 +145,68 @@ def profile_wide_agg(df: DataFrame, cols: list[str]) -> DataFrame:
             aggs.append(F.min(F.col(c)).alias(f"{c}__smin"))
             aggs.append(F.max(F.col(c)).alias(f"{c}__smax"))
     return df.agg(*aggs)
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+    round_to: int = 9,
+) -> DataFrame:
+    """Join/groupBy-key skew diagnostic: the top_k heaviest keys with
+    their row share, plus corpus-level skew statistics repeated on
+    every row — (key, cnt, share, rk, n_keys, skew_ratio, key_entropy).
+
+    This is the measurement an engine runs BEFORE picking a join
+    strategy at 100 TB: skew_ratio (max key count / mean key count)
+    says whether AQE skew-join splitting or salting
+    (operators/skew.py) is needed; key_entropy (Shannon, bits, over
+    the key distribution) near log2(n_keys) says uniform, near 0 says
+    one key owns the table.
+
+    Plan: ONE hash aggregate keyed on the key (map-side partial), then
+    sketch-sized work — the per-key relation aggregates to one stats
+    row (broadcast back) and TakeOrdered picks the top_k
+    (count DESC, key ASC — deterministic under ties). The corpus is
+    scanned once and never re-shuffled.
+    """
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("double").alias("_total"),
+        F.max("cnt").cast("double").alias("_max"),
+        # Shannon entropy in bits over the key distribution:
+        # -sum(p log2 p); computed from sum(cnt*log2(cnt)) and the
+        # total so it folds into the same aggregate pass
+        F.sum(F.col("cnt") * F.log2(F.col("cnt"))).alias("_clc"),
+    ).select(
+        "n_keys",
+        "_total",
+        (F.col("_max") / (F.col("_total") / F.col("n_keys"))).alias(
+            "_skew"
+        ),
+        (
+            F.log2(F.col("_total")) - F.col("_clc") / F.col("_total")
+        ).alias("_entropy"),
+    )
+    # orderBy+limit plans as TakeOrdered (per-partition top-k, merge on
+    # the driver) — a global row_number window would instead drag the
+    # whole per-key relation through one partition; rk is assigned by a
+    # window over only the top_k survivors
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    top = (
+        per_key.orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(top_k)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "key",
+        "cnt",
+        F.round(F.col("cnt") / F.col("_total"), round_to).alias("share"),
+        "rk",
+        "n_keys",
+        F.round("_skew", round_to).alias("skew_ratio"),
+        F.round("_entropy", round_to).alias("key_entropy"),
+    )

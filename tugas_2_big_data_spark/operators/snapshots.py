@@ -1,0 +1,118 @@
+"""Snapshot-delta operators — warehouse-maintenance surface (extension;
+the reference's drop-and-replace sink, SURVEY.md §2.2 K2, is the
+degenerate form: replace everything, keep no history).
+
+`scd2_merge` derives a slowly-changing-dimension type-2 history slice
+from two full snapshots: the standard pattern when an upstream system
+hands over periodic full dumps (the reference's Mongo collections are
+exactly that) and downstream wants AS-OF queryability instead of
+last-write-wins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def scd2_merge(
+    snap_old: DataFrame,
+    snap_new: DataFrame,
+    key_cols: Sequence[str],
+    tracked_cols: Sequence[str],
+    old_ts: str,
+    new_ts: str,
+) -> DataFrame:
+    """SCD type-2 rows from two full snapshots of a dimension:
+    (key..., tracked..., valid_from, valid_to, is_current, change).
+
+    Per key the classification is:
+    - unchanged (all tracked cols null-safe-equal): one open row
+      carried from the old snapshot (valid_from = old_ts);
+    - changed: TWO rows — the old version closed at new_ts and the new
+      version opened at new_ts;
+    - deleted (key absent from the new snapshot): the old version
+      closed at new_ts;
+    - inserted (key absent from the old snapshot): the new version
+      opened at new_ts.
+
+    `change` carries the per-row classification so downstream audits
+    need no re-derivation. valid_to is NULL on open rows (the
+    standard SCD2 convention — an end-date sentinel bakes a fake
+    timestamp into history).
+
+    Plan: ONE full-outer join keyed on key_cols and two projections of
+    its result unioned — the join result is reused, so the cost is a
+    single co-shuffle of the two snapshots however wide the dimension;
+    at 100 TB both snapshots live bucketed by the key and the join
+    plans with zero Exchange (sources/bucketing.py discipline).
+    Null-safe equality (<=>) per tracked column: a NULL -> value or
+    value -> NULL transition IS a change."""
+    keys = list(key_cols)
+    tracked = list(tracked_cols)
+    o = snap_old.select(
+        *[F.col(k).alias(f"_ko_{k}") for k in keys],
+        *[F.col(c).alias(f"_o_{c}") for c in tracked],
+    )
+    n = snap_new.select(
+        *[F.col(k).alias(f"_kn_{k}") for k in keys],
+        *[F.col(c).alias(f"_n_{c}") for c in tracked],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"_ko_{k}") == F.col(f"_kn_{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"_ko_{keys[0]}").isNotNull()
+    in_new = F.col(f"_kn_{keys[0]}").isNotNull()
+    same = None
+    for c in tracked:
+        eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(in_old & in_new & same, F.lit("unchanged"))
+        .when(in_old & in_new, F.lit("changed"))
+        .when(in_old, F.lit("deleted"))
+        .otherwise(F.lit("inserted"))
+    )
+    j = j.select(
+        *[
+            F.coalesce(F.col(f"_ko_{k}"), F.col(f"_kn_{k}")).alias(k)
+            for k in keys
+        ],
+        *[F.col(f"_o_{c}") for c in tracked],
+        *[F.col(f"_n_{c}") for c in tracked],
+        change.alias("change"),
+    )
+    # open rows: the surviving version per key (old values when
+    # unchanged, new values when changed/inserted; none when deleted)
+    open_rows = j.filter(F.col("change") != "deleted").select(
+        *keys,
+        *[
+            F.when(
+                F.col("change") == "unchanged", F.col(f"_o_{c}")
+            )
+            .otherwise(F.col(f"_n_{c}"))
+            .alias(c)
+            for c in tracked
+        ],
+        F.when(F.col("change") == "unchanged", F.lit(old_ts))
+        .otherwise(F.lit(new_ts))
+        .alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        "change",
+    )
+    # closed rows: the superseded/removed old version
+    closed_rows = j.filter(
+        F.col("change").isin("changed", "deleted")
+    ).select(
+        *keys,
+        *[F.col(f"_o_{c}").alias(c) for c in tracked],
+        F.lit(old_ts).alias("valid_from"),
+        F.lit(new_ts).alias("valid_to"),
+        F.lit(False).alias("is_current"),
+        "change",
+    )
+    return open_rows.unionByName(closed_rows)

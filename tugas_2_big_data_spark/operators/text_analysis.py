@@ -1018,3 +1018,133 @@ def bigram_perplexity(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg("_nlp"), 6).alias("mean_neg_log2_prob"),
     )
+
+
+def ngram_char_fracs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 5,
+    round_to: int = 9,
+    with_counts: bool = False,
+) -> DataFrame:
+    """Gopher-style N-GRAM repetition signals (Rae et al. 2021 §A1.1,
+    the n-gram half of the rule set whose word half is
+    `repetition_exprs`):
+
+    - top_ngram_char_frac: character share of the HEAVIEST top_n-gram,
+      weight = occurrences x non-space characters (the
+      occurrence-count argmax with char weight folded in, which keeps
+      the statistic deterministic under count ties without a gram-text
+      tiebreak);
+    - dup_ngram_char_frac: character share of all dup_n-gram
+      occurrences whose gram appears more than once (the standard
+      occurrences-x-length approximation of Gopher's covered-character
+      rule; overlapping occurrences are double-counted, so the value
+      can exceed 1 on degenerate repetition — exactly the docs the
+      rule exists to kill).
+
+    Shares are of the doc's NON-SPACE character count. All in-row
+    HOFs over a materialized words array — map-only at any scale, the
+    per-row cost is O(distinct_grams x grams) like repetition_exprs.
+    Empty/short docs yield 0.0 for fractions they cannot express.
+
+    ``with_counts`` additionally emits (n_words, n_chars_nospace) —
+    free columns already computed mid-pipeline, so a composite gate
+    (txt_quality_gate) stays a single map-only pass instead of
+    joining a second derivation of the same corpus.
+    """
+
+    def _gram_pairs(grams: F.Column) -> F.Column:
+        # per distinct gram: (occurrences, non-space chars)
+        return F.transform(
+            F.array_distinct(grams),
+            lambda g: F.struct(
+                F.size(F.filter(grams, lambda x: x == g)).alias("c"),
+                F.length(F.regexp_replace(g, r"\s", "")).alias("l"),
+            ),
+        )
+
+    toks = df.select(
+        F.col(id_col),
+        hashing.words(F.lower(F.col(text_col))).alias("_w"),
+        F.length(
+            F.regexp_replace(F.trim(F.col(text_col)), r"\s", "")
+        ).cast("double").alias("_nc"),
+    )
+    grams = toks.select(
+        F.col(id_col),
+        "_nc",
+        F.size("_w").cast("long").alias("_nw"),
+        hashing.word_shingles(F.col("_w"), top_n).alias("_gt"),
+        hashing.word_shingles(F.col("_w"), dup_n).alias("_gd"),
+    )
+    pairs = grams.select(
+        F.col(id_col),
+        "_nc",
+        "_nw",
+        _gram_pairs(F.col("_gt")).alias("_pt"),
+        _gram_pairs(F.col("_gd")).alias("_pd"),
+    )
+    top_frac = F.when(
+        (F.col("_nc") > 0) & (F.size("_pt") > 0),
+        F.array_max(
+            F.transform(F.col("_pt"), lambda p: p["c"] * p["l"])
+        ).cast("double")
+        / F.col("_nc"),
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        F.col("_nc") > 0,
+        F.aggregate(
+            F.filter(F.col("_pd"), lambda p: p["c"] > 1),
+            F.lit(0.0),
+            lambda acc, p: acc + (p["c"] * p["l"]).cast("double"),
+        )
+        / F.col("_nc"),
+    ).otherwise(F.lit(0.0))
+    extra = (
+        [
+            F.col("_nw").alias("n_words"),
+            F.col("_nc").alias("n_chars_nospace"),
+        ]
+        if with_counts
+        else []
+    )
+    return pairs.select(
+        F.col(id_col),
+        F.round(top_frac, round_to).alias("top_ngram_char_frac"),
+        F.round(dup_frac, round_to).alias("dup_ngram_char_frac"),
+        *extra,
+    )
+
+
+def postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverted-index build: one posting row per (word, doc) with term
+    frequency and the sorted in-doc positions array — the IR-side
+    artifact a retrieval pipeline materializes next to the corpus
+    (BM25/tf-idf serve FROM this instead of re-tokenizing).
+
+    Plan: posexplode of the words array (1-based positions), ONE hash
+    aggregate keyed (word, doc) with map-side partial combine —
+    positions collect within the aggregate and are sort_array'd for
+    cross-engine determinism. At 100 TB the output is stored
+    bucketed/sorted by word so term lookups prune; the build itself is
+    a single shuffle of (word, doc, pos) tuples."""
+    w = df.select(
+        F.col(id_col),
+        F.posexplode(hashing.words(F.lower(F.col(text_col)))).alias(
+            "_p", "word"
+        ),
+    ).filter(F.col("word") != "")
+    return (
+        w.groupBy("word", id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.sort_array(F.collect_list(F.col("_p") + 1)).alias("positions"),
+        )
+    )

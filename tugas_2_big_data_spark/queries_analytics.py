@@ -1686,3 +1686,192 @@ def sketch_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= _HLL_BOUND
         ).alias("within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# key-skew profiling, Markov transitions, SCD2 snapshot merge
+# ---------------------------------------------------------------------------
+
+_KEY_SKEW_SQL = """
+WITH pk AS (
+  SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+    CAST(sum(cnt) AS DOUBLE) AS total,
+    CAST(max(cnt) AS DOUBLE) / (CAST(sum(cnt) AS DOUBLE) / count(*))
+      AS skew,
+    log2(CAST(sum(cnt) AS DOUBLE))
+      - sum(cnt * log2(CAST(cnt AS DOUBLE))) / sum(cnt) AS entropy
+  FROM pk
+)
+SELECT key, CAST(cnt AS BIGINT) AS cnt,
+  round(cnt / st.total, 9) AS share,
+  rk, st.n_keys,
+  round(st.skew, 9) AS skew_ratio,
+  round(st.entropy, 9) AS key_entropy
+FROM (
+  SELECT key, cnt,
+    CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT) AS rk
+  FROM pk
+) t CROSS JOIN st
+WHERE rk <= 20
+"""
+
+
+@register("profile_key_skew", _KEY_SKEW_SQL)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (profiling.key_skew_profile): top-20
+    heaviest user_ids with row share, plus n_keys / skew_ratio
+    (max over mean key count) / Shannon key entropy repeated per row —
+    the measurement run BEFORE choosing salting or AQE skew-join at
+    100 TB (operators/skew.py is the mitigation this feeds). One hash
+    aggregate over the corpus, then sketch-sized stats + TakeOrdered
+    top-k; the corpus is scanned once and never re-shuffled."""
+    from tugas_2_big_data_spark.operators import profiling
+
+    return profiling.key_skew_profile(
+        load_table(spark, "events", sf_dir), "user_id", top_k=20
+    )
+
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+    lead(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+    ) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+    count(*) AS cnt
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(cnt AS BIGINT) AS cnt,
+  round(CAST(cnt AS DOUBLE)
+    / sum(cnt) OVER (PARTITION BY from_type), 9) AS p
+FROM c
+"""
+
+
+@register("evt_markov_transitions", _MARKOV_SQL)
+def evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the behavioral model
+    behind session simulation and next-event prediction baselines.
+    Plan: ONE user_id shuffle carries the lead() window (deterministic
+    (ts, event_id) order), then a (from, to) hash aggregate whose
+    output is |types|² rows whatever the corpus size; the
+    normalization window runs over those bounded rows only."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wn = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double") / F.sum("cnt").over(wn), 9
+        ).alias("p"),
+    )
+
+
+# Two deterministic snapshots derived from the customer dim on both
+# engines: the new snapshot updates acctbal for every 10th key, drops
+# every 17th, and inserts a +900000-shifted copy of every 25th.
+_SCD2_SQL = """
+WITH snap_old AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+),
+snap_new AS (
+  SELECT c_custkey, c_name,
+    CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+         ELSE c_acctbal END AS c_acctbal,
+    c_mktsegment
+  FROM customer WHERE c_custkey % 17 <> 0
+  UNION ALL
+  SELECT c_custkey + 900000, c_name, c_acctbal + 1.0, c_mktsegment
+  FROM customer WHERE c_custkey % 25 = 0
+),
+j AS (
+  SELECT o.c_custkey AS ko, n.c_custkey AS kn,
+    o.c_name AS o_name, o.c_acctbal AS o_bal, o.c_mktsegment AS o_seg,
+    n.c_name AS n_name, n.c_acctbal AS n_bal, n.c_mktsegment AS n_seg,
+    CASE
+      WHEN o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+        AND o.c_name = n.c_name AND o.c_acctbal = n.c_acctbal
+        AND o.c_mktsegment = n.c_mktsegment THEN 'unchanged'
+      WHEN o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+        THEN 'changed'
+      WHEN o.c_custkey IS NOT NULL THEN 'deleted'
+      ELSE 'inserted'
+    END AS change
+  FROM snap_old o FULL OUTER JOIN snap_new n
+    ON o.c_custkey = n.c_custkey
+)
+SELECT coalesce(ko, kn) AS c_custkey,
+  CASE WHEN change = 'unchanged' THEN o_name ELSE n_name END AS c_name,
+  CASE WHEN change = 'unchanged' THEN o_bal ELSE n_bal END AS c_acctbal,
+  CASE WHEN change = 'unchanged' THEN o_seg ELSE n_seg END
+    AS c_mktsegment,
+  CASE WHEN change = 'unchanged' THEN '2026-01-01'
+       ELSE '2026-02-01' END AS valid_from,
+  CAST(NULL AS VARCHAR) AS valid_to,
+  true AS is_current, change
+FROM j WHERE change <> 'deleted'
+UNION ALL
+SELECT ko, o_name, o_bal, o_seg,
+  '2026-01-01' AS valid_from, '2026-02-01' AS valid_to,
+  false AS is_current, change
+FROM j WHERE change IN ('changed', 'deleted')
+"""
+
+
+@register("dim_scd2_customers", _SCD2_SQL)
+def dim_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 derivation from two full dimension snapshots
+    (snapshots.scd2_merge): per key — unchanged carries the open row,
+    changed closes the old version and opens the new, deleted closes,
+    inserted opens; `change` records the classification. This is the
+    history-keeping upgrade of the reference's drop-and-replace sink
+    (SURVEY.md §2.2 K2): same full-dump input, AS-OF queryable output.
+    ONE full-outer join keyed on the dim key feeding two unioned
+    projections; at 100 TB both snapshots live bucketed by key and the
+    join plans exchange-free."""
+    from tugas_2_big_data_spark.operators import snapshots
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    snap_new = cust.filter(F.col("c_custkey") % 17 != 0).select(
+        "c_custkey",
+        "c_name",
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100.0
+        ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        "c_mktsegment",
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 25 == 0).select(
+            (F.col("c_custkey") + 900000).alias("c_custkey"),
+            "c_name",
+            (F.col("c_acctbal") + 1.0).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+    )
+    return snapshots.scd2_merge(
+        cust,
+        snap_new,
+        key_cols=["c_custkey"],
+        tracked_cols=["c_name", "c_acctbal", "c_mktsegment"],
+        old_ts="2026-01-01",
+        new_ts="2026-02-01",
+    )

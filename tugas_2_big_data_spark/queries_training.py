@@ -5562,3 +5562,298 @@ def sketch_histogram_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher n-gram repetition + composite quality gate
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus has no 5-gram repetition (random word streams),
+# so the repetition queries PLANT it deterministically on both engines:
+# every 7th doc gets its own first-5-word gram appended three times —
+# the same planting discipline as the dedup corpus and txt_pii_scrub.
+_REP_CORPUS_SQL = r"""
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN
+      trim(text) || ' ' || g || ' ' || g || ' ' || g
+    ELSE trim(text) END AS text
+  FROM (
+    SELECT doc_id, text,
+      array_to_string(list_slice(
+        string_split_regex(lower(trim(text)), '\s+'), 1, 5), ' ') AS g
+    FROM documents
+  )
+"""
+
+
+def _rep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    w = docs.select(
+        "doc_id",
+        F.trim(F.col("text")).alias("_t"),
+        hashing.words(F.lower(F.trim(F.col("text")))).alias("_w"),
+    )
+    g = F.concat_ws(" ", F.slice(F.col("_w"), 1, 5))
+    return w.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat_ws(" ", F.col("_t"), g, g, g),
+        )
+        .otherwise(F.col("_t"))
+        .alias("text"),
+    )
+
+
+def _gopher_ngram_ctes(src: str) -> str:
+    """DuckDB replay of text_analysis.ngram_char_fracs over any
+    (doc_id, text) source: per-doc 2-gram/5-gram distinct-gram
+    (count, chars) pairs via in-list lambdas — the same in-row shape
+    as the Spark HOFs."""
+    return rf"""
+toks AS (
+  SELECT doc_id,
+    string_split_regex(lower(trim(text)), '\s+') AS w,
+    CAST(length(regexp_replace(trim(text), '\s', '', 'g')) AS DOUBLE) AS nc
+  FROM ({src})
+),
+grams AS (
+  SELECT doc_id, nc,
+    CASE WHEN len(w) >= 2 THEN
+      list_transform(range(1, len(w)),
+        i -> array_to_string(list_slice(w, i, i + 1), ' '))
+    ELSE [] END AS gt,
+    CASE WHEN len(w) >= 5 THEN
+      list_transform(range(1, len(w) - 3),
+        i -> array_to_string(list_slice(w, i, i + 4), ' '))
+    ELSE [] END AS gd
+  FROM toks
+),
+gpairs AS (
+  SELECT doc_id, nc,
+    list_transform(list_distinct(gt), g -> struct_pack(
+      c := len(list_filter(gt, x -> x = g)),
+      l := length(replace(g, ' ', '')))) AS pt,
+    list_transform(list_distinct(gd), g -> struct_pack(
+      c := len(list_filter(gd, x -> x = g)),
+      l := length(replace(g, ' ', '')))) AS pd
+  FROM grams
+),
+fracs AS (
+  SELECT doc_id,
+    round(CASE WHEN nc > 0 AND len(pt) > 0 THEN
+      CAST(list_max(list_transform(pt, p -> p.c * p.l)) AS DOUBLE) / nc
+      ELSE 0.0 END, 9) AS top_ngram_char_frac,
+    round(CASE WHEN nc > 0 THEN
+      coalesce(list_sum(list_transform(list_filter(pd, p -> p.c > 1),
+        p -> CAST(p.c * p.l AS DOUBLE))), 0.0) / nc
+      ELSE 0.0 END, 9) AS dup_ngram_char_frac
+  FROM gpairs
+)"""
+
+
+_GOPHER_SQL = f"""
+WITH {_gopher_ngram_ctes(_REP_CORPUS_SQL)}
+SELECT doc_id, top_ngram_char_frac, dup_ngram_char_frac FROM fracs
+"""
+
+
+@register("txt_gopher_ngrams", _GOPHER_SQL)
+def txt_gopher_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher n-gram repetition rules
+    (text_analysis.ngram_char_fracs): character share of the heaviest
+    2-gram and of duplicated 5-gram occurrences — the n-gram half of
+    the Gopher repetition rule set (the word half is txt_repetition).
+    In-row HOFs over the materialized words array, map-only at any
+    scale; the oracle replays the gram construction, the
+    occurrences-x-chars weighting, and the 9-decimal rounding. The
+    planted every-7th-doc repetition makes the dup-5-gram signal
+    non-degenerate on the synthetic corpus (it is exactly 0 on random
+    word streams)."""
+    return text_analysis.ngram_char_fracs(_rep_corpus(spark, sf_dir))
+
+
+# gate thresholds (Gopher-flavored; fixed literals shared with the
+# oracle): rule name -> the doc FAILS when the predicate holds
+_GATE_MIN_WORDS = 20
+_GATE_MAX_WORDS = 1000
+_GATE_MWL_LO = 3.0
+_GATE_MWL_HI = 10.0
+_GATE_TOP2 = 0.20
+_GATE_DUP5 = 0.15
+
+_QUALITY_GATE_SQL = f"""
+WITH {_gopher_ngram_ctes(_REP_CORPUS_SQL)},
+sig AS (
+  SELECT t.doc_id,
+    len(t.w) AS n_words,
+    CASE WHEN len(t.w) > 0 THEN t.nc / len(t.w) ELSE 0.0 END AS mwl,
+    f.top_ngram_char_frac AS top2,
+    f.dup_ngram_char_frac AS dup5
+  FROM toks t JOIN fracs f USING (doc_id)
+),
+gated AS (
+  SELECT doc_id,
+    list_filter([
+      CASE WHEN n_words < {_GATE_MIN_WORDS} THEN 'min_words' END,
+      CASE WHEN n_words > {_GATE_MAX_WORDS} THEN 'max_words' END,
+      CASE WHEN mwl < {_GATE_MWL_LO} OR mwl > {_GATE_MWL_HI}
+        THEN 'word_len' END,
+      CASE WHEN top2 > {_GATE_TOP2} THEN 'top_2gram' END,
+      CASE WHEN dup5 > {_GATE_DUP5} THEN 'dup_5gram' END
+    ], x -> x IS NOT NULL) AS rs
+  FROM sig
+)
+SELECT doc_id, len(rs) = 0 AS keep,
+  CAST(len(rs) AS INT) AS n_failed,
+  coalesce(array_to_string(rs, ','), '') AS reasons
+FROM gated
+"""
+
+
+@register("txt_quality_gate", _QUALITY_GATE_SQL)
+def txt_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style quality GATE: every doc gets a keep/drop
+    verdict plus the named rules it failed (word-count bounds, mean
+    word length bounds, top-2-gram and dup-5-gram character
+    fractions) — the curation decision record a 100-TB pipeline
+    persists next to the corpus so drops are auditable. Signals are
+    the map-only expressions of ngram_char_fracs plus two in-row
+    stats; the rule list is a fixed-order literal array on both
+    engines, so `reasons` is value-comparable without sorting. Single
+    map-only pass: the fracs operator emits its mid-pipeline word and
+    char counts (with_counts), so no second corpus derivation is
+    joined back — zero shuffles end to end."""
+    docs = _rep_corpus(spark, sf_dir)
+    j = text_analysis.ngram_char_fracs(docs, with_counts=True).select(
+        "doc_id",
+        "top_ngram_char_frac",
+        "dup_ngram_char_frac",
+        "n_words",
+        F.when(
+            F.col("n_words") > 0,
+            F.col("n_chars_nospace") / F.col("n_words"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mwl"),
+    )
+    rules = F.filter(
+        F.array(
+            F.when(F.col("n_words") < _GATE_MIN_WORDS, F.lit("min_words")),
+            F.when(F.col("n_words") > _GATE_MAX_WORDS, F.lit("max_words")),
+            F.when(
+                (F.col("mwl") < _GATE_MWL_LO) | (F.col("mwl") > _GATE_MWL_HI),
+                F.lit("word_len"),
+            ),
+            F.when(
+                F.col("top_ngram_char_frac") > _GATE_TOP2, F.lit("top_2gram")
+            ),
+            F.when(
+                F.col("dup_ngram_char_frac") > _GATE_DUP5, F.lit("dup_5gram")
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return j.select(
+        "doc_id",
+        (F.size(rules) == 0).alias("keep"),
+        F.size(rules).cast("int").alias("n_failed"),
+        F.concat_ws(",", rules).alias("reasons"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# inverted-index build (postings)
+# ---------------------------------------------------------------------------
+
+_POSTINGS_SQL = r"""
+SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf,
+  list(pos ORDER BY pos) AS positions
+FROM (
+  SELECT doc_id, w[u.i] AS word, CAST(u.i AS BIGINT) AS pos
+  FROM (
+    SELECT doc_id,
+      string_split_regex(lower(trim(text)), '\s+') AS w
+    FROM documents
+  ), unnest(range(1, len(w) + 1)) AS u(i)
+)
+WHERE word <> ''
+GROUP BY word, doc_id
+"""
+
+
+@register("txt_postings", _POSTINGS_SQL)
+def txt_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (text_analysis.postings): one posting row
+    per (word, doc) with tf and sorted in-doc positions — the
+    retrieval-side artifact BM25/tf-idf serve from without
+    re-tokenizing the corpus. Single posexplode + one (word, doc) hash
+    aggregate; at 100 TB the output is written bucketed by word so
+    term lookups prune (sources/bucketing.py)."""
+    return text_analysis.postings(
+        load_table(spark, "documents", sf_dir)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the verified near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    parts = [
+        f"pairs AS ({_LSH_PAIRS_SQL})",
+        """edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+)""",
+        "nodes AS (SELECT DISTINCT src AS v FROM edges)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        """deg AS (
+  SELECT src AS v, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY 1
+)""",
+        "r0 AS (SELECT v, 1.0 / nn.n AS pr FROM nodes, nn)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""r{t} AS (
+  SELECT n.v,
+    (1.0 - {damping}) / nn.n
+      + {damping} * coalesce(sum(r.pr / dg.d), 0.0) AS pr
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN edges e ON e.dst = n.v
+  LEFT JOIN r{t - 1} r ON r.v = e.src
+  LEFT JOIN deg dg ON dg.v = e.src
+  GROUP BY n.v, nn.n
+)""")
+    joined = ",\n".join(parts)
+    return (
+        f"WITH {joined}\n"
+        f"SELECT v AS doc_id, round(pr, 9) AS pagerank FROM r{iters}"
+    )
+
+
+@register("graph_pagerank", _pagerank_sql(iters=5))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (graph.pagerank_fixed, 5 iterations,
+    d=0.85) over the verified near-dup pair graph — centrality over
+    the duplicate graph ranks the documents whose content radiates
+    through the corpus (the canonical-pick signal
+    curate_near_dup_keep_best approximates with length). Fixed
+    iterations make the result a closed-form function of the edge set:
+    the oracle chains one CTE per iteration and value-compares the
+    9-decimal-rounded ranks. Per iteration: one edges-ranks join + one
+    dst aggregate, iterates localCheckpointed (fixpoint discipline of
+    connected_components)."""
+    from tugas_2_big_data_spark.operators import graph
+
+    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint()
+    sig = dedup.minhash_signatures_from_sets(sets, k=8)
+    cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
+    pairs = dedup.jaccard_verify_sets(sets, cand, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    edges = graph.symmetrize(pairs)
+    return graph.pagerank_fixed(edges, iters=5, damping=0.85).select(
+        F.col("v").alias("doc_id"), "pagerank"
+    )
