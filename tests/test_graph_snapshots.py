@@ -145,3 +145,65 @@ def test_postings_positions_and_tf(spark):
     assert rows[("x", 1)] == (2, [1, 3])
     assert rows[("y", 1)] == (1, [2])
     assert rows[("y", 2)] == (1, [1])
+
+
+def test_cdc_apply_latest_wins_and_delete_removes(spark):
+    log = spark.createDataFrame(
+        [
+            (1, 1, "I", "a"), (1, 2, "U", "b"),           # update wins
+            (2, 1, "I", "x"), (2, 2, "D", None),           # deleted
+            (3, 5, "I", "only"),                           # single insert
+            (4, 7, "D", None), (4, 7, "U", "tie"),         # tie: U > D
+        ],
+        "k long, seq long, op string, val string",
+    )
+    out = {r.k: (r.op, r.val) for r in snapshots.cdc_apply(
+        log, ["k"], "seq"
+    ).collect()}
+    assert out == {1: ("U", "b"), 3: ("I", "only"), 4: ("U", "tie")}
+
+
+def test_k_hop_reach_path_graph(spark):
+    # path 1-2-3-4-5: within 3 hops node 1 reaches {2,3,4}, node 3 all
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    r = {x.v: x.n_reachable for x in graph.k_hop_reach(e, k=3).collect()}
+    assert r == {1: 3, 2: 4, 3: 4, 4: 4, 5: 3}
+
+
+def test_mutual_information_known_cases(spark):
+    # independent: MI = 0; identical: MI = H(A)
+    rows = [(a, b) for a in ("x", "y") for b in (0, 1) for _ in range(5)]
+    ind = spark.createDataFrame(rows, "a string, b long")
+    r = profiling.mutual_information(ind, "a", "b").collect()[0]
+    assert r.mi_bits == pytest.approx(0.0, abs=1e-9)
+    assert r.h_a_bits == pytest.approx(1.0, abs=1e-9)
+    same = spark.createDataFrame(
+        [("x", 0)] * 5 + [("y", 1)] * 5, "a string, b long"
+    )
+    r2 = profiling.mutual_information(same, "a", "b").collect()[0]
+    assert r2.mi_bits == pytest.approx(1.0, abs=1e-9)
+    assert r2.mi_bits == pytest.approx(r2.h_a_bits, abs=1e-9)
+
+
+def test_covariance_top_eigen_matches_numpy(spark):
+    import numpy as np
+
+    from tugas_2_big_data_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    # anisotropic cloud: a dominant direction exists
+    base = rng.standard_normal((200, 8))
+    base[:, 2] *= 4.0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.covariance_top_eigen(emb, dim=8, iters=30).collect()
+    got = np.zeros(8)
+    for r in out:
+        got[r.dim] = r.loading
+    lam = out[0].eigenvalue
+    c = np.cov(base.astype(np.float64).T, bias=True)
+    w, v = np.linalg.eigh(c)
+    ref = v[:, -1]
+    ref = ref * np.sign(ref[np.argmax(np.abs(ref))])
+    assert np.allclose(got, ref, atol=1e-4)
+    assert lam == pytest.approx(w[-1], rel=1e-4)

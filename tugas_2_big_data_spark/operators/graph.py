@@ -120,3 +120,39 @@ def degree_stats(edges: DataFrame) -> DataFrame:
             F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
         )
     )
+
+
+def k_hop_reach(edges: DataFrame, k: int = 3) -> DataFrame:
+    """(v, n_reachable) — how many OTHER nodes each node reaches within
+    k hops. The blast-radius statistic over a near-dup graph: a doc
+    with a large k-hop neighborhood sits in a dense duplication family
+    (candidate for aggressive collapse), an n_reachable of 1-2 is an
+    isolated pair.
+
+    Plan: frontier expansion as k joins on the edge relation with a
+    DISTINCT per round (reach sets, not walks); the reach relation is
+    localCheckpointed per hop — the same bounded-iteration discipline
+    as pagerank_fixed, with output bounded by sum of reach-set sizes
+    (at 100 TB this is run on the near-dup graph, which is sparse by
+    construction — LSH only emits verified pairs). Edges are
+    materialized once up front for the same reason as pagerank_fixed.
+    """
+    edges = edges.localCheckpoint(eager=True)
+    reach = edges.select("src", "dst").distinct()
+    for _ in range(k - 1):
+        expanded = (
+            reach.join(
+                edges.select(
+                    F.col("src").alias("dst"), F.col("dst").alias("_nxt")
+                ),
+                "dst",
+            )
+            .select("src", F.col("_nxt").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        reach = (
+            reach.unionByName(expanded).distinct().localCheckpoint(eager=True)
+        )
+    return reach.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_reachable")
+    )

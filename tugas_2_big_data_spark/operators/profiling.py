@@ -210,3 +210,66 @@ def key_skew_profile(
         F.round("_skew", round_to).alias("skew_ratio"),
         F.round("_entropy", round_to).alias("key_entropy"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 9,
+) -> DataFrame:
+    """One-row (mi_bits, h_a_bits, h_b_bits, n) — Shannon mutual
+    information and marginal entropies between two categorical
+    columns: the dependence screen a profiling pass runs to find
+    redundant columns (MI ~ min(H) means one determines the other)
+    and candidate partition keys (MI ~ 0 against the filter column
+    means partitioning by it will not prune).
+
+    Plan: ONE (a, b) hash aggregate over the corpus (map-side
+    partial), output |A| x |B| cells; marginals and the MI sum are
+    window/aggregate arithmetic over those bounded cells — the corpus
+    is scanned once, never re-shuffled. MI = sum p(a,b) *
+    log2(p(a,b) / (p(a) p(b)))."""
+    joint = df.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    wa = Window.partitionBy("_a")
+    wb = Window.partitionBy("_b")
+    wt = Window.partitionBy()
+    cells = joint.select(
+        "_c",
+        F.sum("_c").over(wa).alias("_ca"),
+        F.sum("_c").over(wb).alias("_cb"),
+        F.sum("_c").over(wt).alias("_n"),
+    )
+    # marginal entropies fold into the same cell scan: summing
+    # (c/n)·log2(ca/n) over ALL (a,b) cells equals summing
+    # (ca/n)·log2(ca/n) over distinct a, because the cells of one a
+    # partition its marginal count
+    return cells.agg(
+        F.round(
+            F.sum(
+                (F.col("_c") / F.col("_n"))
+                * F.log2(
+                    (F.col("_c") * F.col("_n"))
+                    / (F.col("_ca") * F.col("_cb"))
+                )
+            ),
+            round_to,
+        ).alias("mi_bits"),
+        F.round(
+            -F.sum(
+                (F.col("_c") / F.col("_n"))
+                * F.log2(F.col("_ca") / F.col("_n"))
+            ),
+            round_to,
+        ).alias("h_a_bits"),
+        F.round(
+            -F.sum(
+                (F.col("_c") / F.col("_n"))
+                * F.log2(F.col("_cb") / F.col("_n"))
+            ),
+            round_to,
+        ).alias("h_b_bits"),
+        F.max("_n").cast("long").alias("n"),
+    )

@@ -2605,3 +2605,81 @@ def compact_index_relation(
     # the unconditional rmtree deleted it on the next run).
     spark.read.parquet(rel).schema
     shutil.rmtree(old)
+
+
+def covariance_top_eigen(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Dominant eigenvector of the embedding covariance matrix by
+    FIXED-count power iteration -> (dim, loading, eigenvalue) rows:
+    the first principal axis an embedding pipeline inspects before
+    whitening/PCA (a single direction holding most variance means the
+    encoder collapsed, and ANN recall targets are unreachable).
+
+    Deterministic closed form (fixed iterations from the uniform
+    start, like graph.pagerank_fixed) so the oracle replays every
+    matvec; sign fixed by the loading with the largest |value| (ties
+    by dim asc) being positive — eigenvectors are sign-ambiguous.
+    eigenvalue = ||C v|| of the LAST matvec (the Rayleigh limit for a
+    PSD covariance).
+
+    Plan: the corpus is touched ONCE (embedding_covariance's single
+    pass); every iteration is sketch-sized — a d^2-cell x d-row
+    broadcast join and a d-row aggregate — so iterating costs nothing
+    corpus-shaped. Loadings get the +0.0 signed-zero fold
+    (emb_covariance lesson: near-zero loadings can round to -0.0 with
+    engine-dependent sign)."""
+    import math as _math
+
+    tri = embedding_covariance(
+        df, vec_col=vec_col, id_col=id_col, round_to=12
+    )
+    full = tri.unionByName(
+        tri.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    ).localCheckpoint(eager=True)
+    v = (
+        full.select(F.col("i").alias("d"))
+        .distinct()
+        .select("d", F.lit(1.0 / _math.sqrt(dim)).alias("x"))
+    )
+    nrm = None
+    for _ in range(iters):
+        y = (
+            full.join(F.broadcast(v), full.j == v.d)
+            .groupBy("i")
+            .agg(F.sum(F.col("cov") * F.col("x")).alias("y"))
+        )
+        nrm = y.agg(
+            F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("_nrm")
+        )
+        v = (
+            y.crossJoin(F.broadcast(nrm))
+            .select(
+                F.col("i").alias("d"),
+                (F.col("y") / F.col("_nrm")).alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sign = (
+        v.orderBy(F.abs(F.col("x")).desc(), F.col("d").asc())
+        .limit(1)
+        .select(F.signum("x").alias("_s"))
+    )
+    return (
+        v.crossJoin(F.broadcast(sign))
+        .crossJoin(F.broadcast(nrm))
+        .select(
+            F.col("d").cast("int").alias("dim"),
+            (F.round(F.col("x") * F.col("_s"), round_to) + F.lit(0.0)).alias(
+                "loading"
+            ),
+            F.round(F.col("_nrm"), round_to).alias("eigenvalue"),
+        )
+    )

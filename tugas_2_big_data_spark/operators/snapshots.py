@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def scd2_merge(
@@ -116,3 +116,38 @@ def scd2_merge(
         "change",
     )
     return open_rows.unionByName(closed_rows)
+
+
+def cdc_apply(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Collapse a CDC changelog (insert/update/delete events with a
+    total per-key order) to the final table state: the LATEST event
+    per key wins; keys whose latest event is a delete disappear.
+
+    This is the batch compaction half of a CDC ingest (the streaming
+    half is a foreachBatch fold over the same logic): given the raw
+    append-only changelog a connector lands, produce the queryable
+    snapshot.
+
+    Plan: one window (key ORDER BY seq DESC) -> keep row_number 1,
+    filter deletes. A single shuffle keyed on the key; at 100 TB the
+    changelog lands bucketed by key (sources/bucketing.py) and the
+    window runs exchange-free. Ties on seq_col are broken by op DESC
+    so a same-sequence delete+upsert pair resolves deterministically
+    (U > I > D lexicographically — an upsert wins over a simultaneous
+    delete; real changelogs have unique sequence numbers)."""
+    keys = list(key_cols)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(seq_col).desc(), F.col(op_col).desc())
+    )
+    return (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("_rn")
+    )

@@ -1875,3 +1875,156 @@ def dim_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         old_ts="2026-01-01",
         new_ts="2026-02-01",
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply, mutual information, hour-of-day seasonal z-score
+# ---------------------------------------------------------------------------
+
+# Deterministic changelog derived from orders on both engines: one
+# event per order keyed by customer, ordered by (o_orderdate,
+# o_orderkey); every 50th F-status order is a delete of that
+# customer's profile row, everything else an upsert carrying the
+# order's totalprice.
+_CDC_SQL = """
+WITH changelog AS (
+  SELECT o_custkey AS k, o_orderdate AS ts, o_orderkey AS seq,
+    CASE WHEN o_orderstatus = 'F' AND o_orderkey % 50 = 0
+         THEN 'D' ELSE 'U' END AS op,
+    o_totalprice AS val
+  FROM orders
+),
+latest AS (
+  SELECT k, ts, seq, op, val,
+    row_number() OVER (
+      PARTITION BY k ORDER BY seq DESC, op DESC
+    ) AS rn
+  FROM changelog
+)
+SELECT k AS o_custkey, CAST(ts AS TIMESTAMP) AS ts,
+  seq AS o_orderkey, op, val AS o_totalprice
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register("cdc_apply_changelog", _CDC_SQL)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction (snapshots.cdc_apply): collapse an
+    append-only insert/update/delete stream to final table state —
+    latest event per key wins, keys whose latest event is a delete
+    disappear. The batch half of a CDC ingest (the foreachBatch
+    streaming fold shares the logic); pairs with dim_scd2_customers
+    as the two standard warehouse-maintenance derivations. One window
+    keyed on the key — a single shuffle, exchange-free when the
+    changelog lands bucketed by key."""
+    from tugas_2_big_data_spark.operators import snapshots
+
+    o = load_table(spark, "orders", sf_dir)
+    changelog = o.select(
+        F.col("o_custkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey"),
+        F.when(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderkey") % 50 == 0),
+            F.lit("D"),
+        )
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_totalprice"),
+    )
+    return snapshots.cdc_apply(
+        changelog, key_cols=["o_custkey"], seq_col="o_orderkey"
+    )
+
+
+_MI_SQL = """
+WITH joint AS (
+  SELECT event_type AS a, user_id % 10 AS b,
+    CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2
+),
+cells AS (
+  SELECT c,
+    sum(c) OVER (PARTITION BY a) AS ca,
+    sum(c) OVER (PARTITION BY b) AS cb,
+    sum(c) OVER () AS n
+  FROM joint
+)
+SELECT
+  round(sum((c / n) * log2((c * n) / (ca * cb))), 9) AS mi_bits,
+  round(-sum((c / n) * log2(ca / n)), 9) AS h_a_bits,
+  round(-sum((c / n) * log2(cb / n)), 9) AS h_b_bits,
+  CAST(max(n) AS BIGINT) AS n
+FROM cells
+"""
+
+
+@register("profile_mutual_info", _MI_SQL)
+def profile_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event_type and a user bucket
+    (profiling.mutual_information): the dependence screen that finds
+    redundant columns (MI ~ min(H): one determines the other) and
+    useless partition keys (MI ~ 0 against the filter column). ONE
+    (a, b) hash aggregate over the corpus; marginals and the MI sum
+    are window arithmetic over the |A| x |B| cells."""
+    from tugas_2_big_data_spark.operators import profiling
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", (F.col("user_id") % 10).alias("user_bucket")
+    )
+    return profiling.mutual_information(ev, "event_type", "user_bucket")
+
+
+_SEASONAL_SQL = """
+WITH hourly AS (
+  SELECT event_id, event_type, value,
+    CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INT) AS hr
+  FROM events WHERE value IS NOT NULL
+),
+profile AS (
+  SELECT event_type, hr, avg(value) AS mu,
+    nullif(stddev_samp(value), 0) AS sigma,
+    CAST(count(*) AS BIGINT) AS n
+  FROM hourly GROUP BY 1, 2
+)
+SELECT h.event_id, h.event_type, h.hr, h.value,
+  round((h.value - p.mu) / p.sigma, 9) + 0.0 AS seasonal_z
+FROM hourly h JOIN profile p USING (event_type, hr)
+WHERE p.sigma IS NOT NULL AND abs((h.value - p.mu) / p.sigma) > 2.5
+"""
+
+
+@register("evt_hourly_seasonal", _SEASONAL_SQL)
+def evt_hourly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly flags: z-scores against the
+    (event_type, hour-of-day) profile instead of the global per-type
+    stats (evt_value_zscore) — the deseasonalized upgrade that stops
+    flagging every nightly batch spike. The profile is |types| x 24
+    rows, broadcast back onto the single corpus scan; signed-zero
+    fold on the rounded z (emb_covariance lesson)."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull()
+    )
+    hourly = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.hour("ts").cast("int").alias("hr"),
+    )
+    profile = hourly.groupBy("event_type", "hr").agg(
+        F.avg("value").alias("mu"),
+        F.nullif(F.stddev_samp("value"), F.lit(0.0)).alias("sigma"),
+    ).filter(F.col("sigma").isNotNull())
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(profile), ["event_type", "hr"])
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            "hr",
+            "value",
+            (F.round(z, 9) + F.lit(0.0)).alias("seasonal_z"),
+        )
+    )

@@ -5857,3 +5857,164 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank_fixed(edges, iters=5, damping=0.85).select(
         F.col("v").alias("doc_id"), "pagerank"
     )
+
+
+# ---------------------------------------------------------------------------
+# covariance top eigenvector (power iteration), k-hop reach, upsampling
+# ---------------------------------------------------------------------------
+
+
+def _top_eigen_sql(iters: int = 8, dim: int = 64) -> str:
+    parts = [
+        f"dims AS MATERIALIZED (SELECT unnest(range(0, {dim})) AS d)",
+        f"""prods AS MATERIALIZED (
+  SELECT a.d AS i, b.d AS j,
+    CAST(embedding[a.d + 1] AS DOUBLE) * CAST(embedding[b.d + 1] AS DOUBLE)
+      AS p,
+    CAST(embedding[a.d + 1] AS DOUBLE) AS x
+  FROM embeddings, dims a, dims b
+  WHERE b.d >= a.d
+)""",
+        """cells AS MATERIALIZED (
+  SELECT i, j, sum(p) AS sp, count(*) AS n, sum(x) AS sx
+  FROM prods GROUP BY 1, 2
+)""",
+        "means AS MATERIALIZED (SELECT i AS d, sx / n AS m FROM cells WHERE i = j)",
+        """tri AS MATERIALIZED (
+  SELECT c.i, c.j, round(c.sp / c.n - mi.m * mj.m, 12) AS cov
+  FROM cells c
+  JOIN means mi ON c.i = mi.d
+  JOIN means mj ON c.j = mj.d
+)""",
+        """cfull AS MATERIALIZED (
+  SELECT i, j, cov FROM tri
+  UNION ALL
+  SELECT j AS i, i AS j, cov FROM tri WHERE i <> j
+)""",
+        f"v0 AS MATERIALIZED (SELECT d, 1.0 / sqrt({dim}) AS x FROM dims)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""y{t} AS MATERIALIZED (
+  SELECT f.i AS d, sum(f.cov * v.x) AS y
+  FROM cfull f JOIN v{t - 1} v ON v.d = f.j GROUP BY 1
+)""")
+        parts.append(f"n{t} AS MATERIALIZED (SELECT sqrt(sum(y * y)) AS nrm FROM y{t})")
+        parts.append(
+            f"v{t} AS MATERIALIZED (SELECT d, y / n{t}.nrm AS x FROM y{t}, n{t})"
+        )
+    parts.append(f"""sgn AS MATERIALIZED (
+  SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS s
+  FROM v{iters} ORDER BY abs(x) DESC, d ASC LIMIT 1
+)""")
+    joined = ",\n".join(parts)
+    return (
+        f"WITH {joined}\n"
+        f"SELECT CAST(v{iters}.d AS INT) AS dim,\n"
+        f"  round(v{iters}.x * sgn.s, 6) + 0.0 AS loading,\n"
+        f"  round(n{iters}.nrm, 6) AS eigenvalue\n"
+        f"FROM v{iters}, n{iters}, sgn"
+    )
+
+
+@register("emb_top_eigen", _top_eigen_sql(iters=8))
+def emb_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal axis of the embedding corpus
+    (similarity.covariance_top_eigen): 8 fixed power iterations over
+    the covariance matrix — the collapse check run before trusting
+    ANN recall targets (one axis holding most variance means the
+    encoder collapsed). Corpus touched once (the covariance pass);
+    every iteration is a d²-cell broadcast matvec — sketch-sized,
+    like pagerank's per-iteration cost is edge-sized. The oracle
+    chains one (matvec, norm) CTE pair per iteration and replays the
+    sign convention."""
+    return similarity.covariance_top_eigen(
+        load_table(spark, "embeddings", sf_dir), dim=64, iters=8
+    )
+
+
+def _khop_sql(k: int = 3) -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst, depth) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION
+  SELECT r.src, e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON e.src = r.dst
+  WHERE r.depth < {k} AND e.dst <> r.src
+)
+SELECT src AS doc_id,
+  CAST(count(DISTINCT dst) AS BIGINT) AS n_reachable
+FROM reach GROUP BY 1
+"""
+
+
+@register("graph_khop_reach", _khop_sql(3))
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop reach over the verified near-dup graph
+    (graph.k_hop_reach): per doc, how many other docs its duplication
+    family reaches within 3 hops — the blast-radius ranking that says
+    which families to collapse aggressively. Frontier expansion with a
+    per-hop DISTINCT (reach sets, not walks); the oracle is a
+    depth-bounded recursive CTE."""
+    from tugas_2_big_data_spark.operators import graph
+
+    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint()
+    sig = dedup.minhash_signatures_from_sets(sets, k=8)
+    cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
+    pairs = dedup.jaccard_verify_sets(sets, cand, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    return graph.k_hop_reach(graph.symmetrize(pairs), k=3).select(
+        F.col("v").alias("doc_id"), "n_reachable"
+    )
+
+
+_UPSAMPLE_SQL = """
+WITH counts AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+),
+factors AS (
+  SELECT lang, CAST(ceil(
+    CAST((SELECT max(n) FROM counts) AS DOUBLE) / n) AS INT) AS r
+  FROM counts
+)
+SELECT d.doc_id, d.lang, CAST(u.i AS INT) AS epoch
+FROM documents d
+JOIN factors f USING (lang),
+unnest(range(1, f.r + 1)) AS u(i)
+"""
+
+
+@register("mix_upsample_epochs", _UPSAMPLE_SQL)
+def mix_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-balancing by EPOCH UPSAMPLING — the complement of
+    mix_temperature_sample's downsampling: every language is repeated
+    ceil(max_n / n) times so low-resource strata see more epochs (the
+    multilingual pretraining recipe when the budget allows using all
+    high-resource data). Deterministic integer repetition via
+    posexplode(sequence(1, r)) — no RNG, no collect; the per-stratum
+    factor relation is lang-sized and broadcast. At 100 TB the
+    repetition is a read-plan property (each epoch is a re-scan),
+    not a materialized copy — this query emits the epoch table that
+    drives those scans."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    max_n = counts.agg(F.max("n").alias("_m"))
+    factors = counts.crossJoin(F.broadcast(max_n)).select(
+        "lang",
+        F.ceil(F.col("_m").cast("double") / F.col("n")).cast("int").alias("r"),
+    )
+    return (
+        docs.join(F.broadcast(factors), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.posexplode(F.sequence(F.lit(1), F.col("r"))).alias("_", "epoch"),
+        )
+        .select("doc_id", "lang", F.col("epoch").cast("int").alias("epoch"))
+    )
