@@ -207,3 +207,33 @@ def test_covariance_top_eigen_matches_numpy(spark):
     ref = ref * np.sign(ref[np.argmax(np.abs(ref))])
     assert np.allclose(got, ref, atol=1e-4)
     assert lam == pytest.approx(w[-1], rel=1e-4)
+
+
+def test_cdc_compact_is_associative(spark):
+    """compact(compact(A) ∪ B) == compact(A ∪ B) — the property the
+    streaming fold (run_streaming_cdc) relies on for micro-batching
+    invariance, including tombstone survival across folds."""
+    a = spark.createDataFrame(
+        [(1, 1, "I", "a"), (1, 2, "U", "b"), (2, 1, "I", "x"),
+         (3, 9, "D", None)],
+        "k long, seq long, op string, val string",
+    )
+    b = spark.createDataFrame(
+        [(1, 3, "D", None), (2, 2, "U", "y"),
+         (3, 5, "U", "stale")],  # older than key 3's tombstone
+        "k long, seq long, op string, val string",
+    )
+    folded = snapshots.cdc_compact(
+        snapshots.cdc_compact(a, ["k"], "seq").unionByName(b), ["k"], "seq"
+    )
+    direct = snapshots.cdc_compact(a.unionByName(b), ["k"], "seq")
+    key = lambda r: (r.k, r.seq, r.op, r.val)  # noqa: E731
+    assert sorted(map(key, folded.collect())) == sorted(
+        map(key, direct.collect())
+    )
+    # the stale key-3 update must NOT resurrect the deleted key
+    final = {r.k: r.op for r in direct.collect()}
+    assert final[3] == "D"
+    assert {r.k for r in snapshots.cdc_apply(
+        a.unionByName(b), ["k"], "seq"
+    ).collect()} == {2}

@@ -141,6 +141,25 @@ def cdc_apply(
     so a same-sequence delete+upsert pair resolves deterministically
     (U > I > D lexicographically — an upsert wins over a simultaneous
     delete; real changelogs have unique sequence numbers)."""
+    return cdc_compact(changelog, key_cols, seq_col, op_col).filter(
+        F.col(op_col) != delete_op
+    )
+
+
+def cdc_compact(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Latest event per key INCLUDING delete tombstones — the
+    associative inner step of `cdc_apply`: compact(compact(A) ∪ B) ==
+    compact(A ∪ B), because keeping the max-(seq, op) row per key is
+    a per-key max. Tombstones must survive compaction (dropping them
+    would let an older buffered event resurrect a deleted key when
+    batches are folded incrementally); `cdc_apply` filters them at
+    serve time. This is the state the streaming fold
+    (streaming/events.run_streaming_cdc) persists per micro-batch."""
     keys = list(key_cols)
     w = (
         Window.partitionBy(*keys)
@@ -148,6 +167,6 @@ def cdc_apply(
     )
     return (
         changelog.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .filter(F.col("_rn") == 1)
         .drop("_rn")
     )

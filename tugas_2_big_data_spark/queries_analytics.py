@@ -2028,3 +2028,48 @@ def evt_hourly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(z, 9) + F.lit(0.0)).alias("seasonal_z"),
         )
     )
+
+
+_INTERARRIVAL_SQL = """
+WITH seq AS (
+  SELECT event_type,
+    epoch_us(CAST(ts AS TIMESTAMP))
+      - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+        ) AS gap_us
+  FROM events
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_gaps,
+  round(avg(gap_us / 1e6), 6) AS mean_gap_s,
+  round(stddev_samp(gap_us / 1e6), 6) AS std_gap_s,
+  round(stddev_samp(gap_us / 1e6) / avg(gap_us / 1e6), 6)
+    AS burstiness_cv
+FROM seq WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("evt_interarrival_stats", _INTERARRIVAL_SQL)
+def evt_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time statistics per event type: mean/std gap and
+    the coefficient of variation (CV > 1 = bursty, CV ≈ 1 = Poisson,
+    CV < 1 = regular) — the traffic-shape profile behind capacity
+    planning and bot detection. One user_id window shuffle (gaps are
+    within each user's stream, attributed to the ARRIVING event's
+    type), then a |types|-row aggregate. Gap arithmetic in epoch
+    MICROSECONDS (exact integers on both engines) converted to
+    seconds only inside the rounded statistics."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    seq = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    g = F.col("gap_us") / 1e6
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.avg(g), 6).alias("mean_gap_s"),
+        F.round(F.stddev_samp(g), 6).alias("std_gap_s"),
+        F.round(F.stddev_samp(g) / F.avg(g), 6).alias("burstiness_cv"),
+    )

@@ -555,3 +555,64 @@ def stream_ann_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, index_path, q, nprobe=2, k=5
     ).select("query_id", "nbr_id", "cosine", "rk")
 
+
+
+# safe import: queries.py registers queries_analytics before this module
+from tugas_2_big_data_spark.queries_analytics import (  # noqa: E402
+    _CDC_SQL as _CDC_STREAM_SQL,
+)
+
+
+@register("stream_cdc_apply", _CDC_STREAM_SQL)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC ingest loop as a STREAMING drain
+    (streaming/events.run_streaming_cdc): the orders changelog arrives
+    as two micro-batch files, each folded into the latest-per-key
+    state (tombstones kept) via snapshots.cdc_compact before the next;
+    serving filters tombstones. compact(compact(A) ∪ B) ==
+    compact(A ∪ B) — per-key max is associative — so the drained
+    state equals batch compaction of the whole changelog however the
+    stream was micro-batched, and the query shares
+    cdc_apply_changelog's oracle verbatim. Closes the streaming
+    symmetry for the warehouse-maintenance loop (every incremental
+    loop in this engine has both batch and streaming forms)."""
+    import tempfile
+
+    from tugas_2_big_data_spark.sources.catalog import load_table
+
+    o = load_table(spark, "orders", sf_dir)
+    changelog = o.select(
+        F.col("o_custkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey"),
+        F.when(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderkey") % 50 == 0),
+            F.lit("D"),
+        )
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_totalprice"),
+    )
+    work = tempfile.mkdtemp(prefix="tugas2_stream_cdc_")
+    se.write_ingest_batches(
+        [
+            changelog.filter(F.col("o_orderkey") % 2 == 0),
+            changelog.filter(F.col("o_orderkey") % 2 == 1),
+        ],
+        f"{work}/batches",
+    )
+    final = se.run_streaming_cdc(
+        spark,
+        f"{work}/batches",
+        f"{work}/ckpt",
+        schema=(
+            "o_custkey long, ts timestamp, o_orderkey long, "
+            "op string, o_totalprice double"
+        ),
+        key_cols=["o_custkey"],
+        seq_col="o_orderkey",
+    )
+    return final.select(
+        "o_custkey", "ts", "o_orderkey", "op", "o_totalprice"
+    )

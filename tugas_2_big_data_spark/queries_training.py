@@ -10,7 +10,7 @@ behavior under the hash-match gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tugas_2_big_data_spark.queries import register
 from tugas_2_big_data_spark.sources.catalog import load_table
@@ -6017,4 +6017,146 @@ def mix_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(F.sequence(F.lit(1), F.col("r"))).alias("_", "epoch"),
         )
         .select("doc_id", "lang", F.col("epoch").cast("int").alias("epoch"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# split leakage check, vocabulary growth
+# ---------------------------------------------------------------------------
+
+_LEAKAGE_SQL = f"""
+WITH pairs AS ({_LSH_PAIRS_SQL}),
+docs AS (SELECT doc_id FROM ({CORPUS_SQL})),
+sp AS (
+  SELECT doc_id,
+    CASE
+      WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 3) < 'ccc'
+        THEN 'train'
+      WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 3) < 'e66'
+        THEN 'val'
+      ELSE 'test'
+    END AS split
+  FROM docs
+)
+SELECT least(a.split, b.split) AS split_a,
+  greatest(a.split, b.split) AS split_b,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  least(a.split, b.split) <> greatest(a.split, b.split) AS is_leak
+FROM pairs p
+JOIN sp a ON a.doc_id = p.id_a
+JOIN sp b ON b.doc_id = p.id_b
+GROUP BY 1, 2
+"""
+
+
+@register("split_leakage_check", _LEAKAGE_SQL)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-hygiene check: near-duplicate pairs whose endpoints landed
+    in DIFFERENT hash splits — the leakage a random/hash split always
+    produces when the corpus has near-dups (a test doc whose near-twin
+    is in train inflates eval). Counts per (split_a, split_b) cell
+    with a leak flag; the fix pipelines compose from here: group-aware
+    splitting = hash_split over dedup_text_components' component_id
+    instead of doc_id. Reuses the verified LSH pair chain and the
+    map-only split assignment — the pair relation is near-dup-sparse,
+    so the two split joins are broadcast-sized at any corpus scale."""
+    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint()
+    sig = dedup.minhash_signatures_from_sets(sets, k=8)
+    cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
+    pairs = dedup.jaccard_verify_sets(sets, cand, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    sp = sampling.hash_split(
+        corpus(spark, sf_dir).select("doc_id"), seed=42
+    )
+    a = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_sa"))
+    b = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_sb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        )
+    )
+
+
+_VOCAB_GROWTH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS gram
+  FROM toks, unnest(range(1, len(w))) AS u(i)
+  WHERE len(w) >= 2
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM documents),
+firsts AS (
+  SELECT gram,
+    CAST(min(floor(doc_id * 10 / n.total)) AS INT) AS decile
+  FROM g, n GROUP BY gram, n.total
+),
+per AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS new_grams
+  FROM firsts GROUP BY decile
+)
+SELECT decile, new_grams,
+  CAST(sum(new_grams) OVER (ORDER BY decile
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS vocab_size
+FROM per
+"""
+
+
+@register("txt_vocab_growth", _VOCAB_GROWTH_SQL)
+def txt_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve over the BIGRAM vocabulary:
+    new distinct word-2-grams per corpus decile (by doc_id prefix) and
+    the cumulative vocabulary size — the statistic that says whether a
+    corpus's lexical diversity is saturating (dedup/boilerplate
+    signal) or still growing (keep crawling). Bigrams, not unigrams:
+    the synthetic corpus's word vocabulary is ~40 tokens and fully
+    present in decile 0 (a one-row degenerate curve); the bigram space
+    is large enough to exhibit the saturating shape the operator
+    exists to measure. One explode + one (gram) aggregate carrying
+    min(first-decile), then decile-bounded arithmetic; the cumulative
+    window runs over <= 10 rows."""
+    docs = load_table(spark, "documents", sf_dir)
+    total = docs.agg(F.count(F.lit(1)).cast("double").alias("_t"))
+    toks = docs.select(
+        "doc_id", hashing.words(F.lower(F.col("text"))).alias("_w")
+    )
+    g = toks.select(
+        "doc_id",
+        F.explode(hashing.word_shingles(F.col("_w"), 2)).alias("gram"),
+    )
+    firsts = (
+        g.crossJoin(F.broadcast(total))
+        .groupBy("gram")
+        .agg(
+            F.min(
+                F.floor(F.col("doc_id") * 10 / F.col("_t"))
+            ).cast("int").alias("decile")
+        )
+    )
+    per = firsts.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("new_grams")
+    )
+    cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        "decile",
+        "new_grams",
+        F.sum("new_grams").over(cum).cast("long").alias("vocab_size"),
     )

@@ -577,3 +577,68 @@ def run_streaming_ann_append(
     finally:
         q.stop()
     return n["batches"]
+
+
+def run_streaming_cdc(
+    spark: SparkSession,
+    batches_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """CDC ingest as a streaming drain — the streaming half of
+    `snapshots.cdc_apply` (batch compaction): each micro-batch of
+    changelog events folds into the running latest-per-key state via
+    `snapshots.cdc_compact` BEFORE the next batch. The state KEEPS
+    delete tombstones (cdc_compact's contract) so an older buffered
+    event can never resurrect a deleted key; serving filters them.
+
+    compact(compact(A) ∪ B) == compact(A ∪ B) — per-key max is
+    associative — so the drained state equals the batch compaction of
+    the whole changelog however the stream was micro-batched, which
+    is what lets the registered query share the batch oracle
+    (`cdc_apply_changelog`). Per-batch cost: one key-shuffle of
+    (state ∪ batch); at 100 TB the state is a bucketed table and the
+    fold a merge_upsert + tombstone append (the same batch-sized
+    discipline as every other incremental loop here).
+
+    Returns the final CURRENT state (tombstones filtered)."""
+    from tugas_2_big_data_spark.operators import snapshots
+
+    state = {"t": None}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merged = (
+            batch_df
+            if state["t"] is None
+            else state["t"].unionByName(batch_df)
+        )
+        state["t"] = snapshots.cdc_compact(
+            merged, key_cols, seq_col, op_col
+        ).localCheckpoint()
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(batches_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if state["t"] is None:
+        raise RuntimeError("stream delivered no micro-batches")
+    from pyspark.sql import functions as _F
+
+    return state["t"].filter(_F.col(op_col) != "D")
