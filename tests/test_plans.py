@@ -501,3 +501,37 @@ def test_emb_covariance_no_self_join(dfs):
     assert "Generate" in plan
     assert "SortMergeJoin" not in plan
     assert not pi.uses_cartesian_or_bnl(dfs["emb_covariance"])
+
+
+def test_quality_gate_is_map_only(dfs):
+    """The composite Gopher gate must stay ONE map-only pass — an
+    Exchange here means a signal was joined back by id instead of
+    riding the scan (the with_counts contract)."""
+    assert "Exchange" not in pi.explain_formatted(dfs["txt_quality_gate"])
+
+
+def test_gopher_ngrams_map_only(dfs):
+    assert "Exchange" not in pi.explain_formatted(dfs["txt_gopher_ngrams"])
+
+
+def test_key_skew_top_k_is_take_ordered(dfs):
+    """profile_key_skew's top-k must plan as TakeOrdered, never a
+    global single-partition row_number window over the per-key
+    relation."""
+    plan = pi.explain_formatted(dfs["profile_key_skew"])
+    assert "TakeOrdered" in plan
+
+
+def test_scd2_single_join(dfs):
+    """SCD2's joined relation must be checkpointed before the two
+    unioned projections — Spark does not share subplans across a
+    union, so the lazy form executes the full-outer join once PER
+    BRANCH (caught live by this pin: 4 join nodes). Checkpointed, the
+    served plan contains no join at all."""
+    plan = pi.explain_formatted(dfs["dim_scd2_customers"])
+    assert (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+        == 0
+    )

@@ -107,6 +107,8 @@ PROBE = [
     "graph_khop_reach",             # 3-hop frontier expansion
     "emb_top_eigen",                # corpus pass + sketch-sized matvecs
     "mix_upsample_epochs",          # broadcast factors + posexplode
+    "split_leakage_check",          # near-dup pairs x broadcast splits
+    "txt_vocab_growth",             # explode + (gram) agg, 10-row window
 ]
 
 # Zipfian-vocabulary corpus variant: the prefix-filter dedups claim

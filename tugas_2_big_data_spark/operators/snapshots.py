@@ -23,6 +23,7 @@ def scd2_merge(
     tracked_cols: Sequence[str],
     old_ts: str,
     new_ts: str,
+    materialize: bool = True,
 ) -> DataFrame:
     """SCD type-2 rows from two full snapshots of a dimension:
     (key..., tracked..., valid_from, valid_to, is_current, change).
@@ -43,12 +44,16 @@ def scd2_merge(
     timestamp into history).
 
     Plan: ONE full-outer join keyed on key_cols and two projections of
-    its result unioned — the join result is reused, so the cost is a
-    single co-shuffle of the two snapshots however wide the dimension;
-    at 100 TB both snapshots live bucketed by the key and the join
-    plans with zero Exchange (sources/bucketing.py discipline).
-    Null-safe equality (<=>) per tracked column: a NULL -> value or
-    value -> NULL transition IS a change."""
+    its result unioned. The joined relation is localCheckpointed
+    (``materialize``, default) — LOAD-BEARING, not a convenience:
+    Spark does not share common subplans across a union's branches,
+    so the lazy form executes the full-outer join TWICE (plan-pinned
+    in test_plans.py); the checkpoint makes it the single co-shuffle
+    the operator promises. At 100 TB both snapshots additionally live
+    bucketed by the key so that one join plans exchange-free
+    (sources/bucketing.py discipline). Null-safe equality (<=>) per
+    tracked column: a NULL -> value or value -> NULL transition IS a
+    change."""
     keys = list(key_cols)
     tracked = list(tracked_cols)
     o = snap_old.select(
@@ -85,6 +90,8 @@ def scd2_merge(
         *[F.col(f"_n_{c}") for c in tracked],
         change.alias("change"),
     )
+    if materialize:
+        j = j.localCheckpoint()
     # open rows: the surviving version per key (old values when
     # unchanged, new values when changed/inserted; none when deleted)
     open_rows = j.filter(F.col("change") != "deleted").select(
