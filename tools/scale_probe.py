@@ -93,16 +93,20 @@ def build(spark) -> None:
         out.repartition(32).write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
 
 
-def _materialize(df) -> tuple[int, float]:
+def _materialize(mk) -> tuple[int, float]:
     """(row count, steady-state seconds): full-column hash
     materialization timed twice, min taken (first run pays codegen
     compile + JIT); the row count rides the timed aggregate instead of
-    a third full recomputation of the plan."""
+    a third full recomputation of the plan. mk is a THUNK re-invoked
+    inside the timed region — operators that localCheckpoint eagerly
+    do their work at query-construction time (same fix as
+    scale_probe100)."""
     n = 0
 
     def run() -> float:
         nonlocal n
         t0 = time.perf_counter()
+        df = mk()
         [(n, _)] = df.agg(
             F.count(F.lit(1)),
             F.sum(F.xxhash64(*[F.col(c) for c in df.columns])),
@@ -125,8 +129,8 @@ def main() -> None:
         # per-query isolation: one failing plan records an error row
         # instead of losing the whole probe run
         try:
-            n_small, t_small = _materialize(fn(spark, SRC))
-            n_big, t_big = _materialize(fn(spark, DST))
+            n_small, t_small = _materialize(lambda: fn(spark, SRC))
+            n_big, t_big = _materialize(lambda: fn(spark, DST))
         except Exception as exc:  # noqa: BLE001
             msg = str(exc).split("\n")[0][:200]
             results[name] = {"error": msg}
