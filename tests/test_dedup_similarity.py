@@ -1329,6 +1329,48 @@ def test_ivf_append_ingest_key_is_replay_idempotent(spark, tmp_path):
     assert spark.read.parquet(path + "/invfile").count() == 80
 
 
+def test_ivf_append_replay_sweeps_stale_key_files(spark, tmp_path):
+    """ADVICE r7: same-name overwrite is not enough — if an earlier
+    attempt left MORE files for the key in a cell (or touched a cell
+    the replay skips), the leftovers duplicate rows. A replay must
+    fully replace the key's prior footprint; files of OTHER keys —
+    including a key the replayed one is a prefix of — must survive."""
+    import glob
+    import shutil
+
+    from tugas_2_big_data_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [float((i * 5 + j) % 13) / 12 for j in range(8)], 0)
+            for i in range(80)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    b1 = vecs.filter(vecs.vec_id % 2 == 0)
+    b2 = vecs.filter(vecs.vec_id % 2 == 1)
+    path = str(tmp_path / "idx")
+    similarity.ivf_build_index(b1, path)
+    similarity.ivf_append_to_index(spark, path, b2, ingest_key="b1")
+    # a different key that shares b1 as a prefix — must NOT be swept
+    similarity.ivf_append_to_index(
+        spark, path, vecs.filter(vecs.vec_id == 0), ingest_key="b10"
+    )
+    # simulate a crashed earlier attempt that wrote an extra file for
+    # key b1 in some cell
+    a_file = sorted(
+        glob.glob(path + "/invfile/cid=*/ingest-b1.parquet")
+    )[0]
+    stale = a_file.replace("ingest-b1.parquet", "ingest-b1-3.parquet")
+    shutil.copyfile(a_file, stale)
+    assert spark.read.parquet(path + "/invfile").count() > 81
+    similarity.ivf_append_to_index(spark, path, b2, ingest_key="b1")
+    inv = spark.read.parquet(path + "/invfile")
+    assert inv.count() == 81  # 40 + 40 appended + 1 under key b10
+    assert inv.groupBy("nbr_id").count().filter("count > 2").count() == 0
+    assert glob.glob(path + "/invfile/cid=*/ingest-b10*.parquet")
+
+
 def test_compact_index_relation_crash_recovery_and_cid_guard(spark, tmp_path):
     """ADVICE r6: (a) a crash between the two swap renames leaves the
     data only in ._precompact — a re-run must restore it, not delete

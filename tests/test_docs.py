@@ -82,3 +82,17 @@ def test_round_notes_stamped_block_is_current():
         f"{os.path.basename(notes)} stamped block is stale — run "
         f"tools/refresh_docs.py"
     )
+
+
+def test_coverage_md_mentions_every_registered_query():
+    """The COVERAGE.md crosswalk lagged the registry in round 7 (four
+    late queries registered without doc rows) — every name in
+    queries() must appear in the crosswalk so a new query forces a
+    coverage row, not a silent omission."""
+    coverage = os.path.join(os.path.dirname(README), "COVERAGE.md")
+    text = open(coverage).read()
+    missing = [n for n in q.queries() if n not in text]
+    assert not missing, (
+        f"registered queries absent from COVERAGE.md: {missing} — add "
+        f"crosswalk rows"
+    )

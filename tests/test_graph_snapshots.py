@@ -170,6 +170,27 @@ def test_k_hop_reach_path_graph(spark):
     assert r == {1: 3, 2: 4, 3: 4, 4: 4, 5: 3}
 
 
+def test_k_hop_reach_ignores_self_loops(spark):
+    """ADVICE r7: a self-loop edge must not make a node count itself
+    in n_reachable — the base relation filters src == dst, not just
+    the expansions."""
+    e = _edges(spark, [(1, 1), (1, 2)])
+    r = {x.v: x.n_reachable for x in graph.k_hop_reach(e, k=3).collect()}
+    assert r == {1: 1, 2: 1}
+
+
+def test_covariance_top_eigen_rejects_zero_iters(spark):
+    """ADVICE r7: iters=0 would leave the norm relation undefined and
+    crash downstream — refuse up front."""
+    from tugas_2_big_data_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        similarity.covariance_top_eigen(emb, dim=2, iters=0)
+
+
 def test_mutual_information_known_cases(spark):
     # independent: MI = 0; identical: MI = H(A)
     rows = [(a, b) for a in ("x", "y") for b in (0, 1) for _ in range(5)]

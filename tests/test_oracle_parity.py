@@ -41,6 +41,34 @@ def test_query_matches_oracle(name, spark, duck):
     compare(sdf, duck, oracle, name=name)
 
 
+def test_no_registered_query_emits_complex_types(spark):
+    """Driver-portability guard: the harness canonicalizes query output
+    through pandas sort_values, which raises on array/map/struct cells
+    (unhashable numpy arrays) — txt_postings shipped a permanently-red
+    CORRECTNESS row in round 7 this way. Every registered query must
+    emit only atomic columns; operators may still RETURN complex types
+    (postings keeps its positions array), the registered query is the
+    layer that serializes them."""
+    from pyspark.sql import types as T
+
+    bad = {}
+    for name in sorted(_QUERIES):
+        schema = _QUERIES[name](spark, SF_DIR).schema
+        complex_cols = [
+            f.name
+            for f in schema.fields
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            )
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, (
+        f"queries emitting complex-typed columns (driver canonicalizer "
+        f"cannot sort these): {bad}"
+    )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

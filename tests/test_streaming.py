@@ -420,3 +420,34 @@ def test_rocksdb_state_store_batch_parity(spark):
         .collect()
     }
     assert got == batch
+
+
+def test_run_streaming_cdc_custom_delete_marker(spark, tmp_path):
+    """ADVICE r7: run_streaming_cdc parameterized op_col but hardcoded
+    the "D" delete marker in the serving filter — a changelog using a
+    different marker would serve tombstones as current state. The
+    delete_op parameter mirrors snapshots.cdc_apply's signature."""
+    log = spark.createDataFrame(
+        [
+            (1, 1, "upsert", "a"),
+            (1, 2, "del", None),
+            (2, 1, "upsert", "x"),
+            (2, 2, "upsert", "y"),
+        ],
+        "k long, seq long, op string, val string",
+    )
+    se.write_ingest_batches(
+        [log.filter("seq = 1"), log.filter("seq = 2")],
+        str(tmp_path / "batches"),
+    )
+    final = se.run_streaming_cdc(
+        spark,
+        str(tmp_path / "batches"),
+        str(tmp_path / "ckpt"),
+        schema="k long, seq long, op string, val string",
+        key_cols=["k"],
+        seq_col="seq",
+        delete_op="del",
+    )
+    out = {r.k: r.val for r in final.collect()}
+    assert out == {2: "y"}  # key 1's "del" tombstone is NOT served

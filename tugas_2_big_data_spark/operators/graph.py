@@ -138,7 +138,14 @@ def k_hop_reach(edges: DataFrame, k: int = 3) -> DataFrame:
     materialized once up front for the same reason as pagerank_fixed.
     """
     edges = edges.localCheckpoint(eager=True)
-    reach = edges.select("src", "dst").distinct()
+    # self-loops are dropped from the BASE relation too, not just from
+    # expansions — otherwise a self-loop edge makes a node count itself
+    # in n_reachable, contradicting the "OTHER nodes" contract.
+    reach = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
     for _ in range(k - 1):
         expanded = (
             reach.join(

@@ -466,6 +466,20 @@ def ivf_append_to_index(
         sinks.write_parquet(
             out, staging, mode="overwrite", partition_by=["cid"]
         )
+        # A replay must fully REPLACE this key's prior footprint, not
+        # just overwrite matching names: if the earlier attempt wrote
+        # more files in a cell (or touched a cell this attempt skips),
+        # the leftovers would duplicate rows. Sweep every
+        # ingest-<key>*.parquet across cells before moving staged files.
+        # exact-name patterns, not ingest-<key>*: a bare prefix glob
+        # would also sweep a DIFFERENT key that starts with this one
+        # (ingest-b1* matches ingest-b10.parquet).
+        for pat in (
+            f"ingest-{ingest_key}.parquet",
+            f"ingest-{ingest_key}-[0-9]*.parquet",
+        ):
+            for stale in glob.glob(posixpath.join(inv, "cid=*", pat)):
+                os.remove(stale)
         # one task per cell (repartition by cid) -> exactly one staged
         # file per cid dir; frozen centroids make the cid set itself
         # deterministic for a given batch, so a replay regenerates and
@@ -2636,6 +2650,8 @@ def covariance_top_eigen(
     engine-dependent sign)."""
     import math as _math
 
+    if iters < 1:
+        raise ValueError("covariance_top_eigen needs iters >= 1")
     tri = embedding_covariance(
         df, vec_col=vec_col, id_col=id_col, round_to=12
     )
@@ -2667,10 +2683,17 @@ def covariance_top_eigen(
             )
             .localCheckpoint(eager=True)
         )
+    # NOT F.signum: signum(0.0) = 0.0 would zero EVERY loading in the
+    # degenerate all-zero-covariance case, while the DuckDB oracle's
+    # CASE WHEN x < 0 THEN -1 ELSE 1 yields +1 — match the oracle.
     sign = (
         v.orderBy(F.abs(F.col("x")).desc(), F.col("d").asc())
         .limit(1)
-        .select(F.signum("x").alias("_s"))
+        .select(
+            F.when(F.col("x") < 0, F.lit(-1.0))
+            .otherwise(F.lit(1.0))
+            .alias("_s")
+        )
     )
     return (
         v.crossJoin(F.broadcast(sign))

@@ -5768,7 +5768,7 @@ def txt_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _POSTINGS_SQL = r"""
 SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf,
-  list(pos ORDER BY pos) AS positions
+  array_to_string(list(pos ORDER BY pos), ',') AS positions
 FROM (
   SELECT doc_id, w[u.i] AS word, CAST(u.i AS BIGINT) AS pos
   FROM (
@@ -5789,9 +5789,20 @@ def txt_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval-side artifact BM25/tf-idf serve from without
     re-tokenizing the corpus. Single posexplode + one (word, doc) hash
     aggregate; at 100 TB the output is written bucketed by word so
-    term lookups prune (sources/bucketing.py)."""
+    term lookups prune (sources/bucketing.py).
+
+    The operator keeps its array<bigint> positions (that IS the
+    artifact); the REGISTERED query serializes it to a sorted
+    comma-joined string because the harness's pandas canonicalizer
+    cannot sort array cells — the only complex-typed output in the
+    registry until round 8's schema guard pinned the class shut
+    (tests/test_oracle_parity.py::test_no_registered_query_emits_complex_types).
+    """
     return text_analysis.postings(
         load_table(spark, "documents", sf_dir)
+    ).withColumn(
+        "positions",
+        F.concat_ws(",", F.col("positions").cast("array<string>")),
     )
 
 
@@ -5941,7 +5952,7 @@ edges AS (
   SELECT id_b AS src, id_a AS dst FROM pairs
 ),
 reach(src, dst, depth) AS (
-  SELECT src, dst, 1 FROM edges
+  SELECT src, dst, 1 FROM edges WHERE src <> dst
   UNION
   SELECT r.src, e.dst, r.depth + 1
   FROM reach r JOIN edges e ON e.src = r.dst

@@ -587,6 +587,7 @@ def run_streaming_cdc(
     key_cols: list[str],
     seq_col: str,
     op_col: str = "op",
+    delete_op: str = "D",
 ) -> DataFrame:
     """CDC ingest as a streaming drain — the streaming half of
     `snapshots.cdc_apply` (batch compaction): each micro-batch of
@@ -641,4 +642,4 @@ def run_streaming_cdc(
         raise RuntimeError("stream delivered no micro-batches")
     from pyspark.sql import functions as _F
 
-    return state["t"].filter(_F.col(op_col) != "D")
+    return state["t"].filter(_F.col(op_col) != delete_op)
