@@ -232,6 +232,31 @@ def test_connected_components_multi_hop_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6}
 
 
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    """Pointer jumping (label-of-label) makes rounds O(log diameter):
+    a 200-node chain converges well inside 12 rounds where plain
+    1-hop min-label propagation needs 199 — the silent-truncation
+    hazard round 8 closed (a component longer than max_iter used to
+    come back WRONG with no error)."""
+    docs = spark.range(0, 200).select(F.col("id").alias("vec_id"))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    out = similarity.connected_components(docs, pairs, max_iter=12)
+    assert out.filter("component_id != 0").count() == 0
+
+
+def test_connected_components_refuses_unconverged_result(spark):
+    import pytest
+
+    docs = spark.range(0, 50).select(F.col("id").alias("vec_id"))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(49)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        similarity.connected_components(docs, pairs, max_iter=2)
+
+
 def test_ivf_topk_structure(spark):
     import numpy as np
 

@@ -242,3 +242,42 @@ def test_temperature_sample_deterministic_and_budget_shaped(spark):
     }
     # small stratum keeps a larger FRACTION of itself than the big one
     assert by_lang["small"] / 100 > by_lang["big"] / 900
+
+
+def test_split_by_component_groups_whole_chain(spark):
+    """Every member of a connected component gets the SAME split;
+    docs absent from the component map fall back to doc-hash (their
+    own id), identical to hash_split for singletons."""
+    from tugas_2_big_data_spark.operators import similarity
+
+    docs = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    comps = similarity.connected_components(docs, pairs, id_col="doc_id")
+    sp = {
+        r.doc_id: r.split
+        for r in sampling.split_by_component(docs, comps).collect()
+    }
+    # the 0..40 chain is one component -> one split
+    assert len({sp[i] for i in range(41)}) == 1
+    # doc-hash split provably fragments the same chain
+    plain = {
+        r.doc_id: r.split for r in sampling.hash_split(docs).collect()
+    }
+    assert len({plain[i] for i in range(41)}) > 1
+    # singletons (41..59) match hash_split exactly (component = own id)
+    assert all(sp[i] == plain[i] for i in range(41, 60))
+
+
+def test_split_grouped_leakage_is_zero_where_doc_hash_leaks(spark):
+    """The before/after story on the real dup-bearing corpus: the
+    doc-hash split leaks verified near-dup pairs across splits; the
+    component-aware split leaks NONE by construction."""
+    from tugas_2_big_data_spark import queries_training as qt
+
+    before = qt.split_leakage_check(spark, SF_UNIT).collect()
+    assert sum(r.n_pairs for r in before if r.is_leak) > 0
+    after = qt.split_grouped_leakage(spark, SF_UNIT).collect()
+    assert after  # pairs exist
+    assert all(not r.is_leak for r in after)

@@ -56,6 +56,50 @@ def hash_split(
     )
 
 
+def split_by_component(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    component_col: str = "component_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Group-aware `hash_split`: every member of a near-dup component
+    lands in the SAME split by hashing the COMPONENT id instead of the
+    doc id — the mitigation `split_leakage_check` measures the need
+    for (a doc-hash split always leaks when the corpus has near-dups:
+    a test doc whose near-twin is in train inflates eval).
+
+    `components` is (id_col, component_col) — typically
+    `similarity.connected_components` output, where a singleton doc's
+    component is its own id, so singletons fall back to doc-hash
+    behavior automatically; docs absent from `components` entirely
+    also fall back to their own id (coalesce). Same seeded md5 bucket
+    and hex thresholds as `hash_split`, so proportions stay ≈80/10/10
+    in COMPONENTS (and in docs, when components are small — near-dup
+    families are).
+
+    Plan: one equi-join onto the component map (broadcast when the
+    map is dim-sized; at 100 TB both sides land bucketed by id and the
+    join is exchange-free) + the same map-only bucket expression."""
+    comp = components.select(
+        F.col(id_col), F.col(component_col).alias("_comp")
+    )
+    b = _bucket("_split_key", seed)
+    return (
+        df.join(comp, id_col, "left")
+        .withColumn(
+            "_split_key", F.coalesce(F.col("_comp"), F.col(id_col))
+        )
+        .withColumn(
+            "split",
+            F.when(b < TRAIN_HEX, F.lit("train"))
+            .when(b < VAL_HEX, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+        .drop("_split_key", "_comp")
+    )
+
+
 def pack_shards(
     df: DataFrame,
     token_col: str,

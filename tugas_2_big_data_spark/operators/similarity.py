@@ -1649,29 +1649,50 @@ def connected_components(
         vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("label")),
         checkpoint_dir,
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["v"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # pointer jumping: also adopt the label OF my current label
+        # (labels form a min-forest, label(v) <= v, so this halves
+        # path lengths each round) — rounds needed drop from the
+        # component DIAMETER to its log. Star-ish near-dup families
+        # never noticed, but a chained-boilerplate component longer
+        # than max_iter used to exhaust the loop silently.
+        jump = labels.select(
+            F.col("v").alias("_jv"), F.col("label").alias("_jl")
+        )
+        best = F.least(
+            F.col("label"),
+            F.coalesce("nbr_label", "label"),
+            F.coalesce("_jl", "label"),
+        )
         new_labels = (
             labels.join(nbr_min, labels["v"] == nbr_min["src"], "left")
+            .join(jump, F.col("label") == jump["_jv"], "left")
             .select(
                 F.col("v"),
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
-                (F.coalesce("nbr_label", "label") < F.col("label")).alias(
-                    "_changed"
-                ),
+                best.alias("label"),
+                (best < F.col("label")).alias("_changed"),
             )
         )
         new_labels = materialize(new_labels, checkpoint_dir)
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # an unconverged closure is a WRONG closure (labels still
+        # mid-propagation) — refuse rather than return it silently
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds; with pointer jumping this needs a component of "
+            f"diameter > 2^{max_iter} — raise max_iter"
+        )
     return labels.select(
         F.col("v").alias(id_col), F.col("label").alias("component_id")
     )

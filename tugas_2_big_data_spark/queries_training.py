@@ -6100,6 +6100,94 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROUPED_LEAKAGE_SQL = f"""
+WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+corpus AS (SELECT doc_id FROM ({CORPUS_SQL})),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(v, label) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v
+),
+comp AS (
+  SELECT v AS doc_id, min(label) AS component_id FROM reach GROUP BY v
+),
+sp AS (
+  SELECT doc_id,
+    CASE
+      WHEN substr(md5(CAST(component_id AS VARCHAR) || ':42'), 1, 3)
+        < 'ccc' THEN 'train'
+      WHEN substr(md5(CAST(component_id AS VARCHAR) || ':42'), 1, 3)
+        < 'e66' THEN 'val'
+      ELSE 'test'
+    END AS split
+  FROM comp
+)
+SELECT least(a.split, b.split) AS split_a,
+  greatest(a.split, b.split) AS split_b,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  least(a.split, b.split) <> greatest(a.split, b.split) AS is_leak
+FROM pairs p
+JOIN sp a ON a.doc_id = p.id_a
+JOIN sp b ON b.doc_id = p.id_b
+GROUP BY 1, 2
+"""
+
+
+@register("split_grouped_leakage", _GROUPED_LEAKAGE_SQL)
+def split_grouped_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mitigation `split_leakage_check` measures the need for:
+    group-aware splitting (`sampling.split_by_component`) — each
+    near-dup COMPONENT (dedup_text_components' full transitive
+    closure) is hashed to one split wholesale, so no verified near-dup
+    pair can straddle train/eval BY CONSTRUCTION: both endpoints of
+    every pair share a component, components share a split, therefore
+    every output cell has split_a == split_b and is_leak is false —
+    where the doc-hash split provably leaks on the same dup-bearing
+    corpus (pinned side by side in test_sampling.py). Same
+    measurement, same output shape as split_leakage_check, so the two
+    rows tell the before/after story.
+
+    Plan: the verified pair relation is localCheckpointed ONCE and
+    reused by both the closure and the leakage join (the graph_pagerank
+    lesson — never re-run LSH per consumer); the closure is iterative
+    min-label propagation, the split assignment one component-map join
+    + map-only bucketing."""
+    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint()
+    sig = dedup.minhash_signatures_from_sets(sets, k=8)
+    cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
+    pairs = (
+        dedup.jaccard_verify_sets(sets, cand, threshold=0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    verts = corpus(spark, sf_dir).select("doc_id")
+    comps = similarity.connected_components(verts, pairs, id_col="doc_id")
+    sp = sampling.split_by_component(verts, comps, seed=42)
+    a = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_sa"))
+    b = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_sb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        )
+    )
+
+
 _VOCAB_GROWTH_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
