@@ -258,3 +258,23 @@ def test_cdc_compact_is_associative(spark):
     assert {r.k for r in snapshots.cdc_apply(
         a.unionByName(b), ["k"], "seq"
     ).collect()} == {2}
+
+
+def test_rank_within_components_pick_and_ties(spark):
+    """row_number is per family (rank desc, id asc): the argmax wins,
+    exact ties go to the smaller id, family sizes are counted."""
+    ranks = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, 0.4)],
+        "v long, pagerank double",
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10)], "v long, component_id long"
+    )
+    out = {
+        (r.component_id, r.rank_in_component): (r.v, r.n_members)
+        for r in graph.rank_within_components(ranks, comps).collect()
+    }
+    assert out[(1, 1)] == (2, 3)  # tie 2 vs 3 -> smaller id
+    assert out[(1, 2)] == (3, 3)
+    assert out[(1, 3)] == (1, 3)
+    assert out[(10, 1)] == (10, 1)  # singleton family

@@ -356,3 +356,51 @@ def test_bm25_k_limits_and_id_tiebreak(spark):
     out = text_analysis.bm25_topk(docs, ["alpha"], k=4).collect()
     # identical docs -> identical scores -> doc_id ascending tiebreak
     assert [r.doc_id for r in out] == [0, 1, 2, 3]
+
+
+def test_bpe_encode_roundtrips_and_merges_apply(spark):
+    """encode(learned merges) must (a) reproduce every training word
+    when its tokens are concatenated (lossless round-trip), (b)
+    actually USE the merges — 'low' is a single token after the
+    textbook merges — and (c) never merge across a word boundary."""
+    from tugas_2_big_data_spark.operators.text_analysis import (
+        bpe_encode,
+        bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower lower newest")], ["doc_id", "text"]
+    )
+    merges = bpe_merges(df, n_merges=5)
+    out = {r.doc_id: r for r in bpe_encode(df, merges, n_merges=5).collect()}
+    # (a) round-trip: dropping spaces from the token stream and
+    # restoring word boundaries reproduces the normalized text
+    assert out[1].tokens.replace(" ", "") == "lowlowlow"
+    assert out[2].tokens.replace(" ", "") == "lowerlowernewest"
+    # (b) merges applied: low -> one token; lower -> one token
+    assert out[1].tokens.split(" ") == ["low", "low", "low"]
+    assert out[1].n_tokens == 3 and out[1].n_words == 3
+    toks2 = out[2].tokens.split(" ")
+    assert toks2[:2] == ["lower", "lower"]
+    # (c) 'newest': es merged, but nothing crosses into neighbors
+    assert out[2].n_words == 3
+    assert toks2[2:] == ["n", "e", "w", "es", "t"]
+
+
+def test_bpe_encode_handles_missing_rounds_and_empty_text(spark):
+    """A merge table shorter than n_merges (vocab exhausted early)
+    must act as identity passes, and empty text encodes to zero
+    tokens."""
+    from tugas_2_big_data_spark.operators.text_analysis import (
+        bpe_encode,
+        bpe_merges,
+    )
+
+    df = spark.createDataFrame([(1, "ab ab"), (2, "  ")], ["doc_id", "text"])
+    merges = bpe_merges(df, n_merges=10)  # exhausts after 1 merge
+    out = {
+        r.doc_id: r for r in bpe_encode(df, merges, n_merges=10).collect()
+    }
+    assert out[1].tokens.split(" ") == ["ab", "ab"]
+    assert out[1].n_tokens == 2
+    assert out[2].n_tokens == 0 and out[2].tokens == ""

@@ -163,3 +163,43 @@ def k_hop_reach(edges: DataFrame, k: int = 3) -> DataFrame:
     return reach.groupBy(F.col("src").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("n_reachable")
     )
+
+
+def rank_within_components(
+    ranks: DataFrame,
+    components: DataFrame,
+    id_col: str = "v",
+    rank_col: str = "pagerank",
+    component_col: str = "component_id",
+) -> DataFrame:
+    """Per-component centrality ranking: each node's rank WITHIN its
+    duplicate family (rank desc, id asc — deterministic) plus the
+    family size. rank_in_component == 1 is the family's canonical
+    representative — the principled alternative to longest-wins that
+    curate_near_dup_keep_best approximates: keep the doc whose content
+    RADIATES most through the family, drop the rest.
+
+    Plan: one equi-join onto the component map (broadcast when the map
+    is dim-sized; bucketed co-partition at 100 TB) + ONE window
+    shuffle keyed component_id. Windows are per-family — family sizes
+    are near-dup-bounded, so no global or skewed partition; both
+    window functions (row_number, count) share the single sort."""
+    from pyspark.sql import Window
+
+    comp = components.select(F.col(id_col), F.col(component_col))
+    w = Window.partitionBy(component_col).orderBy(
+        F.col(rank_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        ranks.join(comp, id_col)
+        .select(
+            component_col,
+            id_col,
+            rank_col,
+            F.row_number().over(w).alias("rank_in_component"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy(component_col))
+            .cast("long")
+            .alias("n_members"),
+        )
+    )

@@ -763,6 +763,98 @@ def bpe_merges(
     return out
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+) -> DataFrame:
+    """BPE tokenizer APPLICATION — the serving half `bpe_merges`
+    learns the artifact for: encode every document with the trained
+    merge table and return (id, n_words, n_tokens, tokens) — the
+    token counts `pack_shards` / chunking consume are counts under
+    the TRAINED tokenizer, not whitespace words (reference analog:
+    the HF tokenizer's token counts gate the whole IQPLUS flow,
+    iqplus_market_transform.py:52-55).
+
+    Encoding is the training replay on the doc side: the doc is
+    lowered, whitespace-split, words joined with a \\x01 sentinel
+    (not producible by the corpus tokenizer, so merges can never
+    cross a word boundary), every char space-separated, then each
+    merge round applies the SAME leftmost non-overlapping padded
+    string replace as training — merge i's row arrives as a ONE-ROW
+    broadcast (never a collect), fixed merge count = fixed plan
+    depth, the pagerank_fixed determinism argument. A round whose
+    merge row is absent (vocab fully merged before n_merges) is an
+    identity pass via the left-join coalesce. Map-only over the
+    corpus: ONE scan, zero shuffles, cost = n_merges string passes
+    per doc at any corpus size."""
+    sep = "\x01"
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    enc = df.select(
+        F.col(id_col),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(words))
+        .cast("long")
+        .alias("n_words"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(""))
+        .otherwise(
+            F.trim(
+                F.regexp_replace(
+                    F.concat_ws(sep, words), "(.)", r"$1 "
+                )
+            )
+        )
+        .alias("_sym"),
+    )
+    for rnd in range(1, n_merges + 1):
+        m = merges.filter(F.col("round") == rnd).select(
+            F.lit(1).alias("_k"),
+            F.col("w1").alias("_w1"),
+            F.col("w2").alias("_w2"),
+        )
+        enc = (
+            enc.withColumn("_k", F.lit(1))
+            .join(F.broadcast(m), "_k", "left")
+            .select(
+                F.col(id_col),
+                "n_words",
+                F.when(
+                    F.col("_w1").isNull(), F.col("_sym")
+                )
+                .otherwise(
+                    F.trim(
+                        F.replace(
+                            F.concat(F.lit(" "), "_sym", F.lit(" ")),
+                            F.concat(
+                                F.lit(" "),
+                                "_w1",
+                                F.lit(" "),
+                                "_w2",
+                                F.lit(" "),
+                            ),
+                            F.concat(
+                                F.lit(" "), "_w1", "_w2", F.lit(" ")
+                            ),
+                        )
+                    )
+                )
+                .alias("_sym"),
+            )
+        )
+    toks = F.filter(
+        F.split(F.col("_sym"), " "),
+        lambda t: (t != sep) & (t != ""),
+    )
+    return enc.select(
+        F.col(id_col),
+        "n_words",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", toks).alias("tokens"),
+    )
+
+
 def naive_bayes_langid(
     train: DataFrame,
     test: DataFrame,

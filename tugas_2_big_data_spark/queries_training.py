@@ -4900,7 +4900,11 @@ def txt_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same pattern as the k-means oracle — one CTE pair per merge round)
 # ---------------------------------------------------------------------------
 
-def _bpe_sql(n_merges: int = 6) -> str:
+def _bpe_cte_parts(n_merges: int) -> list[str]:
+    """Shared CTE chain for BPE training replay: word histogram v0,
+    then (pair counts p_i, best pair b_i, merged vocab v_i) per round
+    — used by both the training oracle (txt_bpe_merges) and the
+    encoding oracle (txt_bpe_encode)."""
     parts = [
         r"""v0 AS (
   SELECT word, CAST(count(*) AS BIGINT) AS wc,
@@ -4931,7 +4935,11 @@ def _bpe_sql(n_merges: int = 6) -> str:
                  ' ' || b.w1 || b.w2 || ' ')) AS sym
   FROM {prev} v CROSS JOIN b{i} b
 )""")
-    ctes = ",\n".join(parts)
+    return parts
+
+
+def _bpe_sql(n_merges: int = 6) -> str:
+    ctes = ",\n".join(_bpe_cte_parts(n_merges))
     selects = "\nUNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS round, w1, w2, w1 || w2 AS merged, "
         f"CAST(n AS BIGINT) AS pair_count FROM b{i}"
@@ -4950,6 +4958,62 @@ def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size past the first aggregate."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return text_analysis.bpe_merges(docs, n_merges=6)
+
+
+def _bpe_encode_sql(n_merges: int = 6) -> str:
+    parts = _bpe_cte_parts(n_merges)
+    parts.append(r"""d0 AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+      ELSE len(string_split_regex(lower(trim(text)), '\s+')) END
+      AS n_words,
+    CASE WHEN length(trim(text)) = 0 THEN ''
+      ELSE trim(regexp_replace(
+        array_to_string(
+          string_split_regex(lower(trim(text)), '\s+'), chr(1)),
+        '(.)', '\1 ', 'g')) END AS sym
+  FROM documents
+)""")
+    for i in range(1, n_merges + 1):
+        parts.append(f"""d{i} AS (
+  SELECT d.doc_id, d.n_words,
+    trim(replace(' ' || d.sym || ' ',
+                 ' ' || b.w1 || ' ' || b.w2 || ' ',
+                 ' ' || b.w1 || b.w2 || ' ')) AS sym
+  FROM d{i - 1} d CROSS JOIN b{i} b
+)""")
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  array_to_string(toks, ' ') AS tokens
+FROM (
+  SELECT doc_id, n_words,
+    list_filter(string_split(sym, ' '),
+                t -> t <> chr(1) AND t <> '') AS toks
+  FROM d{n_merges}
+)"""
+
+
+@register("txt_bpe_encode", _bpe_encode_sql(6))
+def txt_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION (text_analysis.bpe_encode): encode
+    the corpus with the merge table `txt_bpe_merges` learns — per doc,
+    the token count under the TRAINED tokenizer (what pack_shards /
+    chunking actually budget on; reference analog: HF tokenizer
+    counts gate the IQPLUS flow, iqplus_market_transform.py:52-55)
+    plus the full encoded token stream for value verification.
+
+    Training is rounds × |vocab| past one corpus scan; encoding is
+    map-only — n_merges in-row string passes per doc, merge rows as
+    one-row broadcasts, fixed plan depth. The oracle replays training
+    AND encoding (shared _bpe_cte_parts chain + one doc-side CTE per
+    round). Oracle assumes all 6 merge rounds materialize on the
+    corpus (true at every SF tier); the operator itself tolerates
+    early vocab exhaustion via identity passes."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    merges = text_analysis.bpe_merges(docs, n_merges=6)
+    return text_analysis.bpe_encode(docs, merges, n_merges=6)
 
 
 # ---------------------------------------------------------------------------
@@ -5844,6 +5908,33 @@ def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
     )
 
 
+def _component_reps_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Pagerank CTE chain + recursive component closure + per-family
+    window pick: the representatives oracle replays BOTH iterative
+    operators in full."""
+    # regenerate the pagerank parts (same literals as _pagerank_sql)
+    prefix = _pagerank_sql(iters, damping)
+    ctes = prefix[len("WITH ") : prefix.rindex("\nSELECT")]
+    return f"""WITH RECURSIVE {ctes},
+reach(v, label) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v
+),
+comp AS (SELECT v, min(label) AS component_id FROM reach GROUP BY v),
+ranked AS (
+  SELECT c.component_id, r.v AS doc_id, round(r.pr, 9) AS pagerank,
+    row_number() OVER (PARTITION BY c.component_id
+      ORDER BY round(r.pr, 9) DESC, r.v ASC) AS rk,
+    count(*) OVER (PARTITION BY c.component_id) AS n_members
+  FROM comp c JOIN r{iters} r ON r.v = c.v
+)
+SELECT component_id, doc_id AS rep_doc_id, pagerank AS rep_pagerank,
+  CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rk = 1
+"""
+
+
 @register("graph_pagerank", _pagerank_sql(iters=5))
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (graph.pagerank_fixed, 5 iterations,
@@ -5867,6 +5958,50 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = graph.symmetrize(pairs)
     return graph.pagerank_fixed(edges, iters=5, damping=0.85).select(
         F.col("v").alias("doc_id"), "pagerank"
+    )
+
+
+@register("graph_component_representatives", _component_reps_sql(iters=5))
+def graph_component_representatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Canonical doc per duplicate family by CENTRALITY
+    (graph.rank_within_components over pagerank_fixed + the component
+    closure): within each near-dup component, keep the doc whose
+    content radiates most through the family (pagerank argmax, tie by
+    id) — the principled upgrade of curate_near_dup_keep_best's
+    longest-wins rule. One row per family: (component_id, rep_doc_id,
+    rep_pagerank, n_members).
+
+    Plan: the verified pair relation is localCheckpointed ONCE and
+    feeds pagerank, the closure, and nothing else (the graph_pagerank
+    lesson); the pick is one component-map join + ONE window shuffle
+    over family-bounded partitions. The oracle replays both iterative
+    operators: the pagerank CTE chain plus the recursive reach
+    closure."""
+    from tugas_2_big_data_spark.operators import graph
+
+    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint()
+    sig = dedup.minhash_signatures_from_sets(sets, k=8)
+    cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
+    pairs = (
+        dedup.jaccard_verify_sets(sets, cand, threshold=0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    edges = graph.symmetrize(pairs)
+    ranks = graph.pagerank_fixed(edges, iters=5, damping=0.85)
+    verts = edges.select(F.col("src").alias("v")).distinct()
+    comps = similarity.connected_components(verts, pairs, id_col="v")
+    return (
+        graph.rank_within_components(ranks, comps, id_col="v")
+        .filter(F.col("rank_in_component") == 1)
+        .select(
+            "component_id",
+            F.col("v").alias("rep_doc_id"),
+            F.col("pagerank").alias("rep_pagerank"),
+            "n_members",
+        )
     )
 
 
