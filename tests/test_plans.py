@@ -535,3 +535,38 @@ def test_scd2_single_join(dfs):
         + plan.count("BroadcastHashJoin")
         == 0
     )
+
+
+def test_bpe_encode_map_only_past_training(dfs):
+    """Encoding must ride the corpus scan: zero Exchanges and no
+    corpus-shuffling join in the served plan — each merge round is a
+    ONE-ROW broadcast (the BroadcastNestedLoop the one-row-frame
+    pattern plans as; never a SortMergeJoin, which would mean the
+    merge table grew a corpus-sized key)."""
+    import re
+
+    plan = pi.explain_formatted(dfs["txt_bpe_encode"])
+    # zero SHUFFLE exchanges; the BroadcastExchange nodes are the
+    # one-row merge frames and are expected
+    assert not re.findall(r"\(\d+\) Exchange", plan)
+    assert "SortMergeJoin" not in plan
+
+
+def test_component_representatives_single_window(dfs):
+    """The family pick is one ranks-to-components join + ONE window
+    over family-bounded partitions (both inputs are checkpointed
+    node-sized relations — co-shuffled join is the correct 100 TB
+    shape, a broadcast would not survive node-scale); never a
+    cartesian."""
+    import re
+
+    plan = pi.explain_formatted(dfs["graph_component_representatives"])
+    assert not pi.uses_cartesian_or_bnl(
+        dfs["graph_component_representatives"]
+    )
+    assert plan.count("Window") >= 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+
+
+def test_split_grouped_leakage_no_cartesian(dfs):
+    assert not pi.uses_cartesian_or_bnl(dfs["split_grouped_leakage"])

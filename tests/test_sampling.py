@@ -281,3 +281,25 @@ def test_split_grouped_leakage_is_zero_where_doc_hash_leaks(spark):
     after = qt.split_grouped_leakage(spark, SF_UNIT).collect()
     assert after  # pairs exist
     assert all(not r.is_leak for r in after)
+
+
+def test_take_token_budget_boundary_semantics(spark):
+    """The budget-crossing row is KEPT (before < budget), later rows
+    drop, an under-budget stratum keeps everything, and strata fill
+    independently."""
+    df = spark.createDataFrame(
+        [
+            (1, "a", 60), (2, "a", 60), (3, "a", 60),  # 60+60 cross 100
+            (4, "b", 30),                               # under budget
+        ],
+        "doc_id long, lang string, n_tokens long",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in sampling.take_token_budget(
+            df, "n_tokens", 100, strata_cols=("lang",)
+        ).collect()
+    )
+    # doc 2 starts at before=60 < 100 -> kept (total 120, one-doc
+    # overflow); doc 3 starts at 120 -> dropped; stratum b all kept
+    assert kept == [1, 2, 4]

@@ -109,6 +109,9 @@ PROBE = [
     "mix_upsample_epochs",          # broadcast factors + posexplode
     "split_leakage_check",          # near-dup pairs x broadcast splits
     "txt_vocab_growth",             # explode + (gram) agg, 10-row window
+    "split_grouped_leakage",        # component closure + grouped split
+    "txt_bpe_encode",               # trained-merge replay, map-only
+    "graph_component_representatives",  # pagerank + closure + window
 ]
 
 # Zipfian-vocabulary corpus variant: the prefix-filter dedups claim

@@ -100,6 +100,39 @@ def split_by_component(
     )
 
 
+def take_token_budget(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    strata_cols: tuple[str, ...] = (),
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy token-budget fill: keep rows (in `order_col` order,
+    within each stratum) while the running token total BEFORE the row
+    is under `budget` — the "give me ~N tokens of each domain" cut a
+    mixture recipe turns into corpus slices. Same boundary contract as
+    `pack_shards`: the row that crosses the budget is KEPT (every
+    stratum reaches its budget; one doc of overflow max), a stratum
+    with fewer tokens than budget keeps everything.
+
+    Plan: ONE window (cumulative sum, per-stratum partitions) + a
+    filter — one shuffle keyed by the strata columns. The empty-strata
+    form is a single-partition global window; pass strata at scale,
+    exactly as pack_shards documents."""
+    strata = [F.col(c) for c in strata_cols]
+    w = (
+        Window.partitionBy(*strata)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return (
+        df.withColumn("_before", before)
+        .filter(F.col("_before") < budget)
+        .drop("_before")
+    )
+
+
 def pack_shards(
     df: DataFrame,
     token_col: str,

@@ -2440,6 +2440,83 @@ def ivfsq_topk_from_index(
     return _ivfsq_rank(q, recon, k)
 
 
+def standardized_norm_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Distribution of row L2 norms AFTER per-dimension z-scoring —
+    the isotropy diagnostic run before trusting cosine geometry: for
+    an isotropic corpus the standardized norm concentrates at
+    sqrt(d) (isotropy_ratio ≈ 1, small std); a heavy tail or a ratio
+    far from 1 means a few dims or rows dominate and whitening (or
+    emb_top_eigen's collapse check) is warranted. One summary row:
+    (n_vectors, mean_norm, std_norm, min_norm, max_norm,
+    isotropy_ratio = mean_norm / sqrt(d)).
+
+    Plan: per-dim (mu, sigma_pop) from ONE posexplode + (dim) hash
+    aggregate (map-side combine, d output rows); the d-row stats fold
+    to a single ordered-array row and BROADCAST back onto the corpus;
+    z-scoring and the norm are in-row zip_with/aggregate HOFs
+    (map-only); one final 1-row aggregate. The corpus is scanned
+    twice (stats, norms), shuffled never. sigma = 0 dims contribute 0
+    (constant dims carry no geometry)."""
+    v = fan_out(df).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    stats = (
+        v.select(F.posexplode("_v").alias("_d", "_x"))
+        .groupBy("_d")
+        .agg(
+            F.avg("_x").alias("_mu"),
+            F.stddev_pop("_x").alias("_sigma"),
+        )
+    )
+    packed = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("_d", "_mu", "_sigma"))
+        ).alias("_s")
+    ).select(
+        F.transform("_s", lambda s: s["_mu"]).alias("_mus"),
+        F.transform("_s", lambda s: s["_sigma"]).alias("_sigmas"),
+        F.size("_s").alias("_dim"),
+    )
+    z = (
+        v.crossJoin(F.broadcast(packed))
+        .select(
+            F.zip_with(
+                F.zip_with(
+                    "_v", "_mus", lambda x, m: x - m
+                ),
+                "_sigmas",
+                lambda c, s: F.when(s == 0, F.lit(0.0)).otherwise(c / s),
+            ).alias("_z"),
+            "_dim",
+        )
+        .select(
+            F.sqrt(
+                F.aggregate(
+                    "_z", F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ).alias("_nrm"),
+            "_dim",
+        )
+    )
+    return z.groupBy("_dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.avg("_nrm"), round_to).alias("mean_norm"),
+        F.round(F.stddev_samp("_nrm"), round_to).alias("std_norm"),
+        F.round(F.min("_nrm"), round_to).alias("min_norm"),
+        F.round(F.max("_nrm"), round_to).alias("max_norm"),
+        F.round(
+            F.avg("_nrm") / F.sqrt(F.first("_dim").cast("double")),
+            round_to,
+        ).alias("isotropy_ratio"),
+    ).drop("_dim")
+
+
 def embedding_covariance(
     df: DataFrame,
     vec_col: str = "embedding",

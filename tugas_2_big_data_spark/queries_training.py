@@ -5016,6 +5016,57 @@ def txt_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.bpe_encode(docs, merges, n_merges=6)
 
 
+def _bpe_fertility_sql(n_merges: int = 6) -> str:
+    return f"""
+SELECT d.lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+  CAST(sum(e.n_words) AS BIGINT) AS n_words,
+  round(CAST(sum(e.n_tokens) AS DOUBLE)
+    / nullif(CAST(sum(e.n_words) AS DOUBLE), 0), 6) AS fertility
+FROM ({_bpe_encode_sql(n_merges)}) e
+JOIN documents d ON d.doc_id = e.doc_id
+GROUP BY d.lang
+"""
+
+
+@register("txt_bpe_fertility", _bpe_fertility_sql(6))
+def txt_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: tokens-per-word under the
+    TRAINED BPE merges (sum tokens / sum words, the standard fertility
+    statistic) — the cross-lingual tokenizer-equity check run before
+    committing a vocab (a language with fertility ≫ others pays more
+    sequence length per word, trains on fewer effective documents per
+    token budget, and underperforms; the fix is more merges or more of
+    that language in the training mix).
+
+    Plan: bpe_encode's map-only pass + one |langs|-row aggregate after
+    a doc_id join back to the lang column (at 100 TB lang rides the
+    encode scan itself — kept as a join here only because bpe_encode's
+    contract takes the id and text columns)."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "text"
+    )
+    merges = text_analysis.bpe_merges(docs, n_merges=6)
+    enc = text_analysis.bpe_encode(docs, merges, n_merges=6)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.round(
+                F.sum("n_tokens")
+                / F.nullif(
+                    F.sum("n_words").cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("fertility"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # feature-hashed document vectors -> cosine top-k (text -> ANN bridge)
 # ---------------------------------------------------------------------------
@@ -5112,6 +5163,49 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle, the E[xy]-E[x]E[y] arithmetic, and the 6-decimal
     stabilization rounding."""
     return similarity.embedding_covariance(
+        load_table(spark, "embeddings", sf_dir)
+    )
+
+
+_EMB_STDNORM_SQL = """
+WITH x AS (
+  SELECT vec_id, u.i - 1 AS d, CAST(embedding[u.i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+s AS (
+  SELECT d, avg(v) AS mu, stddev_pop(v) AS sigma FROM x GROUP BY d
+),
+z AS (
+  SELECT x.vec_id,
+    CASE WHEN s.sigma = 0 THEN 0.0
+         ELSE (x.v - s.mu) / s.sigma END AS z
+  FROM x JOIN s ON s.d = x.d
+),
+nrm AS (
+  SELECT vec_id, sqrt(sum(z * z)) AS nrm,
+    CAST(count(*) AS DOUBLE) AS dim
+  FROM z GROUP BY vec_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+  round(avg(nrm), 6) AS mean_norm,
+  round(stddev_samp(nrm), 6) AS std_norm,
+  round(min(nrm), 6) AS min_norm,
+  round(max(nrm), 6) AS max_norm,
+  round(avg(nrm) / sqrt(max(dim)), 6) AS isotropy_ratio
+FROM nrm
+"""
+
+
+@register("emb_standardized_norms", _EMB_STDNORM_SQL)
+def emb_standardized_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy diagnostic (similarity.standardized_norm_stats):
+    distribution of row L2 norms after per-dim z-scoring — mean ≈
+    sqrt(d) with small std for an isotropic corpus; a ratio far from
+    1 or a heavy tail means dominated geometry (whiten before
+    trusting cosine). Per-dim stats from one posexplode aggregate,
+    broadcast back as ordered arrays; z-scoring and norms are in-row
+    HOFs (map-only); one summary row."""
+    return similarity.standardized_norm_stats(
         load_table(spark, "embeddings", sf_dir)
     )
 
@@ -5961,6 +6055,25 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _keep_central_sql() -> str:
+    return f"""
+WITH docs AS (
+  SELECT doc_id, CAST(length(trim(text)) AS BIGINT) AS n_chars
+  FROM ({CORPUS_SQL})
+),
+pairs AS ({_LSH_PAIRS_SQL}),
+graph_nodes AS (
+  SELECT id_a AS v FROM pairs
+  UNION
+  SELECT id_b AS v FROM pairs
+),
+reps AS (SELECT rep_doc_id FROM ({_component_reps_sql(iters=5)}))
+SELECT d.doc_id, d.n_chars FROM docs d
+WHERE d.doc_id NOT IN (SELECT v FROM graph_nodes)
+   OR d.doc_id IN (SELECT rep_doc_id FROM reps)
+"""
+
+
 @register("graph_component_representatives", _component_reps_sql(iters=5))
 def graph_component_representatives(
     spark: SparkSession, sf_dir: str
@@ -6003,6 +6116,53 @@ def graph_component_representatives(
             "n_members",
         )
     )
+
+
+@register("curate_near_dup_keep_central", _keep_central_sql())
+def curate_near_dup_keep_central(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Centrality-based near-dup canonicalization — the curation pass
+    graph_component_representatives exists FOR: keep each duplicate
+    family's pagerank representative plus every doc outside the graph
+    (singletons), drop the other family members. The principled
+    alternative to curate_near_dup_keep_best's longest-wins: the
+    survivor is the version whose content radiates most through the
+    family, not merely the longest. Same output shape as keep_best
+    (doc_id, n_chars) so the two curation policies diff directly.
+
+    Plan: reps as in graph_component_representatives (pairs
+    localCheckpointed once); the corpus filter is one anti-join
+    against (graph nodes minus reps) — drop-list-sized, never
+    corpus × corpus."""
+    from tugas_2_big_data_spark.operators import graph
+
+    c = corpus(spark, sf_dir)
+    sets = dedup.shingle_sets(c).localCheckpoint()
+    sig = dedup.minhash_signatures_from_sets(sets, k=8)
+    cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
+    pairs = (
+        dedup.jaccard_verify_sets(sets, cand, threshold=0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    edges = graph.symmetrize(pairs)
+    ranks = graph.pagerank_fixed(edges, iters=5, damping=0.85)
+    verts = edges.select(F.col("src").alias("v")).distinct()
+    comps = similarity.connected_components(verts, pairs, id_col="v")
+    reps = (
+        graph.rank_within_components(ranks, comps, id_col="v")
+        .filter(F.col("rank_in_component") == 1)
+        .select(F.col("v").alias("doc_id"))
+    )
+    drop = verts.select(F.col("v").alias("doc_id")).join(
+        reps, "doc_id", "left_anti"
+    )
+    docs = c.select(
+        "doc_id",
+        F.length(F.trim(F.col("text"))).cast("long").alias("n_chars"),
+    )
+    return docs.join(drop, "doc_id", "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -6163,6 +6323,48 @@ def mix_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(F.sequence(F.lit(1), F.col("r"))).alias("_", "epoch"),
         )
         .select("doc_id", "lang", F.col("epoch").cast("int").alias("epoch"))
+    )
+
+
+_TOKEN_BUDGET_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+      ELSE len(string_split_regex(lower(trim(text)), '\s+')) END
+      AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM t
+)
+SELECT doc_id, lang, n_tokens FROM r WHERE before < 150
+"""
+
+
+@register("mix_token_budget", _TOKEN_BUDGET_SQL)
+def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture cut (sampling.take_token_budget): keep
+    ~150 tokens of each language, greedily in doc_id order — the slice
+    a mixture recipe ("N tokens per domain") turns into corpus reads;
+    deterministic complement to mix_temperature_sample's rate-based
+    thinning (exact budgets, no RNG). Budget-crossing doc kept (the
+    pack_shards boundary contract); under-budget languages keep
+    everything. ONE lang-keyed window shuffle + a filter."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(F.size(words))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return sampling.take_token_budget(
+        t, "n_tokens", 150, strata_cols=("lang",), order_col="doc_id"
     )
 
 
