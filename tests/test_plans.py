@@ -570,3 +570,20 @@ def test_component_representatives_single_window(dfs):
 
 def test_split_grouped_leakage_no_cartesian(dfs):
     assert not pi.uses_cartesian_or_bnl(dfs["split_grouped_leakage"])
+
+
+def test_bm25_from_postings_pushes_terms_into_artifact_scan(dfs):
+    """Artifact-served BM25: the query-term filter must reach the
+    postings parquet scan as a pushed In-filter (only the query
+    terms' posting rows are read — the bucketed-by-word pruning
+    story at small scale), and the doc-length join must broadcast
+    the tiny posting side, never shuffle the doclens table."""
+    plan = pi.explain_formatted(dfs["txt_bm25_from_postings"])
+    pushed = [
+        line
+        for line in plan.splitlines()
+        if "PushedFilters" in line and "word" in line and "In(" in line
+    ]
+    assert pushed, f"term filter not pushed into postings scan:\n{plan}"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1043,6 +1043,108 @@ def bm25_topk(
     )
 
 
+def postings_index_build(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the lexical serving artifact `bm25_topk_from_index`
+    reads: the postings relation (word, doc, tf, positions), the
+    doc-length table (the "norms" sidecar every real BM25 index
+    carries), and the one-row corpus stats (N, avgdl). Built once per
+    index cadence; at 100 TB the postings land bucketed by word
+    (sources/bucketing.py) so term lookups prune — here plain parquet
+    with the term filter pushed into the scan stands in (plan-pinned).
+    """
+    from tugas_2_big_data_spark.sources import sinks
+
+    sinks.write_parquet(
+        postings(df, text_col, id_col), f"{path}/postings", mode="overwrite"
+    )
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    dl = df.select(F.col(id_col), F.size(words).cast("double").alias("dl"))
+    sinks.write_parquet(dl, f"{path}/doclens", mode="overwrite")
+    sinks.write_parquet(
+        dl.agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.avg("dl").alias("_avgdl"),
+        ),
+        f"{path}/stats",
+        mode="overwrite",
+    )
+
+
+def bm25_topk_from_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 SERVING from the persisted postings artifact — what the
+    `postings` docstring promises: query time never touches (or
+    re-tokenizes) the corpus. The term filter reaches the postings
+    parquet scan (PushedFilters), so only the query terms' posting
+    rows are read; df/idf come from counting exactly those rows; the
+    doc-length join brings in only matched docs (posting side
+    broadcast); final top-k is TakeOrdered. Identical scores to the
+    in-query `bm25_topk` — parquet round-trips the integers exactly
+    and the 9-decimal rounding fixes association order."""
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("word").isin(list(query_terms)))
+        .select(
+            F.col(id_col),
+            F.col("word").alias("term"),
+            F.col("tf").cast("double").alias("tf"),
+        )
+    )
+    stats = spark.read.parquet(f"{path}/stats")
+    dl = spark.read.parquet(f"{path}/doclens")
+    idf = (
+        post.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("_df"))
+        .crossJoin(F.broadcast(stats.select("_n")))
+        .select(
+            "term",
+            F.log(
+                (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+                + 1.0
+            ).alias("idf"),
+        )
+    )
+    contrib = (
+        dl.join(F.broadcast(post), id_col)
+        .crossJoin(F.broadcast(stats.select("_avgdl")))
+        .join(F.broadcast(idf), "term")
+        .select(
+            F.col(id_col),
+            (
+                F.col("idf")
+                * F.col("tf")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("_avgdl")
+                    )
+                )
+            ).alias("_c"),
+        )
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(F.round(F.sum("_c"), 9).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def bigram_perplexity(
     df: DataFrame,
     text_col: str = "text",

@@ -616,3 +616,30 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "o_custkey", "ts", "o_orderkey", "op", "o_totalprice"
     )
+
+
+from tugas_2_big_data_spark.queries_training import (  # noqa: E402
+    _QUALITY_GATE_SQL,
+    _quality_gate_over,
+    _rep_transform,
+)
+
+
+@register("stream_quality_gate", _QUALITY_GATE_SQL)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite Gopher quality gate ON THE INGEST STREAM: the
+    planted-repetition corpus arrives as a document stream and every
+    micro-batch flows through the SAME stateless map-only gate
+    projection as the batch `txt_quality_gate` (shared
+    _quality_gate_over) — keep/drop verdicts with named failed rules,
+    decided at ingest time before anything lands in the corpus. All
+    signals are in-row HOFs, so the streaming form needs no state, no
+    watermark, and no per-batch shuffle; after a full drain the result
+    equals the batch gate value-for-value (same oracle). Completes the
+    ingest-side streaming symmetry: dedup gates, ANN appends, CDC
+    folds, and now quality gating all run as drains."""
+    src = se.read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    out = _quality_gate_over(_rep_transform(src))
+    return se.run_to_memory(
+        out, _sink_name("q_stream_quality_gate"), "append"
+    )

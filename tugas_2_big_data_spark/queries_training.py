@@ -1170,6 +1170,31 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("txt_bm25_from_postings", _BM25_SQL)
+def txt_bm25_from_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the PERSISTED postings artifact
+    (text_analysis.postings_index_build / bm25_topk_from_index) — the
+    production lexical-retrieval shape the `txt_postings` docstring
+    promises: the corpus is tokenized once at index-build time; query
+    time reads only the query terms' posting rows (term filter pushed
+    into the postings parquet scan, plan-pinned), the doc-length
+    sidecar, and the one-row stats. Identical oracle to
+    `txt_bm25_topk`: artifact-served scores are bit-identical to
+    in-query scoring — what moves is WHERE the tokenize cost is paid,
+    the same build/serve split as the ann_*_prebuilt family."""
+    docs = load_table(spark, "documents", sf_dir)
+    path = _ann_artifact_dir(sf_dir, "postings", table="documents")
+    _ensure_artifact(
+        spark,
+        path,
+        "postings",
+        lambda p: text_analysis.postings_index_build(docs, p),
+    )
+    return text_analysis.bm25_topk_from_index(
+        spark, path, _BM25_TERMS, k=_BM25_K
+    )
+
+
 # ---------------------------------------------------------------------------
 # dataset splitting (operators/sampling.py)
 # ---------------------------------------------------------------------------
@@ -5744,8 +5769,11 @@ _REP_CORPUS_SQL = r"""
 """
 
 
-def _rep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+def _rep_transform(docs: DataFrame) -> DataFrame:
+    """Planted-repetition transform (stateless column logic — stream-
+    safe): every 7th doc gets its first 5 words appended 3x so the
+    n-gram repetition signals are non-degenerate on the synthetic
+    corpus."""
     w = docs.select(
         "doc_id",
         F.trim(F.col("text")).alias("_t"),
@@ -5760,6 +5788,12 @@ def _rep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.col("_t"))
         .alias("text"),
+    )
+
+
+def _rep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rep_transform(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
     )
 
 
@@ -5882,7 +5916,13 @@ def txt_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only pass: the fracs operator emits its mid-pipeline word and
     char counts (with_counts), so no second corpus derivation is
     joined back — zero shuffles end to end."""
-    docs = _rep_corpus(spark, sf_dir)
+    return _quality_gate_over(_rep_corpus(spark, sf_dir))
+
+
+def _quality_gate_over(docs: DataFrame) -> DataFrame:
+    """The gate projection itself — stateless map-only column logic
+    shared by the batch query and its streaming twin
+    (stream_quality_gate drains it per micro-batch)."""
     j = text_analysis.ngram_char_fracs(docs, with_counts=True).select(
         "doc_id",
         "top_ngram_char_frac",
