@@ -5092,6 +5092,48 @@ def txt_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_shards_bpe_sql(n_merges: int = 6, budget: int = 512) -> str:
+    return f"""
+WITH t AS (
+  SELECT d.doc_id, d.lang, CAST(e.n_tokens AS BIGINT) AS n_tokens
+  FROM documents d
+  JOIN ({_bpe_encode_sql(n_merges)}) e ON e.doc_id = d.doc_id
+)
+SELECT doc_id, lang, n_tokens,
+  CAST(floor((
+    sum(n_tokens) OVER (
+      PARTITION BY lang ORDER BY doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) - n_tokens
+  ) / {budget}) AS BIGINT) AS shard_id
+FROM t
+"""
+
+
+@register("pack_shards_bpe", _pack_shards_bpe_sql(6, 512))
+def pack_shards_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard packing under the TRAINED tokenizer — the full production
+    chain in one query: learn merges (txt_bpe_merges) → encode the
+    corpus (bpe_encode, map-only) → pack per-language ~512-BPE-token
+    shards (sampling.pack_shards). Whitespace-count packing
+    (`pack_shards`) budgets the wrong currency once a real tokenizer
+    is in play — fertility differs per language (txt_bpe_fertility),
+    so the same word budget yields different sequence lengths; this
+    packs what the trainer actually consumes. One corpus scan for the
+    histogram, map-only encoding, ONE lang-keyed window shuffle."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "text"
+    )
+    merges = text_analysis.bpe_merges(docs, n_merges=6)
+    enc = text_analysis.bpe_encode(docs, merges, n_merges=6).select(
+        "doc_id", "n_tokens"
+    )
+    t = enc.join(docs.select("doc_id", "lang"), "doc_id")
+    return sampling.pack_shards(
+        t, token_col="n_tokens", budget=512, strata_cols=("lang",)
+    ).select("doc_id", "lang", "n_tokens", "shard_id")
+
+
 # ---------------------------------------------------------------------------
 # feature-hashed document vectors -> cosine top-k (text -> ANN bridge)
 # ---------------------------------------------------------------------------
