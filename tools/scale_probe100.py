@@ -112,6 +112,12 @@ PROBE = [
     "split_grouped_leakage",        # component closure + grouped split
     "txt_bpe_encode",               # trained-merge replay, map-only
     "graph_component_representatives",  # pagerank + closure + window
+    "curate_near_dup_keep_central",  # reps -> corpus anti-join
+    "txt_bpe_fertility",            # encode + |langs|-row agg
+    "mix_token_budget",             # one lang-keyed window + filter
+    "emb_standardized_norms",       # d-row stats broadcast, in-row z
+    "txt_bm25_from_postings",       # artifact-served lexical top-k
+    "pack_shards_bpe",              # encode + lang-keyed pack window
 ]
 
 # Zipfian-vocabulary corpus variant: the prefix-filter dedups claim
