@@ -116,7 +116,10 @@ PROBE = [
     "txt_bpe_fertility",            # encode + |langs|-row agg
     "mix_token_budget",             # one lang-keyed window + filter
     "emb_standardized_norms",       # d-row stats broadcast, in-row z
-    "txt_bm25_from_postings",       # artifact-served lexical top-k
+    # txt_bm25_from_postings is NOT probed for the same reason as
+    # txt_bm25_topk: the 100x corpus's per-copy word suffixes make the
+    # fixed query terms match nothing (rows 15 -> 0, times an empty
+    # serve). Its scale story is the pushed term filter, plan-pinned.
     "pack_shards_bpe",              # encode + lang-keyed pack window
 ]
 
