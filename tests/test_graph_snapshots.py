@@ -278,3 +278,25 @@ def test_rank_within_components_pick_and_ties(spark):
     assert out[(1, 2)] == (3, 3)
     assert out[(1, 3)] == (1, 3)
     assert out[(10, 1)] == (10, 1)  # singleton family
+
+
+def test_component_density_clique_vs_chain(spark):
+    """Triangle {1,2,3} -> density 1.0; chain 10-11-12-13 -> 3 edges
+    over C(4,2)=6 -> 0.5; the pair {20,21} -> 1.0."""
+    from tugas_2_big_data_spark.operators import similarity
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    verts = graph.symmetrize(pairs).select(
+        F.col("src").alias("v")
+    ).distinct()
+    comps = similarity.connected_components(verts, pairs, id_col="v")
+    out = {
+        r.component_id: (r.n_members, r.n_edges, r.density)
+        for r in graph.component_density(pairs, comps).collect()
+    }
+    assert out[1] == (3, 3, 1.0)
+    assert out[10] == (4, 3, 0.5)
+    assert out[20] == (2, 1, 1.0)

@@ -203,3 +203,49 @@ def rank_within_components(
             .alias("n_members"),
         )
     )
+
+
+def component_density(
+    pairs: DataFrame,
+    components: DataFrame,
+    id_col: str = "v",
+    component_col: str = "component_id",
+    round_to: int = 9,
+) -> DataFrame:
+    """Per-family edge density over the verified near-dup graph:
+    (component_id, n_members, n_edges, density) with density =
+    n_edges / C(n_members, 2). Density ~1 is a clique — every member
+    verifies against every other (aggressive collapse is safe);
+    density ~2/m is a chain — members verified transitively but not
+    pairwise (collapse conservatively, the endpoints may share little)
+    — the structural refinement of k_hop_reach's blast-radius count.
+
+    Plan: one pair-to-component join (undirected pairs carry both
+    endpoints in one component by construction, so joining id_a
+    suffices) + two component-keyed aggregates and a
+    component-map-sized join — nothing corpus-shaped."""
+    comp_a = components.select(
+        F.col(id_col).alias("id_a"), F.col(component_col)
+    )
+    edges = (
+        pairs.join(comp_a, "id_a")
+        .groupBy(component_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    members = components.groupBy(component_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    m = F.col("n_members").cast("double")
+    return (
+        members.filter(F.col("n_members") >= 2)
+        .join(edges, component_col, "left")
+        .select(
+            component_col,
+            "n_members",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.round(
+                F.coalesce("n_edges", F.lit(0)) / (m * (m - 1) / 2.0),
+                round_to,
+            ).alias("density"),
+        )
+    )

@@ -968,9 +968,17 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    stats_over: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 retrieval: score every document against a fixed bag
     of query terms, return the top-k by (score DESC, id ASC).
+
+    `stats_over` (optional): compute the corpus statistics N and avgdl
+    from THIS docs relation instead of `df` — the staleness model of
+    an append-only postings index whose one-row stats sidecar is only
+    refreshed at rebuild time (posting rows and df reflect appends
+    immediately; N/avgdl lag). `txt_bm25_stale_drift` measures the
+    ranking drift this causes.
 
       idf(t)   = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)   [RSJ, +1: non-negative]
       score(D) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
@@ -992,7 +1000,18 @@ def bm25_topk(
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     toks = df.select(F.col(id_col), words.alias("_w"))
     dl = toks.select(id_col, F.size("_w").cast("double").alias("dl"))
-    stats = dl.agg(
+    stats_src = (
+        dl
+        if stats_over is None
+        else stats_over.select(
+            F.size(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            )
+            .cast("double")
+            .alias("dl")
+        )
+    )
+    stats = stats_src.agg(
         F.count(F.lit(1)).cast("double").alias("_n"),
         F.avg("dl").alias("_avgdl"),
     )

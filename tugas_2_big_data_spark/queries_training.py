@@ -1170,6 +1170,89 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_DRIFT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+    string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+stats_fresh AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+),
+stats_stale AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+  FROM dl WHERE doc_id % 2 = 0
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+    SELECT doc_id, unnest(w) AS term FROM toks
+  ) WHERE term IN ('scan', 'join', 'window')
+  GROUP BY 1, 2
+),
+dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS cnt FROM tf GROUP BY 1),
+fresh AS (
+  SELECT tf.doc_id, round(sum(
+      ln((s.n - dfc.cnt + 0.5) / (dfc.cnt + 0.5) + 1.0) * tf.tf * 2.2
+      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+    ), 9) AS score
+  FROM tf JOIN dl USING (doc_id) JOIN dfc USING (term), stats_fresh s
+  GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT {_BM25_K}
+),
+stale AS (
+  SELECT tf.doc_id, round(sum(
+      ln((s.n - dfc.cnt + 0.5) / (dfc.cnt + 0.5) + 1.0) * tf.tf * 2.2
+      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+    ), 9) AS score
+  FROM tf JOIN dl USING (doc_id) JOIN dfc USING (term), stats_stale s
+  GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT {_BM25_K}
+)
+SELECT CAST({_BM25_K} AS BIGINT) AS k,
+  CAST(count(*) AS BIGINT) AS n_common,
+  round(count(*) / {_BM25_K}.0, 6) AS frac_common,
+  round(coalesce(avg(abs(f.score - s.score)), 0.0), 9)
+    AS mean_abs_score_delta
+FROM fresh f JOIN stale s USING (doc_id)
+"""
+
+
+@register("txt_bm25_stale_drift", _BM25_DRIFT_SQL)
+def txt_bm25_stale_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staleness drift of append-only lexical serving — the BM25 twin
+    of ann_incremental_add_recall: posting rows and df reflect appended
+    docs immediately (they are rows), but the one-row stats sidecar
+    (N, avgdl) refreshes only at rebuild, so a served ranking uses
+    stale length normalization. Measures top-k overlap and the mean
+    absolute score delta between the FRESH ranking (stats over the
+    whole corpus) and the STALE one (stats frozen at the first ingest
+    half) — the number that decides the stats-rebuild cadence. Both
+    rankings share one tokenize + tf pass; the comparison is a k-row
+    join."""
+    docs = load_table(spark, "documents", sf_dir)
+    fresh = text_analysis.bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
+    stale = text_analysis.bm25_topk(
+        docs,
+        _BM25_TERMS,
+        k=_BM25_K,
+        stats_over=docs.filter(F.col("doc_id") % 2 == 0),
+    )
+    f = fresh.select("doc_id", F.col("score").alias("_fs"))
+    s = stale.select("doc_id", F.col("score").alias("_ss"))
+    return f.join(s, "doc_id").agg(
+        F.lit(_BM25_K).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.round(F.count(F.lit(1)) / F.lit(float(_BM25_K)), 6).alias(
+            "frac_common"
+        ),
+        F.round(
+            F.coalesce(
+                F.avg(F.abs(F.col("_fs") - F.col("_ss"))), F.lit(0.0)
+            ),
+            9,
+        ).alias("mean_abs_score_delta"),
+    )
+
+
 @register("txt_bm25_from_postings", _BM25_SQL)
 def txt_bm25_from_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 served from the PERSISTED postings artifact
@@ -6198,6 +6281,61 @@ def graph_component_representatives(
             "n_members",
         )
     )
+
+
+_COMPONENT_DENSITY_SQL = f"""
+WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS v FROM edges),
+reach(v, label) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v
+),
+comp AS (SELECT v, min(label) AS component_id FROM reach GROUP BY v),
+ne AS (
+  SELECT c.component_id, CAST(count(*) AS BIGINT) AS n_edges
+  FROM pairs p JOIN comp c ON c.v = p.id_a GROUP BY 1
+),
+nm AS (
+  SELECT component_id, CAST(count(*) AS BIGINT) AS n_members
+  FROM comp GROUP BY 1
+)
+SELECT nm.component_id, nm.n_members,
+  coalesce(ne.n_edges, 0) AS n_edges,
+  round(coalesce(ne.n_edges, 0)
+    / (nm.n_members * (nm.n_members - 1) / 2.0), 9) AS density
+FROM nm LEFT JOIN ne ON ne.component_id = nm.component_id
+WHERE nm.n_members >= 2
+"""
+
+
+@register("graph_component_density", _COMPONENT_DENSITY_SQL)
+def graph_component_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge density per duplicate family (graph.component_density):
+    clique-like families (density ~1, every member pairwise-verified)
+    collapse safely; chain-like ones (density ~2/m, transitively linked
+    only) collapse conservatively — the structural refinement of
+    k_hop_reach's blast-radius count, feeding the same
+    collapse-aggressiveness decision. Pairs checkpointed once; the
+    density pass is two component-keyed aggregates + a map-sized join."""
+    from tugas_2_big_data_spark.operators import graph
+
+    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint()
+    sig = dedup.minhash_signatures_from_sets(sets, k=8)
+    cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
+    pairs = (
+        dedup.jaccard_verify_sets(sets, cand, threshold=0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    verts = graph.symmetrize(pairs).select(F.col("src").alias("v")).distinct()
+    comps = similarity.connected_components(verts, pairs, id_col="v")
+    return graph.component_density(pairs, comps, id_col="v")
 
 
 @register("curate_near_dup_keep_central", _keep_central_sql())
