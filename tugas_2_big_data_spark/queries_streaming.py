@@ -643,3 +643,42 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.run_to_memory(
         out, _sink_name("q_stream_quality_gate"), "append"
     )
+
+
+from tugas_2_big_data_spark.queries_training import (  # noqa: E402
+    _POSTINGS_SQL as _POSTINGS_STREAM_SQL,
+)
+
+
+@register("stream_postings_build", _POSTINGS_STREAM_SQL)
+def stream_postings_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted index built as a STREAMING drain
+    (streaming/events.run_streaming_postings): the corpus arrives as
+    two document micro-batches; each batch's posting rows append into
+    the running relation before the next. A (word, doc) posting
+    derives from one document and documents are disjoint across
+    batches, so append IS merge — the drained index equals the batch
+    build however the stream was micro-batched, and the query shares
+    txt_postings' oracle verbatim. The lexical member of the
+    streaming mergeable-state family (dedup bands, HLL registers, ANN
+    cells, CDC state)."""
+    import tempfile
+
+    from tugas_2_big_data_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="tugas2_stream_postings_")
+    se.write_ingest_batches(
+        [
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        ],
+        f"{work}/batches",
+    )
+    out = se.run_streaming_postings(
+        spark, f"{work}/batches", f"{work}/ckpt"
+    )
+    return out.withColumn(
+        "positions",
+        F.concat_ws(",", F.col("positions").cast("array<string>")),
+    )

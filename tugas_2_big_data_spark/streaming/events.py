@@ -643,3 +643,60 @@ def run_streaming_cdc(
     from pyspark.sql import functions as _F
 
     return state["t"].filter(_F.col(op_col) != delete_op)
+
+
+def run_streaming_postings(
+    spark: SparkSession,
+    batches_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverted-index maintenance as a streaming drain — the lexical
+    member of the streaming mergeable-state family (dedup bands, HLL
+    registers, ANN cells, CDC state, and now postings): each
+    micro-batch's posting rows (word, doc, tf, positions) APPEND into
+    the running relation before the next batch. A (word, doc) posting
+    derives from exactly ONE document and documents are disjoint
+    across micro-batches, so append IS merge — the drained relation
+    equals the batch build over the whole corpus however the stream
+    was micro-batched (the registered query shares txt_postings'
+    oracle). At 100 TB the per-batch append is a batch-sized
+    bucketed-by-word parquet append (the ivf_append_to_index
+    discipline) with periodic compaction
+    (bucketing.compact_appended_state).
+
+    Returns the final postings relation (word, id, tf, positions)."""
+    from tugas_2_big_data_spark.operators import text_analysis
+
+    src = (
+        spark.readStream.schema(f"{id_col} long, {text_col} string")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(batches_dir)
+    )
+    state = {"p": None}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bp = text_analysis.postings(
+            batch_df, text_col, id_col
+        ).localCheckpoint()
+        state["p"] = (
+            bp if state["p"] is None else state["p"].unionByName(bp)
+        )
+
+    q = (
+        src.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if state["p"] is None:
+        raise RuntimeError("stream delivered no micro-batches")
+    return state["p"]
