@@ -121,6 +121,9 @@ PROBE = [
     # fixed query terms match nothing (rows 15 -> 0, times an empty
     # serve). Its scale story is the pushed term filter, plan-pinned.
     "pack_shards_bpe",              # encode + lang-keyed pack window
+    # txt_bm25_stale_drift shares the bm25 exclusion (fixed query
+    # terms match nothing on the suffixed 100x corpus)
+    "graph_component_density",      # pair-component join + 2 aggs
 ]
 
 # Zipfian-vocabulary corpus variant: the prefix-filter dedups claim
