@@ -1,0 +1,130 @@
+"""Entity resolution: blocking, fuzzy matching, and survivorship.
+
+The reference pipeline has no record-linkage surface (SURVEY.md §2
+records the absence); a warehouse feeding an LLM-training corpus needs
+one — the same customer/author/source arriving with typos, OCR damage,
+or suffix aliases must be resolved to a canonical entity BEFORE
+per-entity aggregation, sampling quotas, or dedup keys are computed,
+or every downstream count is split across the variants.
+
+Design for 100 TB:
+- **Never all-pairs.** A naive match is |dirty| x |base| comparisons;
+  at 150 M x 150 M that is 2.25e16 pairs. Blocking maps each record
+  to a small key (here: a normalized, corruption-invariant projection
+  of the name) and only compares within a block — candidate volume is
+  sum(|block_d| * |block_b|), bounded by (max block size)^2 per key.
+  The block join is an equi-join Catalyst shuffles on the block key;
+  both sides scale out, nothing is collected, and AQE's skew handling
+  applies if one block runs hot.
+- **Similarity stays JVM-side.** `levenshtein` is a Spark built-in
+  (whole-stage codegen), so the verify step is a filter over the
+  candidate relation — no Python in the hot path.
+- **Best-match is one bounded window.** row_number partitioned by the
+  dirty record id over (distance, key) — the window is per dirty
+  record, never global.
+
+The DuckDB oracles replay the same blocking expression and the same
+`levenshtein` (both engines implement standard edit distance), so the
+match relation is value-compared end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def digits_block_key(name: Column, n_digits: int = 8) -> Column:
+    """Corruption-invariant blocking key: strip every non-digit and
+    keep the first ``n_digits``. Letter-level typos and word suffixes
+    leave the digit stream untouched, so a damaged name still lands in
+    its parent's block — the textbook trick of blocking on the most
+    stable projection of the field, not the raw field. Block size is
+    bounded by the id-space fan-out of the dropped digits (10 per
+    dropped digit), independent of table size."""
+    return F.substring(F.regexp_replace(name, "[^0-9]", ""), 1, n_digits)
+
+
+def blocked_candidates(
+    dirty: DataFrame, base: DataFrame, on: str = "block"
+) -> DataFrame:
+    """Candidate pairs = equi-join on the block key. This is the ONLY
+    place the two relations meet; everything downstream (distance,
+    ranking, survivorship) works on the candidate relation, whose size
+    is sum over blocks of |dirty block| x |base block| — linear in the
+    data for bounded blocks, never quadratic in the tables."""
+    return dirty.join(base, on=on)
+
+
+def best_match(
+    candidates: DataFrame,
+    dirty_name: str = "d_name",
+    base_name: str = "c_name",
+    dirty_id: str = "d_id",
+    base_key: str = "c_custkey",
+    max_dist: int = 3,
+) -> DataFrame:
+    """Verify + rank: keep candidates within ``max_dist`` edits, then
+    pick each dirty record's closest base record (ties broken by the
+    smaller key so the result is deterministic). One window partitioned
+    by the dirty id — state is per-record, the shuffle key is the same
+    dirty id the candidate join already grouped, and the output is at
+    most one row per dirty record."""
+    dist = F.levenshtein(F.col(dirty_name), F.col(base_name))
+    w = Window.partitionBy(dirty_id).orderBy("dist", base_key)
+    return (
+        candidates.withColumn("dist", dist)
+        .filter(F.col("dist") <= max_dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def survivorship(
+    matches: DataFrame,
+    base: DataFrame,
+    base_key: str = "c_custkey",
+    matched_key: str = "c_custkey",
+    dirty_id: str = "d_id",
+    dirty_bal: str = "d_acctbal",
+    min_cluster: int = 2,
+) -> DataFrame:
+    """Collapse each matched cluster (a base record plus every dirty
+    record resolved to it) to one survivor row: the record with the
+    best completeness signal (here max account balance, ties to the
+    smaller record id) wins, the cluster size is kept for audit.
+
+    Shape: matches carry (d_id, matched_key, d_acctbal); base rows
+    join in as their own cluster seed. One union + one groupBy on the
+    cluster key — a single hash shuffle, no iteration, because
+    best-match already made the cluster assignment functional (every
+    dirty record points at exactly one base key)."""
+    base_rows = base.select(
+        F.col(base_key).alias("cluster_key"),
+        F.col(base_key).alias("rec_id"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    dirty_rows = matches.select(
+        F.col(matched_key).alias("cluster_key"),
+        F.col(dirty_id).alias("rec_id"),
+        F.col(dirty_bal).alias("acctbal"),
+    )
+    rows = base_rows.unionByName(dirty_rows)
+    best = F.struct(
+        F.col("acctbal").alias("a"), (-F.col("rec_id")).alias("negid")
+    )
+    return (
+        rows.groupBy("cluster_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.max(best).alias("b"),
+        )
+        .filter(F.col("n_records") >= min_cluster)
+        .select(
+            "cluster_key",
+            "n_records",
+            (-F.col("b.negid")).cast("long").alias("survivor_id"),
+            F.col("b.a").alias("survivor_acctbal"),
+        )
+    )

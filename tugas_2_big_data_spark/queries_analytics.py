@@ -14,7 +14,13 @@ from pyspark.sql import functions as F
 
 from tugas_2_big_data_spark.queries import register
 from tugas_2_big_data_spark.sources.catalog import load_table
-from tugas_2_big_data_spark.operators import rangejoin, sketches, skew, timeseries
+from tugas_2_big_data_spark.operators import (
+    entity_resolution,
+    rangejoin,
+    sketches,
+    skew,
+    timeseries,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -2073,3 +2079,191 @@ def evt_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp(g), 6).alias("std_gap_s"),
         F.round(F.stddev_samp(g) / F.avg(g), 6).alias("burstiness_cv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: blocking -> fuzzy match -> survivorship over a
+# deterministically dirtied customer registry. The customer table has
+# no natural duplicates, so both sides build the same dirty twins:
+# a letter-dropped typo copy (custkey%5==0 -> +100000) and a suffix
+# alias (custkey%7==0 -> +200000). Blocking normalizes the name to
+# its digit stream (corruption-invariant), so blocks stay <=10 rows
+# per key at ANY table size and the match never goes all-pairs.
+# ---------------------------------------------------------------------------
+
+_ER_BASE_SQL = """
+  SELECT c_custkey, c_name, c_acctbal,
+         substr(regexp_replace(c_name, '[^0-9]', '', 'g'), 1, 8) AS block
+  FROM customer
+"""
+
+_ER_DIRTY_SQL = """
+  SELECT d_id, d_name, d_acctbal,
+         substr(regexp_replace(d_name, '[^0-9]', '', 'g'), 1, 8) AS block
+  FROM (
+    SELECT c_custkey + 100000 AS d_id,
+           substr(c_name, 1, 4) || substr(c_name, 6) AS d_name,
+           c_acctbal + 1.5 AS d_acctbal
+    FROM customer WHERE c_custkey % 5 = 0
+    UNION ALL
+    SELECT c_custkey + 200000 AS d_id,
+           c_name || ' jr' AS d_name,
+           c_acctbal - 2.0 AS d_acctbal
+    FROM customer WHERE c_custkey % 7 = 0
+  )
+"""
+
+_ER_CAND_SQL = f"""
+  SELECT d.d_id, d.d_name, d.d_acctbal, d.block,
+         b.c_custkey, b.c_name,
+         levenshtein(d.d_name, b.c_name) AS dist
+  FROM ({_ER_DIRTY_SQL}) d JOIN ({_ER_BASE_SQL}) b USING (block)
+"""
+
+_ER_MATCH_SQL = f"""
+  SELECT d_id, c_custkey AS matched_key, dist, d_acctbal
+  FROM (
+    SELECT d_id, c_custkey, dist, d_acctbal,
+           row_number() OVER (
+             PARTITION BY d_id ORDER BY dist, c_custkey
+           ) AS rn
+    FROM ({_ER_CAND_SQL}) WHERE dist <= 3
+  ) WHERE rn = 1
+"""
+
+
+def _er_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    return cust.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        entity_resolution.digits_block_key(F.col("c_name")).alias("block"),
+    )
+
+
+def _er_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    typo = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") + 100000).alias("d_id"),
+        F.concat(
+            F.substring("c_name", 1, 4), F.expr("substring(c_name, 6)")
+        ).alias("d_name"),
+        (F.col("c_acctbal") + 1.5).alias("d_acctbal"),
+    )
+    alias = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 200000).alias("d_id"),
+        F.concat(F.col("c_name"), F.lit(" jr")).alias("d_name"),
+        (F.col("c_acctbal") - 2.0).alias("d_acctbal"),
+    )
+    dirty = typo.unionByName(alias)
+    return dirty.withColumn(
+        "block", entity_resolution.digits_block_key(F.col("d_name"))
+    )
+
+
+_ER_BLOCKING_SQL = f"""
+SELECT
+  CAST((SELECT count(*) FROM ({_ER_CAND_SQL})) AS BIGINT) AS n_candidates,
+  CAST((SELECT count(DISTINCT block) FROM ({_ER_CAND_SQL})) AS BIGINT)
+    AS n_blocks,
+  CAST((SELECT count(*) FROM ({_ER_DIRTY_SQL}))
+       * (SELECT count(*) FROM customer) AS BIGINT) AS naive_pairs
+"""
+
+
+@register("er_blocked_candidates", _ER_BLOCKING_SQL)
+def er_blocked_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking efficiency audit: candidate pairs actually compared
+    (equi-join on the digit-stream block key) vs the naive |dirty| x
+    |base| cross product the blocking avoided. One row; the candidate
+    relation is the SAME equi-join the match query consumes, so the
+    number it reports is the number the pipeline pays. At 100 TB the
+    naive count is ~1e16 and the blocked count stays ~10x |dirty| —
+    this query is the proof the match below never goes quadratic."""
+    cand = entity_resolution.blocked_candidates(
+        _er_dirty(spark, sf_dir), _er_base(spark, sf_dir)
+    )
+    stats = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.countDistinct("block").cast("long").alias("n_blocks"),
+    )
+    naive = (
+        _er_dirty(spark, sf_dir)
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .crossJoin(
+            load_table(spark, "customer", sf_dir).agg(
+                F.count(F.lit(1)).alias("nb")
+            )
+        )
+        .select((F.col("nd") * F.col("nb")).cast("long").alias("naive_pairs"))
+    )
+    return stats.crossJoin(naive)
+
+
+_ER_MATCH_OUT_SQL = f"""
+SELECT CAST(d_id AS BIGINT) AS d_id,
+       CAST(matched_key AS BIGINT) AS matched_key,
+       CAST(dist AS BIGINT) AS dist
+FROM ({_ER_MATCH_SQL})
+"""
+
+
+@register("er_match_pairs", _ER_MATCH_OUT_SQL)
+def er_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy match: block-join candidates filtered to levenshtein <= 3
+    (JVM built-in, whole-stage codegen — no Python in the verify step),
+    then each dirty record keeps its closest base record (ties to the
+    smaller key). The typo twin sits at distance 1 from its parent but
+    distance 2 from block siblings, the suffix alias at 3 vs 4 — so
+    ranking recovers the true parent for every twin, which is what the
+    oracle value-checks. One block-key shuffle + one per-record
+    window; output is at most one row per dirty record."""
+    cand = entity_resolution.blocked_candidates(
+        _er_dirty(spark, sf_dir), _er_base(spark, sf_dir)
+    )
+    m = entity_resolution.best_match(cand, max_dist=3)
+    return m.select(
+        F.col("d_id").cast("long").alias("d_id"),
+        F.col("c_custkey").cast("long").alias("matched_key"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+_ER_SURVIVOR_SQL = f"""
+WITH rows_all AS (
+  SELECT c_custkey AS cluster_key, c_custkey AS rec_id, c_acctbal AS acctbal
+  FROM customer
+  UNION ALL
+  SELECT matched_key AS cluster_key, d_id AS rec_id, d_acctbal AS acctbal
+  FROM ({_ER_MATCH_SQL})
+),
+ranked AS (
+  SELECT cluster_key, rec_id, acctbal,
+         count(*) OVER (PARTITION BY cluster_key) AS n_records,
+         row_number() OVER (
+           PARTITION BY cluster_key ORDER BY acctbal DESC, rec_id
+         ) AS rn
+  FROM rows_all
+)
+SELECT CAST(cluster_key AS BIGINT) AS cluster_key,
+       CAST(n_records AS BIGINT) AS n_records,
+       CAST(rec_id AS BIGINT) AS survivor_id,
+       acctbal AS survivor_acctbal
+FROM ranked WHERE rn = 1 AND n_records >= 2
+"""
+
+
+@register("er_survivorship", _ER_SURVIVOR_SQL)
+def er_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: every matched cluster (base record + its resolved
+    twins) collapses to one row — max account balance wins, ties to
+    the smaller record id, cluster size kept for audit. Because
+    best-match makes the cluster assignment functional (one parent per
+    dirty record), this is a single groupBy on the cluster key with an
+    argmax struct — no iteration, no component closure. The golden
+    record a warehouse would serve after ER."""
+    base = _er_base(spark, sf_dir)
+    cand = entity_resolution.blocked_candidates(_er_dirty(spark, sf_dir), base)
+    m = entity_resolution.best_match(cand, max_dist=3)
+    return entity_resolution.survivorship(m, base)
