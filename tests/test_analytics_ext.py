@@ -399,3 +399,26 @@ def test_hll_estimate_empty_registers_is_zero(spark):
     empty = spark.createDataFrame([], "idx int, r int")
     row = sketches.hll_estimate(empty).collect()[0]
     assert row.estimate == 0.0
+
+
+def test_cm_join_size_exact_when_collision_free(spark):
+    """With far fewer distinct keys than sketch width, the inner
+    product has no cross terms and the estimate IS the exact join
+    size (sum of per-key count products)."""
+    from tugas_2_big_data_spark.operators import sketches
+
+    a = spark.createDataFrame([("u1", 3), ("u2", 5), ("u3", 2)], ["item", "cnt"])
+    b = spark.createDataFrame([("u1", 4), ("u3", 7), ("u4", 9)], ["item", "cnt"])
+    cm_a = sketches.count_min_counters(a)
+    cm_b = sketches.count_min_counters(b)
+    est = sketches.count_min_join_size(cm_a, cm_b).collect()[0].cm_est
+    assert est == 3 * 4 + 2 * 7
+
+
+def test_cm_join_size_upper_bound_on_real_data(spark):
+    """The estimate must never undershoot: collision cross terms only
+    ADD to each row's inner product."""
+    df = REG["sketch_join_size_estimate"](spark, SF_UNIT)
+    row = df.collect()[0]
+    assert row.within_bound
+    assert row.cm_est >= row.exact_size

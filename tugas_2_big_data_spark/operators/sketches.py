@@ -602,3 +602,25 @@ def histogram_quantiles_by_group(
     for part in parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+def count_min_join_size(cm_a: DataFrame, cm_b: DataFrame) -> DataFrame:
+    """AMS-style join-cardinality estimate from two Count-Min counter
+    tables built with the SAME hash family: for each row r, the inner
+    product sum_c a[r][c]*b[r][c] equals the true join size
+    sum_key cntA(key)*cntB(key) PLUS non-negative collision cross
+    terms — so every row overestimates and min-over-rows is the
+    tightest certain upper bound (Cormode & Muthukrishnan's inner-
+    product estimator).
+
+    This is how an optimizer prices a join WITHOUT running it: the two
+    data-sized stages are the per-key count aggregates the sketches
+    are built from (map-side partial, one shuffle each); the estimate
+    itself joins two ≤depth·width-row tables — constant work whatever
+    the fact sizes, and both sketches are mergeable, so per-partition
+    sketches fold up without touching the other side."""
+    joined = cm_a.alias("a").join(cm_b.alias("b"), ["r", "c"])
+    per_row = joined.groupBy("r").agg(
+        F.sum(F.col("a.cell") * F.col("b.cell")).alias("ip")
+    )
+    return per_row.agg(F.min("ip").cast("long").alias("cm_est"))

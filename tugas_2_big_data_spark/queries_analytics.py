@@ -2349,3 +2349,93 @@ def layout_zorder_vs_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).bitwiseAND(F.lit(mask)).alias("y"),
     )
     return layout.layout_audit(pts, n_buckets=64)
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation: price |view-events >< purchase-events on user|
+# from two Count-Min sketches without running the join.
+# ---------------------------------------------------------------------------
+
+def _join_size_sql(depth: int = _CM_DEPTH, width: int = _CM_WIDTH) -> str:
+    from tugas_2_big_data_spark.functions.hashing import hexn_sql
+
+    def legs(src: str) -> str:
+        out = []
+        for r in range(depth):
+            h = hexn_sql(f"md5('cm{r}:' || CAST(item AS VARCHAR))", 15)
+            out.append(
+                f"SELECT item, cnt, {r} AS r, ({h}) % {width} AS c FROM {src}"
+            )
+        return "\nUNION ALL ".join(out)
+
+    return f"""
+WITH ia AS (
+  SELECT user_id AS item, count(*) AS cnt FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+ib AS (
+  SELECT user_id AS item, count(*) AS cnt FROM events
+  WHERE event_type = 'purchase' GROUP BY 1
+),
+pa AS ({legs('ia')}),
+pb AS ({legs('ib')}),
+ca AS (SELECT r, c, sum(cnt) AS cell FROM pa GROUP BY 1, 2),
+cb AS (SELECT r, c, sum(cnt) AS cell FROM pb GROUP BY 1, 2),
+ip AS (
+  SELECT a.r, sum(a.cell * b.cell) AS ip
+  FROM ca a JOIN cb b ON a.r = b.r AND a.c = b.c GROUP BY 1
+),
+ex AS (
+  SELECT COALESCE(sum(a.cnt * b.cnt), 0) AS exact_size
+  FROM ia a JOIN ib b ON a.item = b.item
+)
+SELECT CAST(exact_size AS BIGINT) AS exact_size,
+       CAST((SELECT min(ip) FROM ip) AS BIGINT) AS cm_est,
+       CAST((SELECT min(ip) FROM ip) - exact_size AS BIGINT) AS over_est,
+       ((SELECT min(ip) FROM ip) >= exact_size) AS within_bound
+FROM ex
+"""
+
+
+@register("sketch_join_size_estimate", _join_size_sql())
+def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation by Count-Min inner product
+    (sketches.count_min_join_size): the many-to-many size of
+    view-events >< purchase-events on user_id, estimated from two
+    4x512 counter tables sharing one hash family — min-over-rows of
+    the cell-wise inner product is a CERTAIN upper bound (collision
+    cross terms only add), value-checked next to the exact size. The
+    pre-join costing an optimizer needs before choosing shuffle vs
+    broadcast vs skew-split on 100 TB facts: sketch build is each
+    side's per-key count agg (map-side partial), the estimate itself
+    is constant-size work, and the counter tables merge cell-wise so
+    per-partition sketches fold without co-shuffling the sides."""
+    ev = load_table(spark, "events", sf_dir)
+    a = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.col("user_id").alias("item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cm_a = sketches.count_min_counters(a, _CM_DEPTH, _CM_WIDTH)
+    cm_b = sketches.count_min_counters(b, _CM_DEPTH, _CM_WIDTH)
+    est = sketches.count_min_join_size(cm_a, cm_b)
+    exact = (
+        a.alias("a")
+        .join(b.alias("b"), "item")
+        .agg(
+            F.coalesce(F.sum(F.col("a.cnt") * F.col("b.cnt")), F.lit(0))
+            .cast("long")
+            .alias("exact_size")
+        )
+    )
+    return exact.crossJoin(est).select(
+        "exact_size",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_size")).cast("long").alias("over_est"),
+        (F.col("cm_est") >= F.col("exact_size")).alias("within_bound"),
+    )
