@@ -1428,3 +1428,26 @@ def test_compact_index_relation_crash_recovery_and_cid_guard(spark, tmp_path):
     vecs.select("vec_id").write.parquet(flat + "/invfile")
     with pytest.raises(ValueError, match="cid"):
         similarity.compact_index_relation(spark, flat)
+
+
+def test_kmeans_health_shares_and_cohesion(spark):
+    """Health profile invariants: one row per non-empty cell, shares
+    sum to 1, counts sum to the corpus, and cohesion beats the
+    corpus-wide baseline (members are closer to their OWN centroid
+    than the global mean vector is cohesive by construction of
+    Lloyd assignment: each member picked this centroid as argmin)."""
+    from conftest import SF_UNIT
+    from tugas_2_big_data_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", SF_UNIT)
+    h = similarity.kmeans_health(emb, k=4, iters=2)
+    rows = h.collect()
+    assert 1 <= len(rows) <= 4
+    assert sum(r.n_vecs for r in rows) == emb.count()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert -1.0 <= r.mean_cos <= 1.0
+    # assignment is argmin over centroids: reassigning any member to a
+    # different cell cannot improve cohesion, so every cell's mean
+    # cosine to its own centroid must be positive on this corpus
+    assert all(r.mean_cos > 0 for r in rows)

@@ -2804,3 +2804,52 @@ def covariance_top_eigen(
             F.round(F.col("_nrm"), round_to).alias("eigenvalue"),
         )
     )
+
+
+def kmeans_health(
+    vecs: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Index-health profile of a trained coarse quantizer: per cell,
+    the member count, corpus share, and mean member→centroid cosine
+    (within-cell cohesion — the cosine analogue of k-means inertia).
+
+    This is the measurement behind the retrain-cadence decision the
+    frozen-centroid append family (`ivf_append_to_index`,
+    `ann_incremental_add_recall`) creates: appends under frozen
+    centroids degrade cohesion and skew cell shares long before
+    recall visibly drops, and nprobe-vs-recall curves are per-query
+    while this is per-CELL — it localizes WHICH cells rotted.
+
+    Scale shape: same plan as assignment itself — the centroid state
+    is one broadcast row, cohesion is an in-row fold, and the profile
+    is ONE hash aggregate keyed by cell (k rows out) plus a one-row
+    total broadcast back for shares. No windows, no self-joins."""
+    pts, state, assign_col = _kmeans_state(
+        vecs, k, iters, id_col, vec_col, dim
+    )
+    cents = state.select(F.posexplode("_cs").alias("cid", "cvec")).select(
+        F.col("cid").cast("long").alias("cluster"), "cvec"
+    )
+    assigned = pts.crossJoin(F.broadcast(state)).select(
+        F.col("_v").alias("vec"),  # pts carries the cast vector as _v
+        assign_col.alias("cluster"),
+    )
+    scored = assigned.join(F.broadcast(cents), "cluster").select(
+        "cluster", cosine(F.col("vec"), F.col("cvec")).alias("cos")
+    )
+    per = scored.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.avg("cos"), 6).alias("mean_cos"),
+    )
+    tot = per.agg(F.sum("n_vecs").alias("total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "cluster",
+        "n_vecs",
+        F.round(F.col("n_vecs") / F.col("total"), 6).alias("share"),
+        "mean_cos",
+    )

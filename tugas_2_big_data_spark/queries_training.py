@@ -6816,3 +6816,48 @@ def txt_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_grams",
         F.sum("new_grams").over(cum).cast("long").alias("vocab_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quantizer health: per-cell cohesion and balance of the trained
+# coarse quantizer — the retrain-cadence measurement for the
+# frozen-centroid append loop.
+# ---------------------------------------------------------------------------
+
+def _kmeans_health_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    ctes = ",\n".join(_kmeans_cents_ctes(k, iters, dim))
+    return f"""
+WITH {ctes},
+scored AS (
+  SELECT a.cid AS cluster,
+    list_cosine_similarity(
+      list_transform(a.embedding, x -> CAST(x AS DOUBLE)), c.cvec
+    ) AS cos
+  FROM a{iters + 1} a JOIN c{iters} c ON a.cid = c.cid
+),
+per AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+         round(avg(cos), 6) AS mean_cos
+  FROM scored GROUP BY cluster
+)
+SELECT cluster, n_vecs,
+       round(CAST(n_vecs AS DOUBLE) / (SELECT sum(n_vecs) FROM per), 6)
+         AS share,
+       mean_cos
+FROM per
+"""
+
+
+@register("ann_kmeans_health", _kmeans_health_sql())
+def ann_kmeans_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer health profile (similarity.kmeans_health): per-cell
+    member count, corpus share, and mean member→centroid cosine of
+    the k=4 production coarse quantizer. Cohesion decay and share
+    skew are the per-CELL signals that say WHEN to pay the retrain
+    the frozen-centroid append loop (`ann_ivf_incremental_add_*`,
+    `ann_incremental_add_recall`) defers — and WHICH cells to split.
+    Plan = assignment's own: one-row centroid broadcast, in-row
+    cosine fold, one k-row aggregate; health costs nothing beyond
+    the assign pass it audits."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.kmeans_health(emb, k=4, iters=2)
