@@ -404,3 +404,28 @@ def test_bpe_encode_handles_missing_rounds_and_empty_text(spark):
     assert out[1].tokens.split(" ") == ["ab", "ab"]
     assert out[1].n_tokens == 2
     assert out[2].n_tokens == 0 and out[2].tokens == ""
+
+
+def test_ppl_bands_are_thirds_and_tail_dropped(spark):
+    """Tercile banding must split the scored docs into three near-equal
+    bands (exact thirds up to interpolation ties) ordered
+    head < middle < tail in mean surprise, with only the tail dropped."""
+    from conftest import SF_UNIT
+    from tugas_2_big_data_spark.operators import text_analysis
+    from tugas_2_big_data_spark.sources.catalog import load_table
+
+    scored = text_analysis.bigram_perplexity(
+        load_table(spark, "documents", SF_UNIT)
+    )
+    n = scored.count()
+    rows = {r.band: r for r in text_analysis.ppl_bands(scored).collect()}
+    assert set(rows) == {"head", "middle", "tail"}
+    assert sum(r.n_docs for r in rows.values()) == n
+    for band in rows.values():
+        assert abs(band.n_docs - n / 3) <= 2
+    assert (
+        rows["head"].mean_surprise
+        < rows["middle"].mean_surprise
+        < rows["tail"].mean_surprise
+    )
+    assert rows["head"].kept and rows["middle"].kept and not rows["tail"].kept

@@ -1361,3 +1361,44 @@ def postings(
             F.sort_array(F.collect_list(F.col("_p") + 1)).alias("positions"),
         )
     )
+
+
+def ppl_bands(
+    scored: DataFrame,
+    score_col: str = "mean_neg_log2_prob",
+    keep_tail: bool = False,
+) -> DataFrame:
+    """CCNet-style perplexity banding: split the scored corpus into
+    head / middle / tail thirds by the corpus's OWN exact terciles of
+    LM surprise (self-calibrating — no magic absolute threshold
+    survives a domain shift), and mark which bands a training run
+    keeps (conventionally head+middle; the tail is rare-token soup).
+
+    Scale shape: one exact-percentile aggregate over the score column
+    (a single one-row reduce), broadcast back onto the scored
+    relation, then a 3-row band aggregate — banding adds nothing
+    data-sized beyond the scoring pass that feeds it. Tercile
+    boundaries use strict `<` so a document exactly AT a boundary
+    falls into the upper band on both engines (Spark `percentile` and
+    DuckDB `quantile_cont` are both type-7, bit-identical)."""
+    third = 1.0 / 3
+    qs = scored.agg(
+        F.percentile(score_col, third).alias("p33"),
+        F.percentile(score_col, 2 * third).alias("p66"),
+    )
+    s = F.col(score_col)
+    band = (
+        F.when(s < F.col("p33"), F.lit("head"))
+        .when(s < F.col("p66"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    banded = scored.crossJoin(F.broadcast(qs)).select(
+        band.alias("band"), s.alias("score")
+    )
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("score"), 6).alias("mean_surprise"),
+    ).withColumn(
+        "kept",
+        F.lit(True) if keep_tail else (F.col("band") != "tail"),
+    )

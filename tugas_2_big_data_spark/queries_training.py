@@ -6861,3 +6861,47 @@ def ann_kmeans_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     the assign pass it audits."""
     emb = load_table(spark, "embeddings", sf_dir)
     return similarity.kmeans_health(emb, k=4, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# perplexity band filter: CCNet's head/middle/tail split over the
+# bigram-LM surprise scores — the self-calibrating quality gate.
+# ---------------------------------------------------------------------------
+
+_PPL_BANDS_SQL = f"""
+WITH scored AS ({_BIGRAM_PPL_SQL}),
+qs AS (
+  SELECT quantile_cont(mean_neg_log2_prob, 1.0/3) AS p33,
+         quantile_cont(mean_neg_log2_prob, 2.0/3) AS p66
+  FROM scored
+)
+SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(score), 6) AS mean_surprise,
+       (band <> 'tail') AS kept
+FROM (
+  SELECT CASE WHEN mean_neg_log2_prob < p33 THEN 'head'
+              WHEN mean_neg_log2_prob < p66 THEN 'middle'
+              ELSE 'tail' END AS band,
+         mean_neg_log2_prob AS score
+  FROM scored, qs
+)
+GROUP BY band
+"""
+
+
+@register("txt_ppl_band_filter", _PPL_BANDS_SQL)
+def txt_ppl_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity banding (text_analysis.ppl_bands): the corpus
+    split into head/middle/tail thirds by ITS OWN exact terciles of
+    interpolated-bigram surprise (txt_bigram_perplexity's scores) —
+    the self-calibrating form of the perplexity quality gate (an
+    absolute threshold dies on every domain shift; terciles don't).
+    kept=false marks the tail a training run drops. One exact-
+    percentile reduce broadcast back + a 3-row aggregate on top of
+    the scoring pass; Spark `percentile` ≡ DuckDB `quantile_cont`
+    (both type-7), strict `<` puts boundary docs in the upper band
+    on both engines."""
+    scored = text_analysis.bigram_perplexity(
+        load_table(spark, "documents", sf_dir)
+    )
+    return text_analysis.ppl_bands(scored)
