@@ -451,3 +451,38 @@ def test_run_streaming_cdc_custom_delete_marker(spark, tmp_path):
     )
     out = {r.k: r.val for r in final.collect()}
     assert out == {2: "y"}  # key 1's "del" tombstone is NOT served
+
+
+def test_streaming_er_equals_batch_match(spark, tmp_path):
+    """Drained streaming ER must equal the batch best-match relation
+    regardless of micro-batching (3 batches here vs 2 in the
+    registered query vs 1 in batch)."""
+    from tugas_2_big_data_spark import queries as q  # noqa: F401
+    from tugas_2_big_data_spark import queries_analytics as qa
+    from tugas_2_big_data_spark.operators import entity_resolution as er
+    from tugas_2_big_data_spark.streaming import events as se
+
+    sf = SF_UNIT
+    dirty = qa._er_dirty(spark, sf)
+    base = qa._er_base(spark, sf)
+    se.write_ingest_batches(
+        [
+            dirty.filter(F.col("d_id") % 3 == 0),
+            dirty.filter(F.col("d_id") % 3 == 1),
+            dirty.filter(F.col("d_id") % 3 == 2),
+        ],
+        str(tmp_path / "batches"),
+    )
+    streamed = se.run_streaming_er(
+        spark, str(tmp_path / "batches"), str(tmp_path / "ckpt"), base
+    )
+    batch = er.best_match(
+        er.blocked_candidates(dirty, base), max_dist=3
+    ).select(
+        F.col("d_id").cast("long").alias("d_id"),
+        F.col("c_custkey").cast("long").alias("matched_key"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+    got = sorted(map(tuple, streamed.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want

@@ -682,3 +682,41 @@ def stream_postings_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "positions",
         F.concat_ws(",", F.col("positions").cast("array<string>")),
     )
+
+
+# safe import: queries.py registers queries_analytics before this module
+from tugas_2_big_data_spark.queries_analytics import (  # noqa: E402
+    _ER_MATCH_OUT_SQL as _ER_STREAM_SQL,
+    _er_base as _er_stream_base,
+    _er_dirty as _er_stream_dirty,
+)
+
+
+@register("stream_er_match", _ER_STREAM_SQL)
+def stream_er_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution ON THE INGEST STREAM
+    (streaming/events.run_streaming_er): the dirty registry arrives
+    as two micro-batches; each block-joins the static base and keeps
+    its best levenshtein match before the next batch lands. A match
+    depends only on its own record plus the static base — no
+    cross-record state — so append IS merge and the drained relation
+    equals the batch match, sharing er_match_pairs' oracle verbatim.
+    Extends the streaming symmetry (dedup gates, ANN appends, CDC
+    folds, quality gate, postings) to record linkage — the shape of
+    a registry that must resolve entities as records arrive, not in
+    a nightly batch."""
+    import tempfile
+
+    dirty = _er_stream_dirty(spark, sf_dir)
+    base = _er_stream_base(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="tugas2_stream_er_")
+    se.write_ingest_batches(
+        [
+            dirty.filter(F.col("d_id") % 2 == 0),
+            dirty.filter(F.col("d_id") % 2 == 1),
+        ],
+        f"{work}/batches",
+    )
+    return se.run_streaming_er(
+        spark, f"{work}/batches", f"{work}/ckpt", base
+    )

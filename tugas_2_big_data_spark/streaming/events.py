@@ -700,3 +700,59 @@ def run_streaming_postings(
     if state["p"] is None:
         raise RuntimeError("stream delivered no micro-batches")
     return state["p"]
+
+
+def run_streaming_er(
+    spark: SparkSession,
+    batches_dir: str,
+    checkpoint_dir: str,
+    base: DataFrame,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Entity resolution on the ingest stream: each micro-batch of
+    dirty records block-joins the STATIC base registry and keeps its
+    best levenshtein match (operators/entity_resolution.py). A
+    record's match depends only on that record and the static base —
+    no cross-record state — so append IS merge and the drained match
+    relation equals the batch match however the stream was
+    micro-batched (the registered query shares er_match_pairs'
+    oracle). The stream-side twin of the stream-static enrich join,
+    upgraded from exact-key to blocked fuzzy matching; at 100 TB the
+    base side broadcasts or bucket-joins per micro-batch exactly as
+    in batch."""
+    from tugas_2_big_data_spark.operators import entity_resolution as er
+
+    src = (
+        spark.readStream.schema(
+            "d_id long, d_name string, d_acctbal double, block string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(batches_dir)
+    )
+    state = {"m": None}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cand = er.blocked_candidates(batch_df, base)
+        m = er.best_match(cand, max_dist=max_dist).select(
+            F.col("d_id").cast("long").alias("d_id"),
+            F.col("c_custkey").cast("long").alias("matched_key"),
+            F.col("dist").cast("long").alias("dist"),
+        ).localCheckpoint()
+        state["m"] = m if state["m"] is None else state["m"].unionByName(m)
+
+    q = (
+        src.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if state["m"] is None:
+        raise RuntimeError("streaming ER drained zero batches")
+    return state["m"]
