@@ -1451,3 +1451,27 @@ def test_kmeans_health_shares_and_cohesion(spark):
     # different cell cannot improve cohesion, so every cell's mean
     # cosine to its own centroid must be positive on this corpus
     assert all(r.mean_cos > 0 for r in rows)
+
+
+def test_contrastive_pairs_planted_geometry(spark):
+    """Planted 2-D geometry: the positive must be the same-label
+    vector closest in angle, the negative the closest OTHER-label
+    vector, and the margin their cosine gap."""
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.9998, 0.02], "a"),   # best positive for 0
+        (2, [0.7, 0.7], "a"),
+        (3, [0.95, 0.3122], "b"),   # hardest negative for 0
+        (4, [0.0, 1.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {
+        r.query_id: r
+        for r in similarity.contrastive_pairs(
+            df, df.filter(F.col("vec_id") == 0)
+        ).collect()
+    }
+    r = out[0]
+    assert r.pos_id == 1 and r.neg_id == 3
+    assert r.pos_cos > r.neg_cos > 0
+    assert abs(r.margin - (r.pos_cos - r.neg_cos)) < 1e-9

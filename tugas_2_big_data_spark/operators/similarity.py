@@ -2853,3 +2853,63 @@ def kmeans_health(
         F.round(F.col("n_vecs") / F.col("total"), 6).alias("share"),
         "mean_cos",
     )
+
+
+def contrastive_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for
+    each query vector, the best POSITIVE (most-similar corpus vector
+    sharing its label, excluding itself) and the hardest NEGATIVE
+    (most-similar vector with a DIFFERENT label), plus the margin
+    between them. Small or negative margins are exactly the pairs a
+    contrastive objective learns most from — and the rows a curation
+    pipeline mines per training round.
+
+    Scale shape: identical to cosine_topk — the query block broadcasts
+    (hard-negative mining is done in query batches at any scale), the
+    corpus streams through one scored projection, and the two argmax
+    picks are per-query windows over that stream. For full-corpus
+    mining, run batches of queries through this or swap the scored
+    relation for the IVF-served candidates; the contract is the same."""
+    from pyspark.sql import Window
+
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+        F.col(label_col).alias("nlabel"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.col(label_col).alias("qlabel"),
+    )
+    scored = c.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id")).select(
+        "query_id", "qlabel", "nbr_id", "nlabel",
+        cosine(F.col("qv"), F.col("nv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("nbr_id")
+    )
+
+    def top1(rel: DataFrame, id_out: str, cos_out: str) -> DataFrame:
+        return (
+            rel.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.col("nbr_id").alias(id_out),
+                F.round("cos", 9).alias(cos_out),
+            )
+        )
+
+    pos = top1(scored.filter(F.col("nlabel") == F.col("qlabel")), "pos_id", "pos_cos")
+    neg = top1(scored.filter(F.col("nlabel") != F.col("qlabel")), "neg_id", "neg_cos")
+    return pos.join(neg, "query_id").select(
+        "query_id", "pos_id", "pos_cos", "neg_id", "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 9).alias("margin"),
+    )

@@ -6905,3 +6905,59 @@ def txt_ppl_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "documents", sf_dir)
     )
     return text_analysis.ppl_bands(scored)
+
+
+# ---------------------------------------------------------------------------
+# contrastive pair mining: best positive + hardest negative per query
+# ---------------------------------------------------------------------------
+
+_HARD_NEG_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS nv, label AS nlabel
+  FROM embeddings
+),
+scored AS (
+  SELECT q.query_id, q.qlabel, c.nbr_id, c.nlabel,
+         list_cosine_similarity(q.qv, c.nv) AS cos
+  FROM q, c WHERE c.nbr_id != q.query_id
+),
+pos AS (
+  SELECT query_id, nbr_id AS pos_id, round(cos, 9) AS pos_cos FROM (
+    SELECT query_id, nbr_id, cos,
+      row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, nbr_id
+      ) AS rn
+    FROM scored WHERE nlabel = qlabel
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT query_id, nbr_id AS neg_id, round(cos, 9) AS neg_cos FROM (
+    SELECT query_id, nbr_id, cos,
+      row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, nbr_id
+      ) AS rn
+    FROM scored WHERE nlabel != qlabel
+  ) WHERE rn = 1
+)
+SELECT pos.query_id, pos_id, pos_cos, neg_id, neg_cos,
+       round(pos_cos - neg_cos, 9) AS margin
+FROM pos JOIN neg ON pos.query_id = neg.query_id
+"""
+
+
+@register("emb_hard_negatives", _HARD_NEG_SQL)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair mining (similarity.contrastive_pairs): per
+    query vector, the best same-label positive and the hardest
+    cross-label negative by cosine, with the margin between them —
+    small/negative margins are the pairs a retrieval trainer learns
+    most from, mined per curation round. Query block broadcast,
+    corpus streamed once through a scored projection, two per-query
+    argmax windows; at full-corpus scale the scored relation swaps
+    for IVF-served candidates under the same contract."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.contrastive_pairs(emb, emb.filter(F.col("vec_id") < 8))
