@@ -70,6 +70,13 @@ PROBE = [
     # output-bound pairwise ops (see module docstring)
     "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_exact_baseline",
     "dedup_ngram_jaccard_prefix",
+    # round-8 additions: blocked fuzzy match (candidates stay linear
+    # because build() rewrites c_name from the SHIFTED key — 10 copies
+    # of one name would quadratically inflate every block, which real
+    # unique registries don't do), survivorship fold, morton audit,
+    # CM join-size sketch
+    "er_match_pairs", "er_survivorship",
+    "layout_zorder_vs_linear", "sketch_join_size_estimate",
 ]
 
 
@@ -86,6 +93,19 @@ def build(spark) -> None:
             df = base
             for k in keys:
                 df = df.withColumn(k, F.col(k) + F.lit(c * KEY_OFFSET))
+            if t == "customer":
+                # keep the name's digit stream in sync with the shifted
+                # key: a real registry has one name per entity, and the
+                # ER family's blocking correctness depends on that —
+                # 10 copies of an identical name would turn every block
+                # quadratic, a corpus artifact not an operator property
+                df = df.withColumn(
+                    "c_name",
+                    F.concat(
+                        F.lit("Customer#"),
+                        F.lpad(F.col("c_custkey").cast("string"), 9, "0"),
+                    ),
+                )
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
@@ -118,13 +138,23 @@ def _materialize(mk) -> tuple[int, float]:
 
 
 def main() -> None:
+    only = None
+    if "--only" in sys.argv:  # probe a subset, merge into existing JSON
+        only = sys.argv[sys.argv.index("--only") + 1]
     spark = get_spark(app_name="scale_probe")
     if not os.path.exists(f"{DST}/events.parquet") or "--rebuild" in sys.argv:
         print("building sf1 ...", file=sys.stderr)
         build(spark)
     reg = q.queries()
     results = {}
-    for name in PROBE:
+    out = os.path.join(REPO, "SCALEPROBE.json")
+    if only is not None and os.path.exists(out):
+        with open(out) as f:
+            results = json.load(f)
+    pats = only.split(",") if only is not None else None
+    for name in [
+        n for n in PROBE if pats is None or any(p in n for p in pats)
+    ]:
         fn = reg[name]
         # per-query isolation: one failing plan records an error row
         # instead of losing the whole probe run
@@ -150,7 +180,6 @@ def main() -> None:
         )
     # write the file directly — the JVM emits gc,alloc warnings on
     # STDOUT under memory pressure, which corrupts redirected output
-    out = os.path.join(REPO, "SCALEPROBE.json")
     with open(out, "w") as f:
         json.dump(results, f)
     print(f"wrote {out}", file=sys.stderr)

@@ -124,6 +124,10 @@ PROBE = [
     # txt_bm25_stale_drift shares the bm25 exclusion (fixed query
     # terms match nothing on the suffixed 100x corpus)
     "graph_component_density",      # pair-component join + 2 aggs
+    # round-8 session additions
+    "txt_ppl_band_filter",          # percentile reduce over LM scores
+    "ann_kmeans_health",            # centroid broadcast + k-row agg
+    "emb_hard_negatives",           # broadcast queries, 2 argmax windows
 ]
 
 # Zipfian-vocabulary corpus variant: the prefix-filter dedups claim

@@ -53,26 +53,16 @@ def register(name: str, oracle: str | None):
 # driver row can fall more than ~(registry/cap) rounds behind without
 # hand-maintenance of this list.
 _SWEEP_CHANGED: tuple[str, ...] = (
-    # new or materially changed in round 5
-    "dedup_incremental_two_batches",
-    "dedup_incremental_near_dup_two_batches",
-    "ann_incremental_two_batches", "stream_incremental_two_batches",
-    "dedup_lsh_recall", "ann_ivfpq_rerank_topk",
-    "ann_filtered_topk", "ann_ivf_filtered_topk",
-    "ann_ivf_filtered_recall",
-    "ann_ivfpq_residual_topk", "ann_ivfpq_residual_recall",
-    "ann_pq_recall", "ann_ivfpq_recall", "ann_incremental_recall",
-    "dedup_incremental_batch", "dedup_incremental_near_dup",
-    "ann_incremental_near_dup", "stream_incremental_near_dup",
-    "dedup_repeated_spans", "dedup_repeated_spans_excise",
-    "dedup_repeated_spans_keep_first", "pipeline_span_clean",
-    "decontaminate_spans", "decontaminate_excise",
-    # round-5 continuation additions
-    "dedup_incremental_bloom", "dedup_incremental_bloom_two_batches",
-    "dedup_incremental_compacted",
-    "ann_sq_topk", "ann_sq_topk_prebuilt", "ann_sq_recall",
-    "ann_ivfsq_topk", "ann_ivfsq_topk_prebuilt", "ann_ivfsq_recall",
-    "txt_nb_langid",
+    # new in round 8 (the round-5 pins this list used to carry were
+    # certified in r5-r7; age rotation now covers them, and pinning
+    # 35 green rows was starving the oldest-certified tail)
+    "er_blocked_candidates", "er_match_pairs", "er_survivorship",
+    "stream_er_match",
+    "layout_zorder_vs_linear",
+    "sketch_join_size_estimate",
+    "ann_kmeans_health",
+    "txt_ppl_band_filter",
+    "emb_hard_negatives",
 )
 
 
