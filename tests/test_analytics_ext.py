@@ -422,3 +422,46 @@ def test_cm_join_size_upper_bound_on_real_data(spark):
     row = df.collect()[0]
     assert row.within_bound
     assert row.cm_est >= row.exact_size
+
+
+def test_expectations_report_catches_planted_violations(spark):
+    """Every expectation fires on a deliberately broken batch and
+    stays green on the clean one."""
+    from tugas_2_big_data_spark.operators import profiling
+
+    clean = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 11, 6.0)], ["pk", "fk", "amount"]
+    )
+    dirty = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 99, -2.0), (None, 11, 3.0)],
+        "pk long, fk long, amount double",
+    )
+    parent = spark.createDataFrame([(10,), (11,)], ["key"])
+    checks = [
+        ("pk_not_null", F.sum(F.col("pk").isNull().cast("long"))),
+        ("pk_unique", F.count("pk") - F.countDistinct("pk")),
+        ("amount_nonneg", F.sum((F.col("amount") < 0).cast("long"))),
+    ]
+    fk = [("fk_exists", parent, "fk", "key")]
+
+    ok = {
+        r.check_name: r
+        for r in profiling.expectations_report(clean, checks, fk).collect()
+    }
+    assert all(r.passed and r.observed == 0 for r in ok.values())
+    bad = {
+        r.check_name: r
+        for r in profiling.expectations_report(dirty, checks, fk).collect()
+    }
+    assert bad["pk_not_null"].observed == 1 and not bad["pk_not_null"].passed
+    assert bad["pk_unique"].observed == 1
+    assert bad["amount_nonneg"].observed == 1
+    assert bad["fk_exists"].observed == 1
+    assert set(bad) == {"pk_not_null", "pk_unique", "amount_nonneg", "fk_exists"}
+
+
+def test_dq_orders_all_green_on_testdata(spark):
+    df = REG["dq_expectations_orders"](spark, SF_UNIT)
+    rows = df.collect()
+    assert len(rows) == 6
+    assert all(r.passed for r in rows)

@@ -322,6 +322,11 @@ def main() -> None:
     only = None
     if "--only" in sys.argv:  # probe a subset, merge into existing JSON
         only = sys.argv[sys.argv.index("--only") + 1]
+    pats = only.split(",") if only is not None else None
+
+    def _want(n: str) -> bool:
+        return pats is None or any(p in n for p in pats)
+
     # One JVM runs ~30 queries at the 100x tier in sequence; the
     # materialize=True families localCheckpoint corpus-sized token/gram
     # relations (MEMORY_AND_DISK) and the blocks are only unpersisted
@@ -336,7 +341,7 @@ def main() -> None:
         build(spark)
     reg = q.queries()
     results = {}
-    for name in [n for n in PROBE if only is None or only in n]:
+    for name in [n for n in PROBE if _want(n)]:
         fn = reg[name]
         # per-query isolation: one failing plan (OOM, broadcast build)
         # records an error row instead of losing the whole probe run
@@ -369,7 +374,7 @@ def main() -> None:
         print("building zipf corpora ...", file=sys.stderr)
         build_zipf(spark, ZIPF_SMALL, ZIPF_SMALL_DOCS)
         build_zipf(spark, ZIPF_BIG, ZIPF_SMALL_DOCS * ZIPF_FACTOR)
-    for name in [n for n in ZIPF_PROBE if only is None or only in n]:
+    for name in [n for n in ZIPF_PROBE if _want(n)]:
         fn = reg[name]
         try:
             n_small, t_small = _materialize(lambda: fn(spark, ZIPF_SMALL))
@@ -400,7 +405,7 @@ def main() -> None:
         print("building boilerplate corpora ...", file=sys.stderr)
         build_boiler(spark, SRC, BOILER_SMALL)
         build_boiler(spark, DST, BOILER_BIG)
-    for name in [n for n in BOILER_PROBE if only is None or only in n]:
+    for name in [n for n in BOILER_PROBE if _want(n)]:
         fn = reg[name]
         try:
             n_small, t_small = _materialize(lambda: fn(spark, BOILER_SMALL))

@@ -10,7 +10,7 @@ every sketch here: ONE pass over the corpus, bounded output.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # how each profiled column contributes extremes: numerics (and
 # epoch-able timestamps) land in min_num/max_num as doubles, strings in
@@ -272,4 +272,53 @@ def mutual_information(
             round_to,
         ).alias("h_b_bits"),
         F.max("_n").cast("long").alias("n"),
+    )
+
+
+def expectations_report(
+    df: DataFrame,
+    checks: list[tuple[str, Column]],
+    fk_checks: list[tuple[str, DataFrame, str, str]] | None = None,
+) -> DataFrame:
+    """Deequ-style data-quality verification: evaluate a declarative
+    expectation set against a table and emit one (check, observed,
+    passed) row per expectation — the publish gate a warehouse runs
+    before promoting a 100 TB batch, and the audit record it persists
+    next to the data.
+
+    ``checks`` are (name, violation-count Column): every aggregate
+    expectation — null counts, range violations, uniqueness as
+    count − count(distinct) — folds into ONE single-pass aggregate
+    over the table (one scan however many checks ride it; map-side
+    partial). ``fk_checks`` are (name, parent_df, child_key,
+    parent_key) referential-integrity probes: each is a LEFT ANTI
+    equi-join count — at scale the parent key side broadcasts when
+    dim-sized or shuffles co-partitioned otherwise, and AQE handles
+    the empty-fast-path. passed == (observed == 0) for every check,
+    so the report is also the alert predicate."""
+    agg_cols = [c.cast("long").alias(n) for n, c in checks]
+    wide = df.agg(*agg_cols)
+    legs = [
+        wide.select(
+            F.lit(n).alias("check_name"),
+            F.col(n).alias("observed"),
+        )
+        for n, _ in checks
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    for name, parent, child_key, parent_key in fk_checks or []:
+        orphans = (
+            df.join(
+                parent.select(F.col(parent_key).alias(child_key)),
+                on=child_key,
+                how="left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+            .select(F.lit(name).alias("check_name"), "observed")
+        )
+        out = out.unionByName(orphans)
+    return out.select(
+        "check_name", "observed", (F.col("observed") == 0).alias("passed")
     )

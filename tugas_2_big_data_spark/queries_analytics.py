@@ -17,6 +17,7 @@ from tugas_2_big_data_spark.sources.catalog import load_table
 from tugas_2_big_data_spark.operators import (
     entity_resolution,
     layout,
+    profiling,
     rangejoin,
     sketches,
     skew,
@@ -2438,4 +2439,104 @@ def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cm_est",
         (F.col("cm_est") - F.col("exact_size")).cast("long").alias("over_est"),
         (F.col("cm_est") >= F.col("exact_size")).alias("within_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations: the publish gate run before promoting a
+# batch — one single-pass aggregate + referential-integrity anti-join.
+# ---------------------------------------------------------------------------
+
+_DQ_ORDERS_SQL = """
+WITH wide AS (
+  SELECT
+    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS pk_not_null,
+    CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+      AS pk_unique,
+    CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS totalprice_nonneg,
+    CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1990-01-01'
+                    OR CAST(o_orderdate AS DATE) >= DATE '2005-01-01'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS orderdate_in_range,
+    CAST(sum(CASE WHEN o_orderpriority IS NULL
+                    OR o_orderpriority NOT IN ('1-URGENT', '2-HIGH',
+                       '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS priority_in_set
+  FROM orders
+),
+fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS observed
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+)
+SELECT check_name, observed, (observed = 0) AS passed FROM (
+  SELECT 'pk_not_null' AS check_name, pk_not_null AS observed FROM wide
+  UNION ALL SELECT 'pk_unique', pk_unique FROM wide
+  UNION ALL SELECT 'totalprice_nonneg', totalprice_nonneg FROM wide
+  UNION ALL SELECT 'orderdate_in_range', orderdate_in_range FROM wide
+  UNION ALL SELECT 'priority_in_set', priority_in_set FROM wide
+  UNION ALL SELECT 'fk_customer_exists', observed FROM fk
+)
+"""
+
+
+@register("dq_expectations_orders", _DQ_ORDERS_SQL)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality publish gate (profiling.expectations_report):
+    six declarative expectations over the orders batch — primary-key
+    completeness and uniqueness, non-negative totals, date-range
+    sanity, priority domain membership, and customer referential
+    integrity — emitted as (check, observed violation count, passed).
+    The five aggregate checks fold into ONE single-pass scan (map-side
+    partial); the FK probe is one left-anti join whose parent side
+    broadcasts at dim scale. The Deequ-shaped verification a 100 TB
+    pipeline runs before promoting a batch, persisted as the audit
+    record."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    date = F.to_date("o_orderdate")
+    prio_domain = [
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    ]
+    checks = [
+        ("pk_not_null", F.sum(F.col("o_orderkey").isNull().cast("long"))),
+        (
+            # duplicates among NON-NULL keys (nullness is pk_not_null's
+            # job; count(col) and count(DISTINCT col) both skip nulls)
+            "pk_unique",
+            F.count("o_orderkey") - F.countDistinct("o_orderkey"),
+        ),
+        (
+            "totalprice_nonneg",
+            F.sum(
+                (
+                    F.col("o_totalprice").isNull()
+                    | (F.col("o_totalprice") < 0)
+                ).cast("long")
+            ),
+        ),
+        (
+            "orderdate_in_range",
+            F.sum(
+                (
+                    (date < F.lit("1990-01-01").cast("date"))
+                    | (date >= F.lit("2005-01-01").cast("date"))
+                ).cast("long")
+            ),
+        ),
+        (
+            "priority_in_set",
+            F.sum(
+                (
+                    F.col("o_orderpriority").isNull()
+                    | ~F.col("o_orderpriority").isin(prio_domain)
+                ).cast("long")
+            ),
+        ),
+    ]
+    return profiling.expectations_report(
+        orders,
+        checks,
+        fk_checks=[("fk_customer_exists", cust, "o_custkey", "c_custkey")],
     )
