@@ -2832,6 +2832,11 @@ def kmeans_health(
     pts, state, assign_col = _kmeans_state(
         vecs, k, iters, id_col, vec_col, dim
     )
+    # the one-row state feeds TWO consumers (the centroid relation and
+    # the assignment broadcast); left lazy, each would re-run the whole
+    # Lloyd chain over the corpus — checkpoint the single row so the
+    # iterations execute once (measured ~2x on the health query)
+    state = state.localCheckpoint()
     cents = state.select(F.posexplode("_cs").alias("cid", "cvec")).select(
         F.col("cid").cast("long").alias("cluster"), "cvec"
     )
