@@ -465,3 +465,36 @@ def test_dq_orders_all_green_on_testdata(spark):
     rows = df.collect()
     assert len(rows) == 6
     assert all(r.passed for r in rows)
+
+
+def test_benford_shares_and_digits(spark):
+    df = REG["dq_benford_totalprice"](spark, SF_UNIT)
+    rows = df.collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed_share for r in rows) - 1.0) < 1e-4
+    assert all(r.chi2_term >= 0 for r in rows)
+    # benford shares are the exact log10(1+1/d) table
+    import math
+
+    for r in rows:
+        assert abs(r.benford_share - math.log10(1 + 1 / r.digit)) < 1e-6
+
+
+def test_psi_zero_on_identical_halves(spark):
+    """A corpus whose halves have the identical lang mix must score
+    psi_term == 0 for every lang."""
+    from tugas_2_big_data_spark import queries_analytics as qa2
+
+    rows = [(i, "en" if i % 4 < 2 else "de") for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    c = docs.groupBy("lang").agg(
+        F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("na"),
+        F.sum((F.col("doc_id") % 2 == 1).cast("long")).alias("nb"),
+    )
+    t = c.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    pa = F.greatest(F.col("na").cast("double") / F.col("ta"), F.lit(1e-6))
+    pb = F.greatest(F.col("nb").cast("double") / F.col("tb"), F.lit(1e-6))
+    out = c.crossJoin(F.broadcast(t)).select(
+        "lang", F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term")
+    )
+    assert all(r.psi_term == 0.0 for r in out.collect())

@@ -486,3 +486,55 @@ def test_streaming_er_equals_batch_match(spark, tmp_path):
     got = sorted(map(tuple, streamed.collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want
+
+
+def test_streaming_dq_uniqueness_telescopes_across_batches(spark, tmp_path):
+    """Plant duplicate keys ACROSS micro-batches: per-batch
+    count-distinct alone would miss them; the seen-state intersection
+    must make the drained report equal the batch definition
+    total_nonnull − global_distinct."""
+    from tugas_2_big_data_spark import queries as q  # noqa: F401  (registers modules, avoids circular import)
+    from tugas_2_big_data_spark.queries_analytics import _orders_dq_checks
+    from tugas_2_big_data_spark.streaming import events as se2
+
+    rows = [
+        # (orderkey, custkey, status, totalprice, orderdate, priority)
+        (1, 10, "O", 100.0, "1995-06-01", "2-HIGH"),
+        (2, 10, "O", 100.0, "1995-06-01", "2-HIGH"),
+        (2, 11, "O", 100.0, "1995-06-01", "2-HIGH"),  # within-batch dup
+        (1, 11, "O", 100.0, "1995-06-01", "2-HIGH"),  # cross-batch dup
+        (3, 99, "O", -5.0, "1980-01-01", "bogus"),    # fk+range+domain
+    ]
+
+    def mk(rs):
+        df = spark.createDataFrame(
+            rs,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate string, o_orderpriority string",
+        )
+        return df.withColumn(
+            "o_orderdate", F.col("o_orderdate").cast("timestamp")
+        )
+
+    batch1 = mk(rows[:3])
+    batch2 = mk(rows[3:])
+    parent = spark.createDataFrame([(10,), (11,)], ["c_custkey"])
+    se2.write_ingest_batches([batch1, batch2], str(tmp_path / "b"))
+    report = {
+        r.check_name: r
+        for r in se2.run_streaming_dq(
+            spark,
+            str(tmp_path / "b"),
+            str(tmp_path / "ckpt"),
+            parent,
+            _orders_dq_checks(),
+        ).collect()
+    }
+    # 5 non-null keys, 3 distinct -> 2 duplicate violations, one of
+    # them visible only across batches
+    assert report["pk_unique"].observed == 2
+    assert report["fk_customer_exists"].observed == 1
+    assert report["totalprice_nonneg"].observed == 1
+    assert report["orderdate_in_range"].observed == 1
+    assert report["priority_in_set"].observed == 1
+    assert report["pk_not_null"].observed == 0 and report["pk_not_null"].passed

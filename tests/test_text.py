@@ -429,3 +429,41 @@ def test_ppl_bands_are_thirds_and_tail_dropped(spark):
         < rows["tail"].mean_surprise
     )
     assert rows["head"].kept and rows["middle"].kept and not rows["tail"].kept
+
+
+def test_source_kl_nonnegative_and_zero_for_single_source(spark):
+    """KL(source || corpus) is >= 0 always, and == 0 when the corpus
+    has one source (its LM IS the corpus LM)."""
+    from conftest import SF_UNIT
+    from tugas_2_big_data_spark import queries as q  # noqa: F401
+    import __spark_entry__ as entry
+
+    df = entry.queries()["txt_source_kl"](spark, SF_UNIT)
+    rows = df.collect()
+    assert rows and all(r.kl_vs_corpus >= 0 for r in rows)
+
+    one = spark.createDataFrame(
+        [(1, "a b c", "en", "only", 5), (2, "a b d", "en", "only", 5)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    from tugas_2_big_data_spark.operators import text_analysis  # noqa: F401
+    # replicate the query inline over the single-source frame
+    w = one.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    )
+    sc = w.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    cc = sc.groupBy("word").agg(F.sum("c").alias("cw"))
+    ct = cc.agg(F.sum("cw").alias("nt"))
+    p = F.col("c") / F.col("n")
+    qq = F.col("cw") / F.col("nt")
+    out = (
+        sc.join(st, "source").join(cc, "word").crossJoin(F.broadcast(ct))
+        .groupBy("source")
+        .agg(F.round(F.sum(p * F.log(p / qq)), 6).alias("kl"))
+        .collect()
+    )
+    assert out[0].kl == 0.0

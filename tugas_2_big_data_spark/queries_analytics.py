@@ -2495,11 +2495,22 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     record."""
     orders = load_table(spark, "orders", sf_dir)
     cust = load_table(spark, "customer", sf_dir)
+    return profiling.expectations_report(
+        orders,
+        _orders_dq_checks(),
+        fk_checks=[("fk_customer_exists", cust, "o_custkey", "c_custkey")],
+    )
+
+
+def _orders_dq_checks() -> list:
+    """The orders expectation set, shared by the batch gate above and
+    the streaming drain (queries_streaming.stream_dq_gate) so both
+    enforce the identical contract."""
     date = F.to_date("o_orderdate")
     prio_domain = [
         "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
     ]
-    checks = [
+    return [
         ("pk_not_null", F.sum(F.col("o_orderkey").isNull().cast("long"))),
         (
             # duplicates among NON-NULL keys (nullness is pk_not_null's
@@ -2535,8 +2546,116 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ]
-    return profiling.expectations_report(
-        orders,
-        checks,
-        fk_checks=[("fk_customer_exists", cust, "o_custkey", "c_custkey")],
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit: the forensic-accounting screen over a
+# monetary column — observed first-significant-digit shares vs
+# Benford's log10(1 + 1/d) with per-digit chi-square contributions.
+# ---------------------------------------------------------------------------
+
+_BENFORD_SQL = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+tot AS (SELECT sum(n) AS total FROM obs)
+SELECT digit, n,
+  round(CAST(n AS DOUBLE) / total, 6) AS observed_share,
+  round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+  round(total * pow(CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / digit), 2)
+          / log10(1.0 + 1.0 / digit), 6) AS chi2_term
+FROM obs, tot
+"""
+
+
+@register("dq_benford_totalprice", _BENFORD_SQL)
+def dq_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals: observed
+    first-significant-digit shares next to Benford's log10(1+1/d)
+    expectation, with per-digit chi-square contributions — the
+    forensic screen for fabricated or truncated monetary data, run as
+    part of the same publish gate as dq_expectations_orders. The
+    digit comes from the INTEGER PART's decimal string (floor → cast
+    → substr), never from log10-of-value, whose float boundary at
+    exact powers of ten is engine-dependent. One map-only projection,
+    one ≤9-row aggregate, one-row total broadcast back."""
+    orders = load_table(spark, "orders", sf_dir)
+    digit = (
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).cast("long")
+    )
+    obs = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    exp_share = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    obs_share = F.col("n").cast("double") / F.col("total")
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(obs_share, 6).alias("observed_share"),
+        F.round(exp_share, 6).alias("benford_share"),
+        F.round(
+            F.col("total") * F.pow(obs_share - exp_share, 2) / exp_share, 6
+        ).alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population stability index: distribution drift of the language mix
+# between two ingest halves — the monitoring number that says the
+# corpus composition moved.
+# ---------------------------------------------------------------------------
+
+_PSI_SQL = """
+WITH c AS (
+  SELECT lang,
+    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+    sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS nb
+  FROM documents GROUP BY 1
+),
+t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM c)
+SELECT lang,
+  round(pa, 6) AS share_a,
+  round(pb, 6) AS share_b,
+  round((pa - pb) * ln(pa / pb), 6) AS psi_term
+FROM (
+  SELECT lang,
+    greatest(CAST(na AS DOUBLE) / ta, 1e-6) AS pa,
+    greatest(CAST(nb AS DOUBLE) / tb, 1e-6) AS pb
+  FROM c, t
+)
+"""
+
+
+@register("profile_psi_lang", _PSI_SQL)
+def profile_psi_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the language mix between two
+    ingest halves (doc_id parity stands in for before/after): per-lang
+    (share_a, share_b, (pa−pb)·ln(pa/pb)) — the standard drift monitor
+    (PSI < 0.1 stable, > 0.25 shifted) a 100 TB pipeline computes per
+    ingest window to catch composition moves before they reach
+    training mixes. Shares clipped at 1e-6 on both engines (the PSI
+    convention for empty cells). One |langs|-row aggregate + one-row
+    totals broadcast back — nothing data-sized past the scan."""
+    docs = load_table(spark, "documents", sf_dir)
+    c = docs.groupBy("lang").agg(
+        F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("na"),
+        F.sum((F.col("doc_id") % 2 == 1).cast("long")).alias("nb"),
+    )
+    t = c.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    pa = F.greatest(F.col("na").cast("double") / F.col("ta"), F.lit(1e-6))
+    pb = F.greatest(F.col("nb").cast("double") / F.col("tb"), F.lit(1e-6))
+    return c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.round(pa, 6).alias("share_a"),
+        F.round(pb, 6).alias("share_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
     )

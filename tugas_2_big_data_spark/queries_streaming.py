@@ -720,3 +720,43 @@ def stream_er_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.run_streaming_er(
         spark, f"{work}/batches", f"{work}/ckpt", base
     )
+
+
+# safe import: queries.py registers queries_analytics before this module
+from tugas_2_big_data_spark.queries_analytics import (  # noqa: E402
+    _DQ_ORDERS_SQL as _DQ_STREAM_SQL,
+    _orders_dq_checks,
+)
+
+
+@register("stream_dq_gate", _DQ_STREAM_SQL)
+def stream_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-quality publish gate as a STREAMING drain
+    (streaming/events.run_streaming_dq): the orders batch arrives as
+    two micro-batches; every violation count folds into the running
+    report before the next batch lands. Scalar checks and the FK
+    probe sum associatively; UNIQUENESS rides the dedup loop's
+    append-only key state (within-batch dups + seen-state hits
+    telescopes to total − global distinct), so the drained report
+    equals the batch gate however the stream was micro-batched —
+    shared oracle with dq_expectations_orders. Completes the
+    streaming symmetry for the warehouse-gate family: ingest dedup,
+    ANN appends, CDC folds, quality gate, postings, ER, and now the
+    publish gate."""
+    import tempfile
+
+    from tugas_2_big_data_spark.sources.catalog import load_table
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    work = tempfile.mkdtemp(prefix="tugas2_stream_dq_")
+    se.write_ingest_batches(
+        [
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            orders.filter(F.col("o_orderkey") % 2 == 1),
+        ],
+        f"{work}/batches",
+    )
+    return se.run_streaming_dq(
+        spark, f"{work}/batches", f"{work}/ckpt", cust, _orders_dq_checks()
+    )

@@ -6961,3 +6961,74 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     for IVF-served candidates under the same contract."""
     emb = load_table(spark, "embeddings", sf_dir)
     return similarity.contrastive_pairs(emb, emb.filter(F.col("vec_id") < 8))
+
+
+# ---------------------------------------------------------------------------
+# source idiosyncrasy: KL(source unigram LM || corpus unigram LM) —
+# which sources speak a different language than the corpus mix.
+# ---------------------------------------------------------------------------
+
+_SOURCE_KL_SQL = r"""
+WITH w AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  FROM documents WHERE length(trim(text)) > 0
+),
+sc AS (SELECT source, word, CAST(count(*) AS DOUBLE) AS c FROM w GROUP BY 1, 2),
+st AS (SELECT source, sum(c) AS n FROM sc GROUP BY 1),
+cc AS (SELECT word, sum(c) AS c FROM sc GROUP BY 1),
+ct AS (SELECT sum(c) AS n FROM cc)
+SELECT sc.source,
+  CAST(st.n AS BIGINT) AS n_tokens,
+  round(sum((sc.c / st.n) * ln((sc.c / st.n) / (cc.c / ct.n))), 6)
+    AS kl_vs_corpus
+FROM sc
+JOIN st ON sc.source = st.source
+JOIN cc ON sc.word = cc.word, ct
+GROUP BY sc.source, st.n
+"""
+
+
+@register("txt_source_kl", _SOURCE_KL_SQL)
+def txt_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source idiosyncrasy score: KL divergence of each source's
+    unigram LM from the corpus-wide LM — the curation signal for
+    which sources to down-weight or re-audit before mixing (a source
+    whose vocabulary diverges from the pool either carries unique
+    value or unique garbage; either way it needs eyes). No smoothing
+    needed: the corpus INCLUDES every source, so the background
+    probability is positive wherever the source's is. Shape: one
+    tokenize pass, one (source, word) aggregate, the background
+    relation derived from it by a second bounded groupBy, scoring
+    joins hash-partitioned on the word key — the same class as the
+    perplexity queries. Sum per source rounded 6 (summation-order
+    policy)."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("word"),
+        )
+    )
+    sc = w.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    cc = sc.groupBy("word").agg(F.sum("c").alias("cw"))
+    ct = cc.agg(F.sum("cw").alias("nt"))
+    p = F.col("c") / F.col("n")
+    qq = F.col("cw") / F.col("nt")
+    return (
+        sc.join(st, "source")
+        .join(cc, "word")
+        .crossJoin(F.broadcast(ct))
+        .groupBy("source", "n")
+        .agg(F.round(F.sum(p * F.log(p / qq)), 6).alias("kl_vs_corpus"))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_tokens"),
+            "kl_vs_corpus",
+        )
+    )

@@ -756,3 +756,107 @@ def run_streaming_er(
     if state["m"] is None:
         raise RuntimeError("streaming ER drained zero batches")
     return state["m"]
+
+
+def run_streaming_dq(
+    spark: SparkSession,
+    batches_dir: str,
+    checkpoint_dir: str,
+    parent: DataFrame,
+    checks: list,
+    key_col: str = "o_orderkey",
+    fk_name: str = "fk_customer_exists",
+    fk_child: str = "o_custkey",
+    fk_parent: str = "c_custkey",
+    unique_name: str = "pk_unique",
+) -> DataFrame:
+    """The data-quality publish gate ON THE INGEST STREAM: each
+    micro-batch folds its violation counts into the running report
+    before the next batch lands, so the gate can reject a bad batch
+    at arrival instead of at a nightly audit.
+
+    Merge math, check by check: the scalar expectations (null counts,
+    range/domain violations) and the FK probe are SUMS over rows, so
+    per-batch counts add associatively. UNIQUENESS is the one
+    non-decomposable check — count(k) − count(DISTINCT k) cannot be
+    summed per batch once keys span batches — so it rides the same
+    append-only key-state discipline as the dedup ingest loop:
+    violations += (within-batch dups) + |distinct batch keys ∩ seen|,
+    then seen ∪= batch keys. Summed over any batching this telescopes
+    to total_nonnull − global_distinct, the batch definition exactly
+    (pinned by the shared oracle and a planted cross-batch-dup test).
+    The per-batch report collect is ONE row of counters — metrics-
+    grade, like the reference's driver-side perf accumulation; the
+    key state is a key-column relation, never the rows."""
+    from tugas_2_big_data_spark.sources.catalog import TABLES
+
+    src = (
+        spark.readStream.schema(TABLES["orders"])
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(batches_dir)
+    )
+    agg_checks = [(n, c) for n, c in checks if n != unique_name]
+    totals = {n: 0 for n, _ in agg_checks}
+    totals[unique_name] = 0
+    totals[fk_name] = 0
+    state = {"seen": None}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df.localCheckpoint()
+        row = b.agg(
+            *[c.cast("long").alias(n) for n, c in agg_checks],
+            (F.count(key_col) - F.countDistinct(key_col))
+            .cast("long")
+            .alias("_within_dups"),
+        ).collect()[0]
+        for n, _ in agg_checks:
+            totals[n] += row[n]
+        totals[unique_name] += row["_within_dups"]
+        keys = (
+            b.select(F.col(key_col).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+        )
+        if state["seen"] is not None:
+            totals[unique_name] += (
+                keys.join(state["seen"], "k", "left_semi").count()
+            )
+            state["seen"] = (
+                state["seen"].unionByName(keys).distinct().localCheckpoint()
+            )
+        else:
+            state["seen"] = keys.localCheckpoint()
+        totals[fk_name] += (
+            b.join(
+                parent.select(F.col(fk_parent).alias(fk_child)),
+                on=fk_child,
+                how="left_anti",
+            ).count()
+        )
+
+    q = (
+        src.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if state["seen"] is None:
+        raise RuntimeError("streaming DQ drained zero batches")
+    order = [n for n, _ in agg_checks[:1]]  # pk_not_null first
+    names = (
+        order
+        + [unique_name]
+        + [n for n, _ in agg_checks[1:]]
+        + [fk_name]
+    )
+    rows = [(n, int(totals[n]), totals[n] == 0) for n in names]
+    return spark.createDataFrame(
+        rows, "check_name string, observed long, passed boolean"
+    )
