@@ -77,6 +77,8 @@ PROBE = [
     # CM join-size sketch
     "er_match_pairs", "er_survivorship",
     "layout_zorder_vs_linear", "sketch_join_size_estimate",
+    "dq_expectations_orders",       # one-pass gate + FK anti-join
+    "dq_benford_totalprice",        # map-only digit projection
 ]
 
 

@@ -128,6 +128,8 @@ PROBE = [
     "txt_ppl_band_filter",          # percentile reduce over LM scores
     "ann_kmeans_health",            # centroid broadcast + k-row agg
     "emb_hard_negatives",           # broadcast queries, 2 argmax windows
+    "profile_psi_lang",             # |langs|-row agg + one-row totals
+    "txt_source_kl",                # tokenize + (source,word) agg + joins
 ]
 
 # Zipfian-vocabulary corpus variant: the prefix-filter dedups claim

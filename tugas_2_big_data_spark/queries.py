@@ -63,6 +63,8 @@ _SWEEP_CHANGED: tuple[str, ...] = (
     "ann_kmeans_health",
     "txt_ppl_band_filter",
     "emb_hard_negatives",
+    "dq_expectations_orders", "dq_benford_totalprice", "stream_dq_gate",
+    "profile_psi_lang", "txt_source_kl",
 )
 
 
