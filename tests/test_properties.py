@@ -349,3 +349,73 @@ def test_hot_split_semi_membership_invariant(spark, keys, hot_top):
         ).collect()
     )
     assert split == plain
+
+
+# ---------------------------------------------------------------------------
+# round-8 session properties: Morton interleave and CM join-size bound
+# ---------------------------------------------------------------------------
+
+def _deinterleave(z: int, bits: int) -> tuple[int, int]:
+    x = y = 0
+    for i in range(bits):
+        x |= ((z >> (2 * i)) & 1) << i
+        y |= ((z >> (2 * i + 1)) & 1) << i
+    return x, y
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 2**21 - 1), st.integers(0, 2**21 - 1)
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_morton_sql_roundtrips_for_any_point(pts):
+    """The SQL-text interleave (the form both engines execute) must be
+    a bijection: deinterleaving the code recovers the exact point.
+    Evaluated through DuckDB — cheap per example, and it is the
+    oracle-side arithmetic that parity depends on."""
+    import duckdb
+
+    from tugas_2_big_data_spark.operators import layout
+
+    con = duckdb.connect()
+    expr = layout.morton_sql("x", "y")
+    rows = con.execute(
+        "SELECT x, y, " + expr + " AS z FROM (SELECT "
+        "unnest(?) AS x, unnest(?) AS y)",
+        [[p[0] for p in pts], [p[1] for p in pts]],
+    ).fetchall()
+    for x, y, z in rows:
+        assert _deinterleave(int(z), layout.MORTON_BITS) == (x, y)
+
+
+@given(
+    a=st.dictionaries(
+        st.integers(0, 3000), st.integers(1, 50), min_size=1, max_size=40
+    ),
+    b=st.dictionaries(
+        st.integers(0, 3000), st.integers(1, 50), min_size=1, max_size=40
+    ),
+)
+@settings(**_SETTINGS)
+def test_cm_join_size_never_undershoots(spark, a, b):
+    """For ANY pair of count tables, the CM inner-product estimate is
+    >= the exact join size (collision cross terms only add)."""
+    from tugas_2_big_data_spark.operators import sketches
+
+    da = spark.createDataFrame(list(a.items()), ["item", "cnt"])
+    db = spark.createDataFrame(list(b.items()), ["item", "cnt"])
+    est = sketches.count_min_join_size(
+        sketches.count_min_counters(da), sketches.count_min_counters(db)
+    ).collect()
+    exact = sum(c * b[k] for k, c in a.items() if k in b)
+    if exact == 0:
+        # disjoint keys may still collide into shared cells — the
+        # estimate is whatever the collisions produce, but never < 0
+        assert not est or est[0].cm_est >= 0
+    else:
+        assert est and est[0].cm_est >= exact

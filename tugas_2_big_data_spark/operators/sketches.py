@@ -604,7 +604,9 @@ def histogram_quantiles_by_group(
     return out
 
 
-def count_min_join_size(cm_a: DataFrame, cm_b: DataFrame) -> DataFrame:
+def count_min_join_size(
+    cm_a: DataFrame, cm_b: DataFrame, depth: int = 4
+) -> DataFrame:
     """AMS-style join-cardinality estimate from two Count-Min counter
     tables built with the SAME hash family: for each row r, the inner
     product sum_c a[r][c]*b[r][c] equals the true join size
@@ -623,4 +625,15 @@ def count_min_join_size(cm_a: DataFrame, cm_b: DataFrame) -> DataFrame:
     per_row = joined.groupBy("r").agg(
         F.sum(F.col("a.cell") * F.col("b.cell")).alias("ip")
     )
-    return per_row.agg(F.min("ip").cast("long").alias("cm_est"))
+    # a row with NO shared cells has inner product 0 — it just never
+    # appears in the inner join. min() over the present rows alone
+    # would overestimate (or return NULL on full disjointness), so the
+    # estimate is min(ip) only when ALL depth rows are present, else 0
+    # (hypothesis-pinned: the bound must hold for ANY count tables).
+    return per_row.agg(
+        F.coalesce(
+            F.when(F.count(F.lit(1)) == depth, F.min("ip")), F.lit(0)
+        )
+        .cast("long")
+        .alias("cm_est")
+    )

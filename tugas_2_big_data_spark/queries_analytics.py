@@ -2389,12 +2389,16 @@ ip AS (
 ex AS (
   SELECT COALESCE(sum(a.cnt * b.cnt), 0) AS exact_size
   FROM ia a JOIN ib b ON a.item = b.item
+),
+est AS (
+  SELECT CASE WHEN count(*) = {depth} THEN min(ip) ELSE 0 END AS cm_est
+  FROM ip
 )
 SELECT CAST(exact_size AS BIGINT) AS exact_size,
-       CAST((SELECT min(ip) FROM ip) AS BIGINT) AS cm_est,
-       CAST((SELECT min(ip) FROM ip) - exact_size AS BIGINT) AS over_est,
-       ((SELECT min(ip) FROM ip) >= exact_size) AS within_bound
-FROM ex
+       CAST(cm_est AS BIGINT) AS cm_est,
+       CAST(cm_est - exact_size AS BIGINT) AS over_est,
+       (cm_est >= exact_size) AS within_bound
+FROM ex, est
 """
 
 
