@@ -419,3 +419,41 @@ def test_cm_join_size_never_undershoots(spark, a, b):
         assert not est or est[0].cm_est >= 0
     else:
         assert est and est[0].cm_est >= exact
+
+
+@given(
+    keys=st.lists(st.integers(0, 20), min_size=1, max_size=40),
+    cuts=st.lists(st.integers(0, 39), max_size=3),
+)
+@settings(**_SETTINGS)
+def test_streaming_uniqueness_telescopes_for_any_batching(spark, keys, cuts):
+    """The streaming DQ gate's uniqueness decomposition — per-batch
+    within-dups plus seen-state hits, state unioned after — must equal
+    total − distinct for ANY multiset of keys under ANY batching
+    (the invariant run_streaming_dq relies on)."""
+    bounds = sorted({c for c in cuts if c < len(keys)})
+    batches, prev = [], 0
+    for b in bounds + [len(keys)]:
+        if b > prev:
+            batches.append(keys[prev:b])
+            prev = b
+    if not batches:
+        batches = [keys]
+
+    from pyspark.sql import functions as F2
+
+    seen = None
+    total_viol = 0
+    for chunk in batches:
+        b = spark.createDataFrame([(k,) for k in chunk], ["k"])
+        row = b.agg(
+            (F2.count("k") - F2.countDistinct("k")).alias("w")
+        ).collect()[0]
+        total_viol += row.w
+        dk = b.select("k").distinct()
+        if seen is not None:
+            total_viol += dk.join(seen, "k", "left_semi").count()
+            seen = seen.unionByName(dk).distinct().localCheckpoint()
+        else:
+            seen = dk.localCheckpoint()
+    assert total_viol == len(keys) - len(set(keys))
