@@ -88,6 +88,7 @@ def survivorship(
     matched_key: str = "c_custkey",
     dirty_id: str = "d_id",
     dirty_bal: str = "d_acctbal",
+    base_bal: str = "c_acctbal",
     min_cluster: int = 2,
 ) -> DataFrame:
     """Collapse each matched cluster (a base record plus every dirty
@@ -103,7 +104,7 @@ def survivorship(
     base_rows = base.select(
         F.col(base_key).alias("cluster_key"),
         F.col(base_key).alias("rec_id"),
-        F.col("c_acctbal").alias("acctbal"),
+        F.col(base_bal).alias("acctbal"),
     )
     dirty_rows = matches.select(
         F.col(matched_key).alias("cluster_key"),

@@ -296,6 +296,11 @@ def expectations_report(
     dim-sized or shuffles co-partitioned otherwise, and AQE handles
     the empty-fast-path. passed == (observed == 0) for every check,
     so the report is also the alert predicate."""
+    if not checks:
+        raise ValueError(
+            "expectations_report needs at least one aggregate check "
+            "(fk_checks alone would leave the report shapeless)"
+        )
     agg_cols = [c.cast("long").alias(n) for n, c in checks]
     wide = df.agg(*agg_cols)
     legs = [

@@ -2873,7 +2873,9 @@ def contrastive_pairs(
     (most-similar vector with a DIFFERENT label), plus the margin
     between them. Small or negative margins are exactly the pairs a
     contrastive objective learns most from — and the rows a curation
-    pipeline mines per training round.
+    pipeline mines per training round. A query whose label has no
+    other member (no positive exists) is dropped by the final inner
+    join: a contrastive pair needs both legs.
 
     Scale shape: identical to cosine_topk — the query block broadcasts
     (hard-negative mining is done in query batches at any scale), the
