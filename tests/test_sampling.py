@@ -303,3 +303,32 @@ def test_take_token_budget_boundary_semantics(spark):
     # doc 2 starts at before=60 < 100 -> kept (total 120, one-doc
     # overflow); doc 3 starts at 120 -> dropped; stratum b all kept
     assert kept == [1, 2, 4]
+
+
+def test_negative_samples_never_collide_with_positives(spark):
+    """Planted positives: every emitted negative must be outside the
+    user's positive set, exactly k per user when slack suffices, and
+    deterministic across invocations."""
+    from tugas_2_big_data_spark.operators import sampling as smp
+
+    users = spark.createDataFrame([(1,), (2,)], ["user_id"])
+    # make user 1's positives cover HALF the item space so rejection
+    # actually fires
+    pos = spark.createDataFrame(
+        [(1, i) for i in range(0, 10)] + [(2, 3)], ["user_id", "item_id"]
+    )
+    n_items = spark.createDataFrame([(20,)], ["n"])
+    out = smp.hash_negative_samples(
+        users, pos, n_items, k=3, m=12
+    )
+    rows = out.collect()
+    pos_set = {(1, i) for i in range(10)} | {(2, 3)}
+    for r in rows:
+        assert (r.user_id, r.item_id) not in pos_set
+        assert 0 <= r.item_id < 20
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert all(len(v) == 3 for v in per_user.values())
+    again = sorted(map(tuple, out.collect()))
+    assert again == sorted(map(tuple, rows))

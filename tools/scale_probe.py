@@ -79,6 +79,7 @@ PROBE = [
     "layout_zorder_vs_linear", "sketch_join_size_estimate",
     "dq_expectations_orders",       # one-pass gate + FK anti-join
     "dq_benford_totalprice",        # map-only digit projection
+    "rec_negative_samples",         # per-user hash draws, one anti-join
 ]
 
 

@@ -467,3 +467,72 @@ def sample_exact_n_per_group(
         .filter(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def hash_negative_samples(
+    users: DataFrame,
+    positives: DataFrame,
+    n_items: DataFrame,
+    k: int = 3,
+    m: int = 8,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    seed: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive/recommendation
+    training: k items per user the user has NOT interacted with.
+
+    The naive formulation is users × items with an anti-join — a
+    cross join that dies at scale. This draws ``m`` pseudo-random
+    candidate items per user DIRECTLY (item = seeded hash of
+    (user, draw index) mod |items| — linear in users, no item-side
+    enumeration), rejects the ones colliding with the user's
+    positives via one anti-join on (user, item), and keeps the first
+    ``k`` surviving draws in draw order. With positives sparse
+    relative to the item universe, collisions are rare and m = k +
+    slack suffices; the draw sequence is seeded-hash deterministic,
+    so both engines (and any rerun) produce the identical sample —
+    no RNG, same policy as the A-ES reservoir and hash-split family.
+
+    Shape: one m-way sequence explode over the user relation
+    (map-only; the |items| count is a one-row broadcast), one
+    (user, item) anti-join against the positives, one per-user window
+    over ≤m rows (WindowGroupLimit prunes at k). ``positives`` must
+    carry (user_col, item_col); ``n_items`` is a one-row (n) count —
+    items are assumed densely keyed 0..n-1 (remap through a dense
+    rank once at ingest otherwise)."""
+    from tugas_2_big_data_spark.functions import hashing
+
+    draws = users.select(user_col).distinct().crossJoin(
+        F.broadcast(n_items)
+    ).select(
+        user_col,
+        F.explode(F.sequence(F.lit(1), F.lit(m))).alias("draw_idx"),
+        F.col("n"),
+    )
+    cand = draws.select(
+        user_col,
+        "draw_idx",
+        (
+            hashing.hash60(
+                F.concat_ws(
+                    ":",
+                    F.lit(seed),
+                    F.col(user_col).cast("string"),
+                    F.col("draw_idx").cast("string"),
+                )
+            )
+            % F.col("n")
+        ).alias(item_col),
+    )
+    fresh = cand.join(positives, [user_col, item_col], "left_anti")
+    w = Window.partitionBy(user_col).orderBy("draw_idx")
+    return (
+        fresh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            user_col,
+            F.col(item_col).cast("long").alias(item_col),
+            F.col("draw_idx").cast("long").alias("draw_idx"),
+        )
+    )

@@ -7032,3 +7032,81 @@ def txt_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_vs_corpus",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# negative sampling: k unseen parts per customer, hash-drawn — the
+# contrastive-training complement of the positives the warehouse holds.
+# ---------------------------------------------------------------------------
+
+def _neg_samples_sql(k: int = 3, m: int = 8) -> str:
+    from tugas_2_big_data_spark.functions.hashing import hexn_sql
+
+    h = hexn_sql(
+        "md5('neg:' || CAST(c_custkey AS VARCHAR) || ':' "
+        "|| CAST(draw_idx AS VARCHAR))",
+        15,
+    )
+    return f"""
+WITH n_items AS (SELECT count(*) AS n FROM part),
+users AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+pos AS (
+  SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS p_partkey
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+cand AS (
+  SELECT c_custkey, draw_idx, ({h}) % n AS p_partkey
+  FROM users, n_items, unnest(generate_series(1, {m})) AS t(draw_idx)
+),
+fresh AS (
+  SELECT c.c_custkey, c.draw_idx, c.p_partkey
+  FROM cand c LEFT JOIN pos
+    ON c.c_custkey = pos.c_custkey AND c.p_partkey = pos.p_partkey
+  WHERE pos.c_custkey IS NULL
+)
+SELECT c_custkey, CAST(p_partkey AS BIGINT) AS p_partkey,
+       CAST(draw_idx AS BIGINT) AS draw_idx
+FROM (
+  SELECT c_custkey, p_partkey, draw_idx,
+         row_number() OVER (
+           PARTITION BY c_custkey ORDER BY draw_idx
+         ) AS rk
+  FROM fresh
+) WHERE rk <= {k}
+"""
+
+
+@register("rec_negative_samples", _neg_samples_sql())
+def rec_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling
+    (sampling.hash_negative_samples): 3 parts per ordering customer
+    that the customer has NEVER ordered, drawn by seeded hash of
+    (customer, draw index) mod |parts| — the contrastive-training
+    complement of the positive interactions. The naive users × items
+    cross join never materializes: draws are generated per user
+    (map-only sequence explode), rejected against positives by ONE
+    (user, item) anti-join, trimmed by a per-user window over ≤8 rows
+    (WindowGroupLimit). Hash-seeded like the A-ES reservoir, so any
+    rerun and both engines draw the identical sample."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    users = orders.select(F.col("o_custkey").alias("c_custkey"))
+    pos = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_partkey").alias("p_partkey"),
+        )
+        .distinct()
+    )
+    n_items = part.agg(F.count(F.lit(1)).alias("n"))
+    return sampling.hash_negative_samples(
+        users,
+        pos,
+        n_items,
+        k=3,
+        m=8,
+        user_col="c_custkey",
+        item_col="p_partkey",
+    )
