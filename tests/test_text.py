@@ -467,3 +467,18 @@ def test_source_kl_nonnegative_and_zero_for_single_source(spark):
         .collect()
     )
     assert out[0].kl == 0.0
+
+
+def test_langid_confusion_shares_sum_to_one_per_true_lang(spark):
+    from conftest import SF_UNIT
+    import __spark_entry__ as entry
+
+    df = entry.queries()["txt_langid_confusion"](spark, SF_UNIT)
+    rows = df.collect()
+    assert sum(r.n for r in rows) > 0
+    by_true = {}
+    for r in rows:
+        by_true.setdefault(r.true_lang, 0.0)
+        by_true[r.true_lang] += r.share_of_true
+    for lang, s in by_true.items():
+        assert abs(s - 1.0) < 1e-4, (lang, s)

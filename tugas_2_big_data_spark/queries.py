@@ -65,7 +65,7 @@ _SWEEP_CHANGED: tuple[str, ...] = (
     "emb_hard_negatives",
     "dq_expectations_orders", "dq_benford_totalprice", "stream_dq_gate",
     "profile_psi_lang", "txt_source_kl",
-    "rec_negative_samples",
+    "rec_negative_samples", "txt_langid_confusion",
 )
 
 

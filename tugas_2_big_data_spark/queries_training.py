@@ -7110,3 +7110,53 @@ def rec_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_col="c_custkey",
         item_col="p_partkey",
     )
+
+
+# ---------------------------------------------------------------------------
+# model evaluation: confusion matrix of the heuristic lang-id against
+# the table's labels — the eval loop a curation pipeline closes before
+# trusting a filter model.
+# ---------------------------------------------------------------------------
+
+def _langid_confusion_sql() -> str:
+    return f"""
+WITH pred AS ({_langid_sql()})
+SELECT d.lang AS true_lang, p.lang_pred AS pred_lang,
+  CAST(count(*) AS BIGINT) AS n,
+  round(CAST(count(*) AS DOUBLE)
+          / sum(count(*)) OVER (PARTITION BY d.lang), 6) AS share_of_true
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY d.lang, p.lang_pred
+"""
+
+
+@register("txt_langid_confusion", _langid_confusion_sql())
+def txt_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-vote language identifier
+    against the corpus's own labels: (true_lang, pred_lang, count,
+    share-of-true) — the evaluation a pipeline runs BEFORE trusting a
+    filter model with 100 TB of routing decisions, and the honest
+    record of where the heuristic is blind (the synthetic corpus's
+    labels are nearly text-independent, so off-diagonal mass is
+    expected — the query certifies the measurement, not the model).
+    One prediction pass (broadcast stopword votes), one
+    (true, pred) aggregate, shares via a \\|langs\\|-bounded window."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    pred = text_analysis.lang_id(docs).select("doc_id", "lang_pred")
+    conf = (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", F.col("lang_pred").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("true_lang")
+    return conf.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w), 6
+        ).alias("share_of_true"),
+    )
