@@ -130,6 +130,7 @@ PROBE = [
     "emb_hard_negatives",           # broadcast queries, 2 argmax windows
     "profile_psi_lang",             # |langs|-row agg + one-row totals
     "txt_source_kl",                # tokenize + (source,word) agg + joins
+    "txt_langid_confusion",         # broadcast votes + (true,pred) agg
 ]
 
 # Zipfian-vocabulary corpus variant: the prefix-filter dedups claim
