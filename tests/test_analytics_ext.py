@@ -460,6 +460,33 @@ def test_expectations_report_catches_planted_violations(spark):
     assert set(bad) == {"pk_not_null", "pk_unique", "amount_nonneg", "fk_exists"}
 
 
+def test_expectations_report_scans_once_by_construction(spark):
+    """The scalar-check block must be ONE scan unpivoted explicitly —
+    not N union legs that only collapse if ReuseExchange fires. Pin
+    it on the physical plan: a 5-check report over a parquet table
+    contains exactly one parquet scan."""
+    from tugas_2_big_data_spark.operators import profiling
+    from tugas_2_big_data_spark.plans import inspect as pi
+    from tugas_2_big_data_spark.sources.catalog import load_table
+
+    orders = load_table(spark, "orders", SF_UNIT)
+    checks = [
+        ("k_null", F.sum(F.col("o_orderkey").isNull().cast("long"))),
+        ("k_uni", F.count("o_orderkey") - F.countDistinct("o_orderkey")),
+        ("tp_neg", F.sum((F.col("o_totalprice") <= 0).cast("long"))),
+        ("st_bad", F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long"))),
+        ("dt_null", F.sum(F.col("o_orderdate").isNull().cast("long"))),
+    ]
+    import re
+
+    plan = pi.explain_formatted(profiling.expectations_report(orders, checks))
+    # count scan NODES (each appears once in the tree header and once
+    # in the node-detail section — match the detail headers only)
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 1, f"expected 1 parquet scan node, saw {n_scans}"
+    assert "Union" not in plan
+
+
 def test_dq_orders_all_green_on_testdata(spark):
     df = REG["dq_expectations_orders"](spark, SF_UNIT)
     rows = df.collect()

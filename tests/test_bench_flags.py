@@ -98,3 +98,73 @@ def test_nearest_sample_selection_and_degraded_modes():
     # no baseline at all -> ratio 1.0; no samples -> anchor-only ratio
     assert bench.host_ratio(None, None, None, None) == 1.0
     assert bench.host_ratio(None, None, 3.36, CAL_BASE) == 2.0
+
+
+# ---------------------------------------------------------------------------
+# Re-freeze audit trail (tools/freeze_baseline.py): the freeze-diff
+# artifact must exist for any round that re-froze the baseline, and no
+# flagged mover may land unexplained (VERDICT r8 #2 — two mid-round
+# re-freezes re-measured old queries with no audit trail).
+# ---------------------------------------------------------------------------
+
+REPO = os.path.dirname(os.path.dirname(__file__))
+
+fb_spec = importlib.util.spec_from_file_location(
+    "freeze_baseline", os.path.join(REPO, "tools", "freeze_baseline.py")
+)
+fb = importlib.util.module_from_spec(fb_spec)
+fb_spec.loader.exec_module(fb)
+
+
+def test_freeze_diff_normalizes_host_speed():
+    """A uniformly 2x slower host at re-freeze must flag nothing; a
+    genuine 2x single-query regression on the SAME host speed must."""
+    old = {"calibration_s": 1.5, "queries": {"q1": 2.0, "q2": 0.1}}
+    # host 2x slower: calibration AND every query double
+    new_uniform = {"calibration_s": 3.0, "queries": {"q1": 4.0, "q2": 0.2}}
+    d = fb.freeze_diff(old, new_uniform)
+    assert d["flagged"] == []
+    assert d["rows"]["q1"]["ratio_calibrated"] == 1.0
+    # same host, q1 genuinely 2x slower
+    new_reg = {"calibration_s": 1.5, "queries": {"q1": 4.0, "q2": 0.1}}
+    d2 = fb.freeze_diff(old, new_reg)
+    assert [f["query"] for f in d2["flagged"]] == ["q1"]
+    assert d2["rows"]["q1"]["ratio_calibrated"] == 2.0
+
+
+def test_freeze_diff_floor_and_membership():
+    """Sub-floor micro rows never flag however big the ratio; added and
+    removed queries are recorded, not diffed."""
+    old = {"calibration_s": 1.0, "queries": {"tiny": 0.05, "gone": 1.0}}
+    new = {"calibration_s": 1.0, "queries": {"tiny": 0.25, "fresh": 1.0}}
+    d = fb.freeze_diff(old, new)
+    assert d["flagged"] == []  # 5x ratio but below the 0.3 s floor
+    assert d["added"] == ["fresh"]
+    assert d["removed"] == ["gone"]
+    assert "gone" not in d["rows"] and "fresh" not in d["rows"]
+
+
+def test_committed_freeze_diffs_have_no_unexplained_movers():
+    """Every committed BASELINE_DIFF_r*.json must carry an empty
+    flagged list or a nonempty 'explanation' on each flagged row —
+    the gate that stops a regression from being absorbed into a
+    re-frozen baseline."""
+    import glob
+    import json
+
+    for path in sorted(glob.glob(os.path.join(REPO, "BASELINE_DIFF_r*.json"))):
+        with open(path) as f:
+            diff = json.load(f)
+        for row in diff.get("flagged", []):
+            assert row.get("explanation"), (
+                f"{os.path.basename(path)}: flagged mover "
+                f"{row.get('query')} has no explanation — investigate "
+                f"the regression or annotate why it is expected"
+            )
+
+
+def test_current_round_tracks_correctness_artifacts(tmp_path):
+    assert fb.current_round(str(tmp_path)) == 1
+    (tmp_path / "CORRECTNESS_r03.json").write_text("{}")
+    (tmp_path / "CORRECTNESS_r11.json").write_text("{}")
+    assert fb.current_round(str(tmp_path)) == 12

@@ -95,6 +95,131 @@ def test_mongo_gated_with_clear_error(spark):
         external.read_mongo(spark, "mongodb://localhost", "db", "coll").collect()
 
 
+class _FakeReader:
+    """Duck-typed DataFrameReader that records the exact invocation
+    chain read_mongo builds — format string, connector option keys,
+    schema pass-through — so a connector-API typo can't hide behind
+    the import gate (the sandbox has no mongod/jar, so the live path
+    never executes here)."""
+
+    def __init__(self, log: dict):
+        self.log = log
+
+    def format(self, fmt):
+        self.log["format"] = fmt
+        return self
+
+    def schema(self, s):
+        self.log["schema"] = s
+        return self
+
+    def option(self, k, v):
+        self.log.setdefault("options", {})[k] = v
+        return self
+
+    def load(self):
+        self.log["loaded"] = True
+        return "SENTINEL_DF"
+
+
+class _FakeSpark:
+    def __init__(self, log: dict):
+        self._log = log
+
+    @property
+    def read(self):
+        return _FakeReader(self._log)
+
+
+class _FakeWriter:
+    def __init__(self, log: dict):
+        self.log = log
+
+    def format(self, fmt):
+        self.log["format"] = fmt
+        return self
+
+    def option(self, k, v):
+        self.log.setdefault("options", {})[k] = v
+        return self
+
+    def mode(self, m):
+        self.log["mode"] = m
+        return self
+
+    def save(self):
+        self.log["saved"] = True
+
+
+class _FakeDF:
+    def __init__(self, log: dict):
+        self._log = log
+
+    @property
+    def write(self):
+        return _FakeWriter(self._log)
+
+
+def test_read_mongo_invocation_contract():
+    """Option-for-option pin of the mongo-spark 10.x reader chain:
+    format 'mongodb' (NOT the 3.x 'mongo'/'com.mongodb.spark.sql'),
+    options 'connection.uri'/'database'/'collection' (10.x renamed
+    'uri' and 'spark.mongodb.input.*'), explicit schema forwarded,
+    and the result of load() returned unwrapped."""
+    log: dict = {}
+    schema = T.StructType([T.StructField("Ticker", T.StringType())])
+    out = external.read_mongo(
+        _FakeSpark(log),
+        "mongodb://host:27017",
+        "yfinance_db",
+        "saham_raw",
+        schema=schema,
+    )
+    assert out == "SENTINEL_DF"
+    assert log["format"] == "mongodb"
+    assert log["schema"] is schema
+    assert log["options"] == {
+        "connection.uri": "mongodb://host:27017",
+        "database": "yfinance_db",
+        "collection": "saham_raw",
+    }
+    assert log["loaded"]
+
+
+def test_read_mongo_schema_optional():
+    """No schema → the .schema() call must be SKIPPED entirely (the
+    connector then samples/infers, the reference's S1 behavior at
+    yfinance_transform.py:113-115), not called with None."""
+    log: dict = {}
+    external.read_mongo(_FakeSpark(log), "mongodb://h", "db", "coll")
+    assert "schema" not in log
+    assert log["loaded"]
+
+
+def test_write_mongo_invocation_contract():
+    """Writer chain pin: same 10.x format + option names, save mode
+    forwarded verbatim (default 'append' = the reference's K1 insert
+    sink; 'overwrite' = K2 drop-and-replace)."""
+    log: dict = {}
+    external.write_mongo(
+        _FakeDF(log), "mongodb://host:27017", "iqplus", "berita_summary"
+    )
+    assert log["format"] == "mongodb"
+    assert log["mode"] == "append"
+    assert log["options"] == {
+        "connection.uri": "mongodb://host:27017",
+        "database": "iqplus",
+        "collection": "berita_summary",
+    }
+    assert log["saved"]
+
+    log2: dict = {}
+    external.write_mongo(
+        _FakeDF(log2), "mongodb://h", "db", "c", mode="overwrite"
+    )
+    assert log2["mode"] == "overwrite"
+
+
 def test_existence_probes(spark):
     assert external.table_exists("/root/testdata/sf0.001", "orders")
     assert not external.table_exists("/root/testdata/sf0.001", "nope")

@@ -538,3 +538,181 @@ def test_streaming_dq_uniqueness_telescopes_across_batches(spark, tmp_path):
     assert report["orderdate_in_range"].observed == 1
     assert report["priority_in_set"].observed == 1
     assert report["pk_not_null"].observed == 0 and report["pk_not_null"].passed
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint kill/restart chaos (VERDICT r8 #8): the foreachBatch SINKS
+# were already idempotency-tested; these pin the stateful FOLDS. A
+# "kill" is simulated faithfully for a single-JVM suite: run the drain
+# with only the first batch file present (process dies after batch 1 —
+# all in-memory Python state lost), then invoke the drain FRESH with
+# the same checkpoint + on-disk state dir after the second file lands.
+# The file-source checkpoint resumes at the first unconsumed file; the
+# drained result must equal the uninterrupted run. A second pass with a
+# FRESH checkpoint re-delivers everything against the same state dir —
+# the full-replay duplicate test (batch-id-keyed overwrites).
+# ---------------------------------------------------------------------------
+
+
+def _add_batch_file(df, path, ordinal):
+    """Append one ingest batch WITHOUT rewriting earlier ones (a
+    write_ingest_batches re-run would give b0001 a fresh filename and
+    the resumed source would re-deliver it as new data)."""
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/b{ordinal:04d}")
+
+
+def test_streaming_er_restart_equals_uninterrupted(spark, tmp_path):
+    from tugas_2_big_data_spark import queries as q  # noqa: F401
+    from tugas_2_big_data_spark import queries_analytics as qa
+    from tugas_2_big_data_spark.operators import entity_resolution as er
+    from tugas_2_big_data_spark.streaming import events as se
+
+    dirty = qa._er_dirty(spark, SF_UNIT)
+    base = qa._er_base(spark, SF_UNIT)
+    b1 = dirty.filter(F.col("d_id") % 2 == 0)
+    b2 = dirty.filter(F.col("d_id") % 2 == 1)
+    batches = str(tmp_path / "batches")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    _add_batch_file(b1, batches, 1)
+    first = se.run_streaming_er(spark, batches, ckpt, base, state_dir=state)
+    n_first = first.count()
+    assert 0 < n_first < dirty.count()
+
+    # --- process "killed"; second batch lands; fresh invocation ---
+    _add_batch_file(b2, batches, 2)
+    resumed = se.run_streaming_er(spark, batches, ckpt, base, state_dir=state)
+
+    batch = er.best_match(
+        er.blocked_candidates(dirty, base), max_dist=3
+    ).select(
+        F.col("d_id").cast("long").alias("d_id"),
+        F.col("c_custkey").cast("long").alias("matched_key"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+    want = sorted(map(tuple, batch.collect()))
+    assert sorted(map(tuple, resumed.collect())) == want
+
+    # --- full replay: fresh checkpoint, same state dir -> no dups ---
+    replay = se.run_streaming_er(
+        spark, batches, str(tmp_path / "ckpt2"), base, state_dir=state
+    )
+    assert sorted(map(tuple, replay.collect())) == want
+
+
+def test_streaming_dq_restart_preserves_cross_batch_uniqueness(spark, tmp_path):
+    """The telescoping-uniqueness fold across a KILL: the duplicate
+    key pair is split across the restart boundary, so a fold that
+    lost batch-1 state would undercount pk_unique by 1."""
+    from tugas_2_big_data_spark import queries as q  # noqa: F401
+    from tugas_2_big_data_spark.queries_analytics import _orders_dq_checks
+    from tugas_2_big_data_spark.streaming import events as se
+
+    rows = [
+        (1, 10, "O", 100.0, "1995-06-01", "2-HIGH"),
+        (2, 10, "O", 100.0, "1995-06-01", "2-HIGH"),
+        (2, 11, "O", 100.0, "1995-06-01", "2-HIGH"),  # within-batch dup
+        (1, 11, "O", 100.0, "1995-06-01", "2-HIGH"),  # cross-RESTART dup
+        (3, 99, "O", -5.0, "1980-01-01", "bogus"),    # fk+range+domain
+    ]
+
+    def mk(rs):
+        df = spark.createDataFrame(
+            rs,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate string, o_orderpriority string",
+        )
+        return df.withColumn(
+            "o_orderdate", F.col("o_orderdate").cast("timestamp")
+        )
+
+    parent = spark.createDataFrame([(10,), (11,)], ["c_custkey"])
+    batches = str(tmp_path / "b")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    def run(c):
+        return {
+            r.check_name: r
+            for r in se.run_streaming_dq(
+                spark, batches, c, parent, _orders_dq_checks(),
+                state_dir=state,
+            ).collect()
+        }
+
+    _add_batch_file(mk(rows[:3]), batches, 1)
+    first = run(ckpt)
+    assert first["pk_unique"].observed == 1  # within-batch dup only
+
+    _add_batch_file(mk(rows[3:]), batches, 2)
+    resumed = run(ckpt)
+    assert resumed["pk_unique"].observed == 2
+    assert resumed["fk_customer_exists"].observed == 1
+    assert resumed["totalprice_nonneg"].observed == 1
+    assert resumed["orderdate_in_range"].observed == 1
+    assert resumed["priority_in_set"].observed == 1
+    assert resumed["pk_not_null"].observed == 0
+
+    # full replay with a fresh checkpoint: batch-keyed overwrites keep
+    # every counter identical (no double-folding)
+    replayed = run(str(tmp_path / "ckpt2"))
+    assert {k: v.observed for k, v in replayed.items()} == {
+        k: v.observed for k, v in resumed.items()
+    }
+
+
+def test_streaming_ann_append_restart_equals_uninterrupted(spark, tmp_path):
+    """The ANN append drain is disk-backed by construction (the index
+    IS the state, appends are ingest-keyed) — pin that a kill between
+    micro-batches and a full checkpoint replay both serve the exact
+    uninterrupted result."""
+    from tugas_2_big_data_spark.operators import similarity
+    from tugas_2_big_data_spark.sources.catalog import load_table
+    from tugas_2_big_data_spark.streaming import events as se
+
+    emb = load_table(spark, "embeddings", SF_UNIT)
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    batches = str(tmp_path / "batches")
+    ckpt = str(tmp_path / "ckpt")
+
+    def serve(path):
+        return sorted(
+            map(
+                tuple,
+                similarity.ivf_topk_from_index(
+                    spark, path, emb.filter(F.col("vec_id") < 5),
+                    nprobe=2, k=5,
+                )
+                .select("query_id", "nbr_id", "rk")
+                .collect(),
+            )
+        )
+
+    # uninterrupted twin: one build + both appends in one "process"
+    ref_path = str(tmp_path / "index_ref")
+    similarity.ivf_build_index(b1, ref_path)
+    ref_b = str(tmp_path / "ref_batches")
+    _add_batch_file(odd.filter(F.col("vec_id") % 4 == 1), ref_b, 1)
+    _add_batch_file(odd.filter(F.col("vec_id") % 4 == 3), ref_b, 2)
+    assert se.run_streaming_ann_append(
+        spark, ref_b, ref_path, str(tmp_path / "ref_ckpt")
+    ) == 2
+    want = serve(ref_path)
+
+    # killed-and-restarted twin
+    idx = str(tmp_path / "index")
+    similarity.ivf_build_index(b1, idx)
+    _add_batch_file(odd.filter(F.col("vec_id") % 4 == 1), batches, 1)
+    assert se.run_streaming_ann_append(spark, batches, idx, ckpt) == 1
+    _add_batch_file(odd.filter(F.col("vec_id") % 4 == 3), batches, 2)
+    assert se.run_streaming_ann_append(spark, batches, idx, ckpt) == 1
+    assert serve(idx) == want
+
+    # full replay: fresh checkpoint re-delivers BOTH files against the
+    # already-complete index; ingest-keyed appends must not duplicate
+    assert se.run_streaming_ann_append(
+        spark, batches, idx, str(tmp_path / "ckpt2")
+    ) == 2
+    assert serve(idx) == want

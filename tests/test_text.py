@@ -111,6 +111,81 @@ def test_summarize_news_contract(spark):
 
 
 @pytest.mark.slow
+def test_bart_backend_construction_contract(monkeypatch):
+    """Pin the real-model path's EXACT transformers invocation with a
+    fake `transformers` module injected into sys.modules — provable
+    with transformers absent. The reference constructs
+    pipeline('summarization', model='facebook/bart-large-cnn',
+    device=-1) once (iqplus_market_transform.py:26) and calls it with
+    max_length/min_length per stage plus truncation=True (:55-61); a
+    typo in any of these would otherwise hide behind the import gate
+    until someone runs with 1.6 GB of weights."""
+    import sys
+    import types
+
+    from tugas_2_big_data_spark.text.summarize import (
+        bart_backend,
+        summarize_long_text,
+    )
+
+    constructed = []
+    infer_calls = []
+
+    def fake_pipeline(task, model=None, device=None):
+        constructed.append({"task": task, "model": model, "device": device})
+
+        def summarizer(text, max_length=None, min_length=None, truncation=None):
+            infer_calls.append(
+                {
+                    "max_length": max_length,
+                    "min_length": min_length,
+                    "truncation": truncation,
+                }
+            )
+            return [{"summary_text": f"SUM{len(infer_calls)}"}]
+
+        return summarizer
+
+    fake_mod = types.ModuleType("transformers")
+    fake_mod.pipeline = fake_pipeline
+    monkeypatch.setitem(sys.modules, "transformers", fake_mod)
+
+    backend = bart_backend()
+    # construction: one pipeline, exact task/model id/CPU device
+    assert constructed == [
+        {
+            "task": "summarization",
+            "model": "facebook/bart-large-cnn",
+            "device": -1,
+        }
+    ]
+    # single-call path: (250, 50) + truncation, summary_text unwrapped
+    out = backend("short text", 250, 50)
+    assert out == "SUM1"
+    assert infer_calls == [
+        {"max_length": 250, "min_length": 50, "truncation": True}
+    ]
+
+    # split-merge path through the same backend: every chunk call at
+    # (512, 30), the final merge at (250, 50) — all with truncation
+    infer_calls.clear()
+    text = (
+        ". ".join(" ".join(f"w{i}" for i in range(100)) for _ in range(30))
+        + "."
+    )
+    summarize_long_text(text, backend, whitespace_token_count)
+    assert len(infer_calls) >= 3
+    for c in infer_calls[:-1]:
+        assert c == {"max_length": 512, "min_length": 30, "truncation": True}
+    assert infer_calls[-1] == {
+        "max_length": 250,
+        "min_length": 50,
+        "truncation": True,
+    }
+    # still exactly one pipeline construction (model loads once)
+    assert len(constructed) == 1
+
+
 def test_bart_backend_smoke(spark):
     """Real facebook/bart-large-cnn through the injectable-backend seam
     (reference iqplus_market_transform.py:25-26). Skipped wherever

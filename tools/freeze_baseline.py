@@ -9,17 +9,86 @@ keeping an old anchor mis-normalizes future flags, ROUND6_NOTES §3).
 Usage: python tools/freeze_baseline.py [n_runs]
 Writes BENCH_BASELINE.json and prints per-query spreads > 25% so a
 noisy freeze is visible before it is committed.
+
+Re-freeze audit trail (VERDICT r8 #2): a re-freeze re-measures OLD
+queries too, so a genuine regression could silently become the new
+normal. Before overwriting, this tool diffs the outgoing baseline
+against the incoming one (calibration-normalized, so host-speed drift
+between freezes doesn't read as regression) and writes
+BASELINE_DIFF_r{N}.json with every >1.5x mover flagged. A flagged row
+must be hand-annotated with an "explanation" before commit —
+tests/test_bench_flags.py fails the suite on an unexplained mover.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import statistics
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# calibrated ratio above which a re-freeze mover must be explained
+DIFF_FLAG_RATIO = 1.5
+# queries faster than this (new, seconds) are noise-dominated micro
+# rows; ratio flags start above the floor (same spirit as bench.py's
+# materiality floor)
+DIFF_FLOOR_S = 0.3
+
+
+def current_round(repo: str = REPO) -> int:
+    """Rounds are numbered by the driver's CORRECTNESS_r{N}.json
+    artifacts; the round being built is the newest one + 1."""
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def freeze_diff(old: dict, new: dict) -> dict:
+    """Pure diff of two baseline dicts ({calibration_s, queries}).
+
+    Ratios are calibration-normalized: ratio = (new_t / new_cal) /
+    (old_t / old_cal), so a uniformly slower host at re-freeze time
+    does not flag every query. Movers past DIFF_FLAG_RATIO (either
+    direction for the record; only slowdowns are flagged) with new
+    time above DIFF_FLOOR_S land in `flagged` and must gain an
+    "explanation" before the artifact is committed."""
+    old_q = old.get("queries", {})
+    new_q = new.get("queries", {})
+    old_cal = float(old.get("calibration_s") or 1.0) or 1.0
+    new_cal = float(new.get("calibration_s") or 1.0) or 1.0
+    rows = {}
+    flagged = []
+    for name in sorted(set(old_q) & set(new_q)):
+        o, n = float(old_q[name]), float(new_q[name])
+        raw = round(n / o, 3) if o > 0 else None
+        cal = (
+            round((n / new_cal) / (o / old_cal), 3) if o > 0 else None
+        )
+        rows[name] = {"old_s": o, "new_s": n, "ratio_raw": raw,
+                      "ratio_calibrated": cal}
+        if cal is not None and cal > DIFF_FLAG_RATIO and n > DIFF_FLOOR_S:
+            flagged.append(
+                {"query": name, "old_s": o, "new_s": n,
+                 "ratio_calibrated": cal}
+            )
+    return {
+        "old_calibration_s": old_cal,
+        "new_calibration_s": new_cal,
+        "flag_ratio": DIFF_FLAG_RATIO,
+        "floor_s": DIFF_FLOOR_S,
+        "added": sorted(set(new_q) - set(old_q)),
+        "removed": sorted(set(old_q) - set(new_q)),
+        "flagged": flagged,
+        "rows": rows,
+    }
 
 
 def main() -> None:
@@ -62,7 +131,31 @@ def main() -> None:
         "queries": medians,
         "sf": runs[0]["sf"],
     }
-    with open(os.path.join(REPO, "BENCH_BASELINE.json"), "w") as f:
+    baseline_path = os.path.join(REPO, "BENCH_BASELINE.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            old = json.load(f)
+        diff = freeze_diff(old, out)
+        diff_path = os.path.join(
+            REPO, f"BASELINE_DIFF_r{current_round():02d}.json"
+        )
+        with open(diff_path, "w") as f:
+            json.dump(diff, f, indent=1, sort_keys=True)
+        print(
+            f"[freeze] wrote {os.path.basename(diff_path)}: "
+            f"{len(diff['flagged'])} flagged mover(s), "
+            f"{len(diff['added'])} added, {len(diff['removed'])} removed",
+            file=sys.stderr,
+        )
+        for fl in diff["flagged"]:
+            print(
+                f"[freeze] MOVER {fl['query']}: {fl['old_s']} -> "
+                f"{fl['new_s']} ({fl['ratio_calibrated']}x cal) — "
+                f"annotate an 'explanation' in the diff artifact or "
+                f"fix before committing",
+                file=sys.stderr,
+            )
+    with open(baseline_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(
         f"[freeze] wrote BENCH_BASELINE.json: {len(medians)} queries, "

@@ -41,20 +41,28 @@ from tugas_2_big_data_spark import queries as q  # noqa: E402
 SRC = "/root/testdata/sf0.1"
 DST = os.path.join(REPO, ".scratch", "sf1")
 COPIES = 10
-KEY_OFFSET = 10_000_000  # per-copy shift, far above any sf0.1 key
 
-# key columns to shift per copy, per table (foreign keys shift with
-# their parents, so joins stay consistent within each copy)
-SHIFT: dict[str, list[str]] = {
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+# Key families shift per copy by the family anchor's MAX key in the
+# base corpus (not a fixed 10M stride): dense key spaces stay DENSE —
+# rec_negative_samples' hash%n+1 draw requires contiguous partkeys
+# (ADVICE r8: band-sparse shifted keys make most drawn negatives
+# phantom and the positives anti-join vacuous, so the probe would time
+# the wrong workload) — and FK members shift with their parent so
+# joins stay consistent within each copy.
+FAMILIES: dict[str, list[tuple[str, str]]] = {
+    "customer.c_custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "orders.o_orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "part.p_partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "supplier.s_suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "events.event_id": [("events", "event_id")],
+    "events.user_id": [("events", "user_id")],
+    "documents.doc_id": [("documents", "doc_id")],
+    "embeddings.vec_id": [("embeddings", "vec_id")],
 }
+SHIFT_TABLES = [
+    "customer", "supplier", "part", "orders", "lineitem", "events",
+    "documents", "embeddings",
+]
 COPY_AS_IS = ["region", "nation"]
 
 PROBE = [
@@ -89,13 +97,26 @@ def build(spark) -> None:
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{DST}/{t}.parquet"
         )
-    for t, keys in SHIFT.items():
+    offsets: dict[tuple[str, str], int] = {}
+    for anchor, members in FAMILIES.items():
+        at, ac = anchor.split(".")
+        m = (
+            spark.read.parquet(f"{SRC}/{at}.parquet")
+            .agg(F.max(ac))
+            .collect()[0][0]
+        )
+        for member in members:
+            offsets[member] = int(m)
+    for t in SHIFT_TABLES:
         base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        shifted_cols = [
+            (col, off) for (tt, col), off in offsets.items() if tt == t
+        ]
         parts = []
         for c in range(COPIES):
             df = base
-            for k in keys:
-                df = df.withColumn(k, F.col(k) + F.lit(c * KEY_OFFSET))
+            for k, off in shifted_cols:
+                df = df.withColumn(k, F.col(k) + F.lit(c * off))
             if t == "customer":
                 # keep the name's digit stream in sync with the shifted
                 # key: a real registry has one name per entity, and the

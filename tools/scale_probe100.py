@@ -160,10 +160,96 @@ BOILER_SUFFIX = (
 )
 ZIPF_SMALL = os.path.join(REPO, ".scratch", "zipf_small")
 ZIPF_BIG = os.path.join(REPO, ".scratch", "zipf_big")
+
+# 100x relational corpus (VERDICT r8 #5): the round-8 audit batch runs
+# over customer/orders/lineitem/part/events, which the documents-only
+# 100x build does not scale. Keys shift per copy by the PARENT key's
+# max value (not a fixed 10M stride): dense key spaces stay dense —
+# rec_negative_samples' hash%n+1 draw requires contiguous partkeys
+# (ADVICE r8: a band-sparse probe build makes most drawn negatives
+# phantom keys and the positives anti-join vacuous, so the probe would
+# time the wrong workload) — and FK families shift together so joins
+# stay consistent within each copy.
+TPCH_BIG = os.path.join(REPO, ".scratch", "tpch100")
+TPCH_COPIES = 100
+# key families: every column in a family shifts by the family's
+# max(parent key) per copy
+TPCH_FAMILIES: dict[str, list[tuple[str, str]]] = {
+    # family anchor (table, column) -> members [(table, column)]
+    "customer.c_custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "orders.o_orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "part.p_partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "supplier.s_suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "events.event_id": [("events", "event_id")],
+    "events.user_id": [("events", "user_id")],
+}
+TPCH_TABLES = ["customer", "supplier", "part", "orders", "lineitem", "events"]
+TPCH_COPY_AS_IS = ["region", "nation", "documents", "embeddings"]
+TPCH_PROBE = [
+    "er_match_pairs",               # blocked fuzzy match, never all-pairs
+    "er_survivorship",              # one union + one cluster-key agg
+    "dq_expectations_orders",       # one-pass gate + FK anti-join
+    "dq_benford_totalprice",        # map-only digit projection
+    "layout_zorder_vs_linear",      # map-only morton + bounded buckets
+    "sketch_join_size_estimate",    # per-key aggs + constant sketch work
+    "rec_negative_samples",         # per-user draws + one anti-join
+    "stream_dq_gate",               # streaming fold of the DQ gate
+]
 ZIPF_VOCAB = 50_000
 ZIPF_WORDS = 120
 ZIPF_SMALL_DOCS = 500   # ≈ the sf0.1 documents row count
 ZIPF_FACTOR = 100
+
+
+def build_tpch100(spark, dst: str = TPCH_BIG) -> None:
+    """100x relational corpus with DENSE per-family key shifts (see
+    TPCH_FAMILIES note). customer.c_name is rewritten from the shifted
+    key so the ER registry keeps one name per entity — 100 copies of
+    an identical name would make every block quadratic, a corpus
+    artifact, not an operator property (same rationale as the 10x
+    build)."""
+    os.makedirs(dst, exist_ok=True)
+    for t in TPCH_COPY_AS_IS:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{t}.parquet")
+    # per-family offsets = max(anchor key) in the base corpus
+    offsets: dict[tuple[str, str], int] = {}
+    for anchor, members in TPCH_FAMILIES.items():
+        at, ac = anchor.split(".")
+        m = (
+            spark.read.parquet(f"{SRC}/{at}.parquet")
+            .agg(F.max(ac))
+            .collect()[0][0]
+        )
+        for member in members:
+            offsets[member] = int(m)
+    for t in TPCH_TABLES:
+        base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        shifted_cols = [
+            (col, off) for (tt, col), off in offsets.items() if tt == t
+        ]
+        parts = []
+        for c in range(TPCH_COPIES):
+            df = base
+            for col, off in shifted_cols:
+                df = df.withColumn(col, F.col(col) + F.lit(c * off))
+            if t == "customer":
+                df = df.withColumn(
+                    "c_name",
+                    F.concat(
+                        F.lit("Customer#"),
+                        F.lpad(F.col("c_custkey").cast("string"), 9, "0"),
+                    ),
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(64).write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+        print(f"  tpch100 {t} written", file=sys.stderr)
 
 
 def build_zipf(spark, dst: str, n_docs: int) -> None:
@@ -432,6 +518,37 @@ def main() -> None:
             file=sys.stderr,
         )
         gc.collect()
+    if any(_want(n) for n in TPCH_PROBE):
+        if (
+            not os.path.exists(f"{TPCH_BIG}/lineitem.parquet")
+            or "--rebuild" in sys.argv
+        ):
+            print("building tpch100 corpus ...", file=sys.stderr)
+            build_tpch100(spark)
+        for name in [n for n in TPCH_PROBE if _want(n)]:
+            fn = reg[name]
+            try:
+                n_small, t_small = _materialize(lambda: fn(spark, SRC))
+                n_big, t_big = _materialize(lambda: fn(spark, TPCH_BIG))
+            except Exception as exc:  # noqa: BLE001
+                msg = str(exc).split("\n")[0][:200]
+                results[name] = {"error": msg}
+                print(f"{name}: ERROR {msg}", file=sys.stderr)
+                continue
+            ratio = round(t_big / t_small, 2) if t_small > 0 else None
+            results[name] = {
+                "t_base": round(t_small, 3),
+                "t_100x": round(t_big, 3),
+                "ratio": ratio,
+                "rows_base": n_small,
+                "rows_100x": n_big,
+            }
+            print(
+                f"{name}: {t_small:.2f}s -> {t_big:.2f}s (x{ratio}) "
+                f"rows {n_small} -> {n_big}",
+                file=sys.stderr,
+            )
+            gc.collect()
     out = os.path.join(REPO, "SCALEPROBE100.json")
     if only is not None and os.path.exists(out):
         with open(out) as f:

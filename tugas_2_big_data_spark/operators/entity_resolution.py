@@ -56,6 +56,40 @@ def blocked_candidates(
     return dirty.join(base, on=on)
 
 
+def blocked_candidates_salted(
+    dirty: DataFrame,
+    base: DataFrame,
+    on: str = "block",
+    dirty_id: str = "d_id",
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-resilient variant of `blocked_candidates` for corpora where
+    one block runs hot (a boilerplate name, an OCR artifact that
+    collapses many records to the same digit stream): the dirty side
+    gains a deterministic salt = hash(dirty id) % ``salt`` and the
+    base side is replicated once per salt value, so the join key
+    becomes (block, salt) and the hot block's pairs spread across
+    ``salt`` shuffle partitions instead of one straggler task.
+
+    The candidate SET is identical to the unsalted join — every
+    (dirty, base) pair within a block appears exactly once, because
+    each dirty row carries one salt and meets the one base replica
+    with that salt. Cost: the base side is written ``salt``× into the
+    shuffle — pay it only when a measured hot block exists (AQE's
+    OptimizeSkewedJoin is the zero-cost first resort for sort-merge
+    plans; this is the explicit fallback that also covers broadcast
+    and bucketed paths AQE skew-split does not touch)."""
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    d = dirty.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(dirty_id)), F.lit(salt)).cast("int")
+    )
+    b = base.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return d.join(b, on=[on, "_salt"]).drop("_salt")
+
+
 def best_match(
     candidates: DataFrame,
     dirty_name: str = "d_name",
@@ -90,6 +124,7 @@ def survivorship(
     dirty_bal: str = "d_acctbal",
     base_bal: str = "c_acctbal",
     min_cluster: int = 2,
+    base_rec_id: Column | None = None,
 ) -> DataFrame:
     """Collapse each matched cluster (a base record plus every dirty
     record resolved to it) to one survivor row: the record with the
@@ -100,10 +135,19 @@ def survivorship(
     join in as their own cluster seed. One union + one groupBy on the
     cluster key — a single hash shuffle, no iteration, because
     best-match already made the cluster assignment functional (every
-    dirty record points at exactly one base key)."""
+    dirty record points at exactly one base key).
+
+    ``base_rec_id`` sets the base records' id in the shared rec-id
+    space (default: the base key itself). When dirty ids are derived
+    from base keys, pass an encoding that keeps the two populations
+    disjoint — e.g. key*10 for base against key*10+variant for dirty
+    twins — so a dirty id can never alias a base record in the
+    survivor column."""
     base_rows = base.select(
         F.col(base_key).alias("cluster_key"),
-        F.col(base_key).alias("rec_id"),
+        (
+            base_rec_id if base_rec_id is not None else F.col(base_key)
+        ).alias("rec_id"),
         F.col(base_bal).alias("acctbal"),
     )
     dirty_rows = matches.select(

@@ -290,7 +290,12 @@ def expectations_report(
     expectation — null counts, range violations, uniqueness as
     count − count(distinct) — folds into ONE single-pass aggregate
     over the table (one scan however many checks ride it; map-side
-    partial). ``fk_checks`` are (name, parent_df, child_key,
+    partial). The one-row wide aggregate is unpivoted EXPLICITLY
+    (explode over an inline (name, observed) struct array), so the
+    single scan is guaranteed by construction — not by hoping
+    ReuseExchange collapses N identical aggregate subplans, which
+    plan drift or AQE edge cases could miss, silently re-scanning
+    the table once per check. ``fk_checks`` are (name, parent_df, child_key,
     parent_key) referential-integrity probes: each is a LEFT ANTI
     equi-join count — at scale the parent key side broadcasts when
     dim-sized or shuffles co-partitioned otherwise, and AQE handles
@@ -303,16 +308,19 @@ def expectations_report(
         )
     agg_cols = [c.cast("long").alias(n) for n, c in checks]
     wide = df.agg(*agg_cols)
-    legs = [
-        wide.select(
-            F.lit(n).alias("check_name"),
-            F.col(n).alias("observed"),
-        )
-        for n, _ in checks
-    ]
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("check_name"),
+                F.col(n).alias("observed"),
+            )
+            for n, _ in checks
+        ]
+    )
+    out = wide.select(F.explode(pairs).alias("_kv")).select(
+        F.col("_kv.check_name").alias("check_name"),
+        F.col("_kv.observed").alias("observed"),
+    )
     for name, parent, child_key, parent_key in fk_checks or []:
         orphans = (
             df.join(

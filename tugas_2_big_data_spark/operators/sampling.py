@@ -478,6 +478,7 @@ def hash_negative_samples(
     user_col: str = "user_id",
     item_col: str = "item_id",
     seed: str = "neg",
+    item_base: int = 0,
 ) -> DataFrame:
     """Deterministic negative sampling for contrastive/recommendation
     training: k items per user the user has NOT interacted with.
@@ -499,8 +500,11 @@ def hash_negative_samples(
     (user, item) anti-join against the positives, one per-user window
     over ≤m rows (WindowGroupLimit prunes at k). ``positives`` must
     carry (user_col, item_col); ``n_items`` is a one-row (n) count —
-    items are assumed densely keyed 0..n-1 (remap through a dense
-    rank once at ingest otherwise)."""
+    items are assumed densely keyed item_base..item_base+n-1 (pass
+    ``item_base=1`` for 1-based key spaces like TPC-H partkeys; remap
+    through a dense rank once at ingest for sparse key spaces —
+    drawing outside the real key space emits phantom negatives whose
+    positives anti-join is vacuous)."""
     from tugas_2_big_data_spark.functions import hashing
 
     draws = users.select(user_col).distinct().crossJoin(
@@ -523,6 +527,7 @@ def hash_negative_samples(
                 )
             )
             % F.col("n")
+            + F.lit(item_base)
         ).alias(item_col),
     )
     fresh = cand.join(positives, [user_col, item_col], "left_anti")

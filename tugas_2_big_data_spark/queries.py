@@ -53,19 +53,19 @@ def register(name: str, oracle: str | None):
 # driver row can fall more than ~(registry/cap) rounds behind without
 # hand-maintenance of this list.
 _SWEEP_CHANGED: tuple[str, ...] = (
-    # new in round 8 (the round-5 pins this list used to carry were
-    # certified in r5-r7; age rotation now covers them, and pinning
-    # 35 green rows was starving the oldest-certified tail)
+    # new in round 9: the skew-salted candidate generator and the
+    # crash-safe streaming drains (value-equal twins of the r8 paths)
+    "er_salted_candidates",
+    "stream_er_match_durable", "stream_dq_gate_durable",
+    # materially changed in round 9 (ADVICE r8 fixes — values moved):
+    # negative draws remapped into the 1-based partkey space; z-order
+    # epoch moved below min(orderdate); ER rec-id encoding switched
+    # to custkey*10+variant (affects the ER family and its streaming
+    # twin)
+    "rec_negative_samples",
+    "layout_zorder_vs_linear",
     "er_blocked_candidates", "er_match_pairs", "er_survivorship",
     "stream_er_match",
-    "layout_zorder_vs_linear",
-    "sketch_join_size_estimate",
-    "ann_kmeans_health",
-    "txt_ppl_band_filter",
-    "emb_hard_negatives",
-    "dq_expectations_orders", "dq_benford_totalprice", "stream_dq_gate",
-    "profile_psi_lang", "txt_source_kl",
-    "rec_negative_samples", "txt_langid_confusion",
 )
 
 

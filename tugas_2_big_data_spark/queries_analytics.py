@@ -2087,8 +2087,14 @@ def evt_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Entity resolution: blocking -> fuzzy match -> survivorship over a
 # deterministically dirtied customer registry. The customer table has
 # no natural duplicates, so both sides build the same dirty twins:
-# a letter-dropped typo copy (custkey%5==0 -> +100000) and a suffix
-# alias (custkey%7==0 -> +200000). Blocking normalizes the name to
+# a letter-dropped typo copy (custkey%5==0 -> d_id=custkey*10+1) and
+# a suffix alias (custkey%7==0 -> d_id=custkey*10+2). The *10+variant
+# encoding is collision-free on ANY custkey space (additive offsets
+# like +100000 silently merge a typo twin with an alias twin once
+# custkeys pass 100k, and collide dirty ids with real custkeys in the
+# survivorship rec-id space); base records enter survivorship as
+# variant 0 (custkey*10), so the three populations share one
+# unambiguous id space. Blocking normalizes the name to
 # its digit stream (corruption-invariant), so blocks stay <=10 rows
 # per key at ANY table size and the match never goes all-pairs.
 # ---------------------------------------------------------------------------
@@ -2103,12 +2109,12 @@ _ER_DIRTY_SQL = """
   SELECT d_id, d_name, d_acctbal,
          substr(regexp_replace(d_name, '[^0-9]', '', 'g'), 1, 8) AS block
   FROM (
-    SELECT c_custkey + 100000 AS d_id,
+    SELECT c_custkey * 10 + 1 AS d_id,
            substr(c_name, 1, 4) || substr(c_name, 6) AS d_name,
            c_acctbal + 1.5 AS d_acctbal
     FROM customer WHERE c_custkey % 5 = 0
     UNION ALL
-    SELECT c_custkey + 200000 AS d_id,
+    SELECT c_custkey * 10 + 2 AS d_id,
            c_name || ' jr' AS d_name,
            c_acctbal - 2.0 AS d_acctbal
     FROM customer WHERE c_custkey % 7 = 0
@@ -2147,14 +2153,14 @@ def _er_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _er_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
     typo = cust.filter(F.col("c_custkey") % 5 == 0).select(
-        (F.col("c_custkey") + 100000).alias("d_id"),
+        (F.col("c_custkey") * 10 + 1).alias("d_id"),
         F.concat(
             F.substring("c_name", 1, 4), F.expr("substring(c_name, 6)")
         ).alias("d_name"),
         (F.col("c_acctbal") + 1.5).alias("d_acctbal"),
     )
     alias = cust.filter(F.col("c_custkey") % 7 == 0).select(
-        (F.col("c_custkey") + 200000).alias("d_id"),
+        (F.col("c_custkey") * 10 + 2).alias("d_id"),
         F.concat(F.col("c_name"), F.lit(" jr")).alias("d_name"),
         (F.col("c_acctbal") - 2.0).alias("d_acctbal"),
     )
@@ -2185,6 +2191,39 @@ def er_blocked_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query is the proof the match below never goes quadratic."""
     cand = entity_resolution.blocked_candidates(
         _er_dirty(spark, sf_dir), _er_base(spark, sf_dir)
+    )
+    stats = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.countDistinct("block").cast("long").alias("n_blocks"),
+    )
+    naive = (
+        _er_dirty(spark, sf_dir)
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .crossJoin(
+            load_table(spark, "customer", sf_dir).agg(
+                F.count(F.lit(1)).alias("nb")
+            )
+        )
+        .select((F.col("nd") * F.col("nb")).cast("long").alias("naive_pairs"))
+    )
+    return stats.crossJoin(naive)
+
+
+@register("er_salted_candidates", _ER_BLOCKING_SQL)
+def er_salted_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-resilient candidate generator
+    (entity_resolution.blocked_candidates_salted — dirty side salted
+    by hash(d_id) % 8, base side replicated 8x so a hot block's pairs
+    spread over 8 shuffle partitions instead of one straggler task)
+    value-proven equivalent to the plain block join: this query runs
+    the SALTED path and shares er_blocked_candidates' oracle verbatim
+    — identical candidate count, block count, and naive-pairs bound,
+    because each dirty row carries one salt and meets exactly the one
+    base replica with that salt. The balance story is measured in
+    ER_SKEW_PROBE.json (planted 1%-hot-block fixture: max-partition
+    share vs plain SMJ and vs AQE skew-split)."""
+    cand = entity_resolution.blocked_candidates_salted(
+        _er_dirty(spark, sf_dir), _er_base(spark, sf_dir), salt=8
     )
     stats = cand.agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates"),
@@ -2234,7 +2273,8 @@ def er_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ER_SURVIVOR_SQL = f"""
 WITH rows_all AS (
-  SELECT c_custkey AS cluster_key, c_custkey AS rec_id, c_acctbal AS acctbal
+  SELECT c_custkey AS cluster_key, c_custkey * 10 AS rec_id,
+         c_acctbal AS acctbal
   FROM customer
   UNION ALL
   SELECT matched_key AS cluster_key, d_id AS rec_id, d_acctbal AS acctbal
@@ -2264,11 +2304,17 @@ def er_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     best-match makes the cluster assignment functional (one parent per
     dirty record), this is a single groupBy on the cluster key with an
     argmax struct — no iteration, no component closure. The golden
-    record a warehouse would serve after ER."""
+    record a warehouse would serve after ER. Record ids share one
+    collision-free space: base = custkey*10, typo twin = custkey*10+1,
+    alias twin = custkey*10+2 (survivor_id decodes as id/10 → custkey,
+    id%10 → variant) — additive offsets would alias populations on
+    large custkey spaces."""
     base = _er_base(spark, sf_dir)
     cand = entity_resolution.blocked_candidates(_er_dirty(spark, sf_dir), base)
     m = entity_resolution.best_match(cand, max_dist=3)
-    return entity_resolution.survivorship(m, base)
+    return entity_resolution.survivorship(
+        m, base, base_rec_id=F.col("c_custkey") * 10
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2283,7 +2329,7 @@ def _zorder_sql(n: int = 64, bits: int = layout.MORTON_BITS) -> str:
     return f"""
 WITH pts AS (
   SELECT (o_custkey & {mask}) AS x,
-         (datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+         (datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
             & {mask}) AS y
   FROM orders
 ),
@@ -2331,7 +2377,11 @@ GROUP BY layout
 @register("layout_zorder_vs_linear", _zorder_sql())
 def layout_zorder_vs_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order vs linear layout audit (operators/layout.py): Morton-
-    interleave (o_custkey, days-since-epoch) and bucket equal-width on
+    interleave (o_custkey, days-since-1992-01-01 — an epoch at or
+    below the minimum orderdate so y is non-negative and contiguous;
+    a mid-range epoch would wrap negative offsets to the top of the
+    bit domain and distort every span measurement) and bucket
+    equal-width on
     the code, vs equal-width on custkey alone; per bucket take the
     [min,max] a parquet footer would carry and report span tightness
     plus how many buckets a mid-domain point predicate on EACH
@@ -2346,7 +2396,7 @@ def layout_zorder_vs_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = orders.select(
         F.col("o_custkey").bitwiseAND(F.lit(mask)).alias("x"),
         F.datediff(
-            F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+            F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
         ).bitwiseAND(F.lit(mask)).alias("y"),
     )
     return layout.layout_audit(pts, n_buckets=64)

@@ -760,3 +760,69 @@ def stream_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.run_streaming_dq(
         spark, f"{work}/batches", f"{work}/ckpt", cust, _orders_dq_checks()
     )
+
+
+@register("stream_er_match_durable", _ER_STREAM_SQL)
+def stream_er_match_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_er_match's CRASH-SAFE twin: the same two-micro-batch ER
+    drain run through the `state_dir` mode — each batch's matches land
+    as a batch-id-keyed parquet overwrite and the final relation is
+    assembled from disk, so a killed process resumes from its
+    checkpoint with nothing lost and a replayed batch overwrites its
+    own partition (restart-equivalence chaos-tested in
+    test_streaming.py). Shares er_match_pairs' oracle verbatim — the
+    driver value-certifies that the durable path emits exactly the
+    in-memory drain's relation."""
+    import tempfile
+
+    dirty = _er_stream_dirty(spark, sf_dir)
+    base = _er_stream_base(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="tugas2_stream_er_dur_")
+    se.write_ingest_batches(
+        [
+            dirty.filter(F.col("d_id") % 2 == 0),
+            dirty.filter(F.col("d_id") % 2 == 1),
+        ],
+        f"{work}/batches",
+    )
+    return se.run_streaming_er(
+        spark,
+        f"{work}/batches",
+        f"{work}/ckpt",
+        base,
+        state_dir=f"{work}/state",
+    )
+
+
+@register("stream_dq_gate_durable", _DQ_STREAM_SQL)
+def stream_dq_gate_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_dq_gate's CRASH-SAFE twin: the DQ publish gate drained
+    through the `state_dir` mode — per-batch counters and distinct
+    keys persist as batch-id-keyed overwrites, and the final report
+    computes uniqueness ORDER-INDEPENDENTLY as sum(nonnull) −
+    |distinct ∪ keys| (the same value the in-memory telescoping
+    reaches, restart- and replay-proof by construction;
+    chaos-tested in test_streaming.py). Shares
+    dq_expectations_orders' oracle verbatim."""
+    import tempfile
+
+    from tugas_2_big_data_spark.sources.catalog import load_table
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    work = tempfile.mkdtemp(prefix="tugas2_stream_dq_dur_")
+    se.write_ingest_batches(
+        [
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            orders.filter(F.col("o_orderkey") % 2 == 1),
+        ],
+        f"{work}/batches",
+    )
+    return se.run_streaming_dq(
+        spark,
+        f"{work}/batches",
+        f"{work}/ckpt",
+        cust,
+        _orders_dq_checks(),
+        state_dir=f"{work}/state",
+    )

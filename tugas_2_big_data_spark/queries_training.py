@@ -7055,7 +7055,7 @@ pos AS (
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 ),
 cand AS (
-  SELECT c_custkey, draw_idx, ({h}) % n AS p_partkey
+  SELECT c_custkey, draw_idx, ({h}) % n + 1 AS p_partkey
   FROM users, n_items, unnest(generate_series(1, {m})) AS t(draw_idx)
 ),
 fresh AS (
@@ -7081,8 +7081,11 @@ def rec_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling
     (sampling.hash_negative_samples): 3 parts per ordering customer
     that the customer has NEVER ordered, drawn by seeded hash of
-    (customer, draw index) mod |parts| — the contrastive-training
-    complement of the positive interactions. The naive users × items
+    (customer, draw index) mod |parts|, mapped into the REAL 1-based
+    partkey space (item_base=1 — TPC-H keys are 1..n, so a 0-based
+    draw would emit a phantom p_partkey=0 and never sample the max
+    key) — the contrastive-training complement of the positive
+    interactions. The naive users × items
     cross join never materializes: draws are generated per user
     (map-only sequence explode), rejected against positives by ONE
     (user, item) anti-join, trimmed by a per-user window over ≤8 rows
@@ -7109,6 +7112,7 @@ def rec_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=8,
         user_col="c_custkey",
         item_col="p_partkey",
+        item_base=1,
     )
 
 

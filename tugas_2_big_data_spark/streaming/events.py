@@ -708,6 +708,7 @@ def run_streaming_er(
     checkpoint_dir: str,
     base: DataFrame,
     max_dist: int = 3,
+    state_dir: str | None = None,
 ) -> DataFrame:
     """Entity resolution on the ingest stream: each micro-batch of
     dirty records block-joins the STATIC base registry and keeps its
@@ -719,7 +720,19 @@ def run_streaming_er(
     oracle). The stream-side twin of the stream-static enrich join,
     upgraded from exact-key to blocked fuzzy matching; at 100 TB the
     base side broadcasts or bucket-joins per micro-batch exactly as
-    in batch."""
+    in batch.
+
+    ``state_dir`` switches the fold from in-process accumulation to
+    the CRASH-SAFE layout: each micro-batch's matches are written to
+    ``{state_dir}/batch={id}`` with mode=overwrite, so (a) a process
+    kill loses nothing already folded — a restart with the same
+    checkpoint resumes at the first unconsumed file and the drained
+    relation still equals the uninterrupted run, and (b) a checkpoint
+    replay that re-delivers a batch overwrites its OWN partition
+    instead of duplicating rows (same batch-id-keyed idempotence as
+    the ANN appends). The in-process default stays for single-process
+    drains (the registered query) where localCheckpoint is cheaper
+    than a parquet round-trip per batch."""
     from tugas_2_big_data_spark.operators import entity_resolution as er
 
     src = (
@@ -741,7 +754,13 @@ def run_streaming_er(
             F.col("d_id").cast("long").alias("d_id"),
             F.col("c_custkey").cast("long").alias("matched_key"),
             F.col("dist").cast("long").alias("dist"),
-        ).localCheckpoint()
+        )
+        if state_dir is not None:
+            m.write.mode("overwrite").parquet(
+                f"{state_dir}/batch={batch_id}"
+            )
+            return
+        m = m.localCheckpoint()
         state["m"] = m if state["m"] is None else state["m"].unionByName(m)
 
     q = (
@@ -753,6 +772,10 @@ def run_streaming_er(
         q.processAllAvailable()
     finally:
         q.stop()
+    if state_dir is not None:
+        # partition discovery folds every batch= dir written by this
+        # run AND any prior (killed) run resuming from the checkpoint
+        return spark.read.parquet(state_dir).drop("batch")
     if state["m"] is None:
         raise RuntimeError("streaming ER drained zero batches")
     return state["m"]
@@ -769,6 +792,7 @@ def run_streaming_dq(
     fk_child: str = "o_custkey",
     fk_parent: str = "c_custkey",
     unique_name: str = "pk_unique",
+    state_dir: str | None = None,
 ) -> DataFrame:
     """The data-quality publish gate ON THE INGEST STREAM: each
     micro-batch folds its violation counts into the running report
@@ -787,7 +811,19 @@ def run_streaming_dq(
     (pinned by the shared oracle and a planted cross-batch-dup test).
     The per-batch report collect is ONE row of counters — metrics-
     grade, like the reference's driver-side perf accumulation; the
-    key state is a key-column relation, never the rows."""
+    key state is a key-column relation, never the rows.
+
+    ``state_dir`` switches the fold to the CRASH-SAFE layout: each
+    micro-batch overwrites ``{state_dir}/counters/batch={id}`` (one
+    row: scalar check counts, nonnull-key count, FK orphan count) and
+    ``{state_dir}/keys/batch={id}`` (the batch's distinct keys), and
+    the final report is assembled from the persisted artifacts —
+    uniqueness as sum(nonnull) − |distinct ∪ keys|, the same value
+    the in-memory telescoping reaches but ORDER-INDEPENDENT, so a
+    kill/restart (earlier batches' artifacts survive on disk) or a
+    checkpoint replay (a re-delivered batch overwrites its own
+    partitions) cannot change the report. The in-process default
+    stays for single-process drains (the registered query)."""
     from tugas_2_big_data_spark.sources.catalog import TABLES
 
     src = (
@@ -807,6 +843,27 @@ def run_streaming_dq(
         if batch_df.isEmpty():
             return
         b = batch_df.localCheckpoint()
+        if state_dir is not None:
+            orphans = b.join(
+                parent.select(F.col(fk_parent).alias(fk_child)),
+                on=fk_child,
+                how="left_anti",
+            ).agg(F.count(F.lit(1)).cast("long").alias("_fk_orphans"))
+            counters = b.agg(
+                *[c.cast("long").alias(n) for n, c in agg_checks],
+                F.count(key_col).cast("long").alias("_nonnull_keys"),
+            ).crossJoin(orphans)
+            counters.coalesce(1).write.mode("overwrite").parquet(
+                f"{state_dir}/counters/batch={batch_id}"
+            )
+            (
+                b.select(F.col(key_col).alias("k"))
+                .filter(F.col("k").isNotNull())
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(f"{state_dir}/keys/batch={batch_id}")
+            )
+            return
         row = b.agg(
             *[c.cast("long").alias(n) for n, c in agg_checks],
             (F.count(key_col) - F.countDistinct(key_col))
@@ -847,7 +904,27 @@ def run_streaming_dq(
         q.processAllAvailable()
     finally:
         q.stop()
-    if state["seen"] is None:
+    if state_dir is not None:
+        counters = spark.read.parquet(f"{state_dir}/counters")
+        sums = counters.agg(
+            *[
+                F.sum(n).cast("long").alias(n)
+                for n, _ in agg_checks
+            ],
+            F.sum("_nonnull_keys").cast("long").alias("_nonnull_keys"),
+            F.sum("_fk_orphans").cast("long").alias("_fk_orphans"),
+        ).collect()[0]
+        n_distinct = (
+            spark.read.parquet(f"{state_dir}/keys")
+            .select("k")
+            .distinct()
+            .count()
+        )
+        for n, _ in agg_checks:
+            totals[n] = int(sums[n])
+        totals[unique_name] = int(sums["_nonnull_keys"]) - n_distinct
+        totals[fk_name] = int(sums["_fk_orphans"])
+    elif state["seen"] is None:
         raise RuntimeError("streaming DQ drained zero batches")
     order = [n for n, _ in agg_checks[:1]]  # pk_not_null first
     names = (
