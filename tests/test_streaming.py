@@ -716,3 +716,82 @@ def test_streaming_ann_append_restart_equals_uninterrupted(spark, tmp_path):
         spark, batches, idx, str(tmp_path / "ckpt2")
     ) == 2
     assert serve(idx) == want
+
+
+def test_evolving_near_dup_restart_equals_uninterrupted(spark, tmp_path):
+    """The EVOLVING near-dup fold across a kill: batch 2 contains a
+    near-dup of a doc ACCEPTED in batch 1, so a restarted fold that
+    lost batch-1 state would wrongly accept it. Also replays the whole
+    stream from a fresh checkpoint against the same state dir — the
+    strictly-earlier-batch read must re-gate each batch against
+    exactly the state its first attempt saw (no self-collision, no
+    double rows)."""
+    from tugas_2_big_data_spark.operators import dedup
+    from tugas_2_big_data_spark.sources.catalog import load_table
+    from tugas_2_big_data_spark.streaming import events as se
+
+    docs = load_table(spark, "documents", SF_UNIT).select("doc_id", "text")
+    rev = F.expr("concat_ws(' ', reverse(split(text, ' ')))")
+    # batch 1: reversed word order = genuinely fresh vs the seen corpus
+    # (ACCEPTED). batch 2: the same docs reversed + a suffix = near-dups
+    # of batch-1's ACCEPTED docs (must be REJECTED — catching them needs
+    # batch-1 state to survive the kill), plus fresh reversed docs from
+    # a disjoint id band (accepted).
+    b1 = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), rev.alias("text")
+    )
+    b2 = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(rev, F.lit(" zzz qqq")).alias("text"),
+    ).unionByName(
+        docs.filter((F.col("doc_id") % 13 != 0) & (F.col("doc_id") % 7 == 3))
+        .select((F.col("doc_id") + 400000).alias("doc_id"), rev.alias("text"))
+    )
+    seen_sets = dedup.shingle_sets(docs).localCheckpoint()
+    seen_bands = dedup.lsh_band_keys(
+        dedup.minhash_signatures_from_sets(seen_sets), 8, 4
+    )
+    batches = str(tmp_path / "batches")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    def drain(c, s):
+        return se.run_evolving_near_dup(
+            spark, batches, seen_bands, seen_sets,
+            checkpoint_dir=c, state_dir=s,
+        )
+
+    _add_batch_file(b1, batches, 1)
+    first = drain(ckpt, state)
+    n_first = first.count()
+    assert n_first > 0
+
+    # --- kill; batch 2 lands; fresh invocation resumes ---
+    _add_batch_file(b2, batches, 2)
+    resumed = drain(ckpt, state)
+    got = sorted(map(tuple, resumed.collect()))
+
+    # uninterrupted in-memory twin over the same two batches
+    ref_b = str(tmp_path / "ref_batches")
+    _add_batch_file(b1, ref_b, 1)
+    _add_batch_file(b2, ref_b, 2)
+    want = sorted(
+        map(
+            tuple,
+            se.run_evolving_near_dup(
+                spark, ref_b, seen_bands, seen_sets,
+                checkpoint_dir=str(tmp_path / "ref_ckpt"),
+            ).collect(),
+        )
+    )
+    assert got == want
+    # the near-dup plants were caught ACROSS the restart boundary
+    batch2_ids = {r[1] for r in got if r[0] == 2}
+    planted = {r.doc_id + 100000 for r in b1.select("doc_id").collect()}
+    assert not (batch2_ids & planted), "a near-dup of killed-run state was accepted"
+    # and batch 2's genuinely fresh docs were still accepted
+    assert any(i >= 400000 for i in batch2_ids)
+
+    # --- full replay: fresh checkpoint, same state dir -> identical ---
+    replay = drain(str(tmp_path / "ckpt2"), state)
+    assert sorted(map(tuple, replay.collect())) == want

@@ -57,6 +57,7 @@ _SWEEP_CHANGED: tuple[str, ...] = (
     # crash-safe streaming drains (value-equal twins of the r8 paths)
     "er_salted_candidates",
     "stream_er_match_durable", "stream_dq_gate_durable",
+    "stream_incremental_two_batches_durable",
     # materially changed in round 9 (ADVICE r8 fixes — values moved):
     # negative draws remapped into the 1-based partkey space; z-order
     # epoch moved below min(orderdate); ER rec-id encoding switched

@@ -449,6 +449,67 @@ def stream_incremental_two_batches(
     )
 
 
+@register("stream_incremental_two_batches_durable", _incr2_near_dup_sql())
+def stream_incremental_two_batches_durable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """stream_incremental_two_batches' CRASH-SAFE twin — the EVOLVING
+    near-dup loop drained through `state_dir`: each micro-batch's
+    accepted rows, shingle sets, and band keys persist as batch-id-
+    keyed overwrites, and every fold gates against the initial state
+    plus STRICTLY-EARLIER batch deltas (the strict inequality is what
+    makes a checkpoint replay correct: a re-delivered batch must not
+    LSH-collide with its own prior attempt). The hardest of the four
+    crash-safe drains because its state is both evolving AND
+    order-dependent; restart-equivalence chaos-tested in
+    test_streaming.py. Shares the batch two-batch oracle verbatim."""
+    import tempfile
+
+    from tugas_2_big_data_spark.operators import dedup
+    from tugas_2_big_data_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    b1 = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                _rev_text_col().alias("text"),
+            )
+        )
+    )
+    b2 = (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(_rev_text_col(), F.lit(" zzz qqq")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 400000).alias("doc_id"), "text"
+            )
+        )
+    )
+    seen_sets = dedup.shingle_sets(docs).localCheckpoint()
+    seen_bands = dedup.lsh_band_keys(
+        dedup.minhash_signatures_from_sets(seen_sets), 8, 4
+    )
+    work = tempfile.mkdtemp(prefix="tugas2_stream_ingest_dur_")
+    se.write_ingest_batches([b1, b2], f"{work}/batches")
+    return se.run_evolving_near_dup(
+        spark,
+        f"{work}/batches",
+        seen_bands,
+        seen_sets,
+        checkpoint_dir=f"{work}/ckpt",
+        state_dir=f"{work}/state",
+    )
+
+
 def _stream_hll_sql() -> str:
     from tugas_2_big_data_spark.queries_analytics import (
         _HLL_EST_SQL,

@@ -395,6 +395,7 @@ def run_evolving_near_dup(
     k: int = 8,
     bands: int = 4,
     id_col: str = "doc_id",
+    state_dir: str | None = None,
 ) -> DataFrame:
     """The CLOSED continuous-ingest near-dup loop as a streaming drain:
     each micro-batch of arriving documents is checked against the
@@ -417,7 +418,27 @@ def run_evolving_near_dup(
     twin `dedup_incremental_near_dup_two_batches`, whose oracle this
     streaming form shares (batch/stream parity for the EVOLVING loop,
     extending the static-state parity `stream_incremental_near_dup`
-    established)."""
+    established).
+
+    ``state_dir`` switches this — the one streaming fold whose state
+    is both evolving AND order-dependent — to the CRASH-SAFE layout:
+    each micro-batch's accepted rows, shingle sets, and band keys land
+    under ``{state_dir}/{accepted,accepted_sets,accepted_bands}/b{id}``
+    as batch-id-keyed overwrites, and every fold gates against the
+    initial state plus the persisted deltas of STRICTLY EARLIER batch
+    ids. The strict-inequality read is what makes a checkpoint replay
+    correct: a re-delivered batch must not see its own prior attempt's
+    state (its docs would LSH-collide with themselves and every one
+    would be rejected); excluding batch id ≥ self re-gates it against
+    exactly the state the first attempt saw, and the overwrite
+    replaces its footprint. A killed process restarts with nothing
+    lost — earlier batches' deltas are on disk. Local-fs directory
+    listing keys the deltas (same constraint as the ivf appends); an
+    object-store deployment keys them under a table format's
+    transaction instead."""
+    import glob as _glob
+    import os as _os
+
     from tugas_2_big_data_spark.operators import dedup
 
     state = {
@@ -426,19 +447,41 @@ def run_evolving_near_dup(
     }
     accepted: list[DataFrame] = []
 
+    def _delta_dirs(kind: str, before: int) -> list[str]:
+        return sorted(
+            d
+            for d in _glob.glob(f"{state_dir}/{kind}/b*")
+            if int(_os.path.basename(d)[1:]) < before
+        )
+
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         b = batch_df.select(id_col, "text").localCheckpoint()
         b_sets = dedup.shingle_sets(b, id_col=id_col).localCheckpoint()
+        if state_dir is not None:
+            ss = batch_df.sparkSession
+            sets_state, bands_state = seen_sets, seen_bands
+            prior_sets = _delta_dirs("accepted_sets", batch_id)
+            if prior_sets:
+                sets_state = sets_state.unionByName(
+                    ss.read.parquet(*prior_sets)
+                )
+                bands_state = bands_state.unionByName(
+                    ss.read.parquet(
+                        *_delta_dirs("accepted_bands", batch_id)
+                    )
+                )
+        else:
+            sets_state, bands_state = state["sets"], state["bands"]
         m = dedup.incremental_near_dup(
             b_sets,
-            state["sets"],
+            sets_state,
             threshold=threshold,
             k=k,
             bands=bands,
             id_col=id_col,
-            seen_bands=state["bands"],
+            seen_bands=bands_state,
         )
         acc = b.join(
             m.select(F.col("new_id").alias(id_col)).distinct(),
@@ -446,6 +489,26 @@ def run_evolving_near_dup(
             "left_anti",
         ).localCheckpoint()
         acc_sets = b_sets.join(acc.select(id_col), id_col, "left_semi")
+        if state_dir is not None:
+            acc_bands = dedup.lsh_band_keys(
+                dedup.minhash_signatures_from_sets(acc_sets, k, id_col),
+                k,
+                bands,
+                id_col,
+            )
+            tag = f"b{batch_id:06d}"
+            acc_sets.write.mode("overwrite").parquet(
+                f"{state_dir}/accepted_sets/{tag}"
+            )
+            acc_bands.write.mode("overwrite").parquet(
+                f"{state_dir}/accepted_bands/{tag}"
+            )
+            acc.select(
+                F.lit(batch_id + 1).cast("long").alias("batch"), id_col
+            ).write.mode("overwrite").parquet(
+                f"{state_dir}/accepted/{tag}"
+            )
+            return
         nb, ns = dedup.merge_near_dup_state(
             state["bands"], state["sets"], acc_sets, k, bands, id_col
         )
@@ -477,6 +540,11 @@ def run_evolving_near_dup(
         q.processAllAvailable()
     finally:
         q.stop()
+    if state_dir is not None:
+        dirs = sorted(_glob.glob(f"{state_dir}/accepted/b*"))
+        if not dirs:
+            return spark.createDataFrame([], f"batch long, {id_col} long")
+        return spark.read.parquet(*dirs)
     if not accepted:
         return spark.createDataFrame([], f"batch long, {id_col} long")
     out = accepted[0]
