@@ -168,3 +168,19 @@ def test_current_round_tracks_correctness_artifacts(tmp_path):
     (tmp_path / "CORRECTNESS_r03.json").write_text("{}")
     (tmp_path / "CORRECTNESS_r11.json").write_text("{}")
     assert fb.current_round(str(tmp_path)) == 12
+
+
+def test_refreeze_never_overwrites_a_diff_artifact(tmp_path):
+    """ADVICE r9: two freezes in the same round must each keep their
+    own old->new diff — the second gets a sequence suffix instead of
+    clobbering the first (the audit trail VERDICT r8 #2 created)."""
+    (tmp_path / "CORRECTNESS_r09.json").write_text("{}")
+    first = fb.next_diff_path(str(tmp_path))
+    assert first.endswith("BASELINE_DIFF_r10.json")
+    open(first, "w").write("{}")
+    second = fb.next_diff_path(str(tmp_path))
+    assert second.endswith("BASELINE_DIFF_r10.2.json")
+    open(second, "w").write("{}")
+    assert fb.next_diff_path(str(tmp_path)).endswith(
+        "BASELINE_DIFF_r10.3.json"
+    )

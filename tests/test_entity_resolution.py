@@ -196,6 +196,22 @@ def test_salted_rejects_bad_salt(spark):
         er.blocked_candidates_salted(dirty, base, salt=0)
 
 
+def test_salted_rejects_preexisting_salt_column(spark):
+    """ADVICE r9: a caller-owned '_salt' column would be silently
+    overwritten by the salting withColumn and then DROPPED from the
+    output — corrupting caller data on a pure name collision. The
+    guard must fire for the collision on EITHER side."""
+    dirty, base = _hot_block_fixture(spark, n_base=10, hot_dirty=2, hot_base=2)
+    with pytest.raises(ValueError, match="_salt"):
+        er.blocked_candidates_salted(
+            dirty.withColumn("_salt", F.lit(99)), base
+        )
+    with pytest.raises(ValueError, match="_salt"):
+        er.blocked_candidates_salted(
+            dirty, base.withColumn("_salt", F.lit(99))
+        )
+
+
 def test_dirty_rec_ids_collision_free_above_100k():
     """Regression for the additive-offset hazard: on a custkey space
     crossing 100k, +100000/+200000 offsets made a typo twin of c+100k

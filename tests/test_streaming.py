@@ -795,3 +795,121 @@ def test_evolving_near_dup_restart_equals_uninterrupted(spark, tmp_path):
     # --- full replay: fresh checkpoint, same state dir -> identical ---
     replay = drain(str(tmp_path / "ckpt2"), state)
     assert sorted(map(tuple, replay.collect())) == want
+
+
+def test_streaming_er_durable_zero_batches_raises_explicitly(spark, tmp_path):
+    """ADVICE r9: a durable drain that consumes zero batches must raise
+    the same explicit RuntimeError as the in-memory path, not a raw
+    PATH_NOT_FOUND/schema-inference AnalysisException from reading a
+    state_dir that was never written."""
+    from tugas_2_big_data_spark import queries as q  # noqa: F401
+    from tugas_2_big_data_spark import queries_analytics as qa
+
+    base = qa._er_base(spark, SF_UNIT)
+    batches = tmp_path / "batches"
+    batches.mkdir()  # exists but holds no *.parquet -> zero batches
+    with pytest.raises(RuntimeError, match="drained zero batches"):
+        se.run_streaming_er(
+            spark,
+            str(batches),
+            str(tmp_path / "ckpt"),
+            base,
+            state_dir=str(tmp_path / "state"),
+        )
+
+
+def test_streaming_dq_durable_zero_batches_raises_explicitly(spark, tmp_path):
+    from tugas_2_big_data_spark import queries as q  # noqa: F401
+    from tugas_2_big_data_spark.queries_analytics import _orders_dq_checks
+
+    parent = spark.createDataFrame([(10,)], ["c_custkey"])
+    batches = tmp_path / "batches"
+    batches.mkdir()
+    with pytest.raises(RuntimeError, match="drained zero batches"):
+        se.run_streaming_dq(
+            spark,
+            str(batches),
+            str(tmp_path / "ckpt"),
+            parent,
+            _orders_dq_checks(),
+            state_dir=str(tmp_path / "state"),
+        )
+
+
+def test_streaming_er_durable_ignores_foreign_stale_partitions(spark, tmp_path):
+    """ADVICE r9: a reused state_dir holding batch=N partitions from an
+    earlier ABORTED run that drained MORE batches than this stream must
+    not leak those rows into the drained relation — the final fold is
+    scoped to the batch ids THIS checkpoint committed."""
+    from tugas_2_big_data_spark import queries as q  # noqa: F401
+    from tugas_2_big_data_spark import queries_analytics as qa
+    from tugas_2_big_data_spark.operators import entity_resolution as er
+
+    dirty = qa._er_dirty(spark, SF_UNIT)
+    base = qa._er_base(spark, SF_UNIT)
+    batches = str(tmp_path / "batches")
+    state = str(tmp_path / "state")
+
+    # a foreign aborted run left a stale high-numbered partition
+    spark.createDataFrame(
+        [(999999, 999999, 0)], "d_id long, matched_key long, dist long"
+    ).write.parquet(f"{state}/batch=7")
+
+    _add_batch_file(dirty, batches, 1)
+    out = se.run_streaming_er(
+        spark, batches, str(tmp_path / "ckpt"), base, state_dir=state
+    )
+    want = er.best_match(
+        er.blocked_candidates(dirty, base), max_dist=3
+    ).select(
+        F.col("d_id").cast("long").alias("d_id"),
+        F.col("c_custkey").cast("long").alias("matched_key"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert (999999, 999999, 0) not in got
+    assert got == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_dq_durable_ignores_foreign_stale_partitions(spark, tmp_path):
+    """Stale counters/keys partitions beyond this checkpoint's commit
+    log must not inflate the report."""
+    from tugas_2_big_data_spark import queries as q  # noqa: F401
+    from tugas_2_big_data_spark.queries_analytics import _orders_dq_checks
+
+    rows = [
+        (1, 10, "O", 100.0, "1995-06-01", "2-HIGH"),
+        (2, 10, "O", 100.0, "1995-06-01", "2-HIGH"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    parent = spark.createDataFrame([(10,)], ["c_custkey"])
+    batches = str(tmp_path / "b")
+    state = str(tmp_path / "state")
+
+    checks = _orders_dq_checks()
+    agg_names = [n for n, _ in checks if n != "pk_unique"]
+    # foreign run's stale batch=9: huge counters + a colliding key
+    spark.createDataFrame(
+        [tuple([50] * len(agg_names) + [50, 50])],
+        ", ".join(f"{n} long" for n in agg_names)
+        + ", _nonnull_keys long, _fk_orphans long",
+    ).write.parquet(f"{state}/counters/batch=9")
+    spark.createDataFrame([(1,)], "k long").write.parquet(
+        f"{state}/keys/batch=9"
+    )
+
+    _add_batch_file(df, batches, 1)
+    report = {
+        r.check_name: r
+        for r in se.run_streaming_dq(
+            spark, batches, str(tmp_path / "ckpt"), parent, checks,
+            state_dir=state,
+        ).collect()
+    }
+    assert all(r.observed == 0 and r.passed for r in report.values()), {
+        k: v.observed for k, v in report.items()
+    }

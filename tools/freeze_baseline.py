@@ -51,6 +51,20 @@ def current_round(repo: str = REPO) -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
+def next_diff_path(repo: str = REPO) -> str:
+    """Path for this freeze's diff artifact. NEVER an existing file —
+    a second freeze in the same round gets a `.2`/`.3` sequence suffix
+    so every re-freeze keeps its own old->new audit trail (overwriting
+    would lose the first diff, the exact record VERDICT r8 #2 asked
+    this tool to preserve)."""
+    stem = os.path.join(repo, f"BASELINE_DIFF_r{current_round(repo):02d}")
+    path, seq = f"{stem}.json", 2
+    while os.path.exists(path):
+        path = f"{stem}.{seq}.json"
+        seq += 1
+    return path
+
+
 def freeze_diff(old: dict, new: dict) -> dict:
     """Pure diff of two baseline dicts ({calibration_s, queries}).
 
@@ -136,9 +150,7 @@ def main() -> None:
         with open(baseline_path) as f:
             old = json.load(f)
         diff = freeze_diff(old, out)
-        diff_path = os.path.join(
-            REPO, f"BASELINE_DIFF_r{current_round():02d}.json"
-        )
+        diff_path = next_diff_path()
         with open(diff_path, "w") as f:
             json.dump(diff, f, indent=1, sort_keys=True)
         print(

@@ -81,6 +81,14 @@ def blocked_candidates_salted(
     and bucketed paths AQE skew-split does not touch)."""
     if salt < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
+    for side, df in (("dirty", dirty), ("base", base)):
+        if "_salt" in df.columns:
+            # withColumn would silently overwrite the caller's column
+            # and the final drop would then remove THEIR data
+            raise ValueError(
+                f"{side} input already has a '_salt' column; rename it "
+                "before calling blocked_candidates_salted"
+            )
     d = dirty.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(dirty_id)), F.lit(salt)).cast("int")
     )

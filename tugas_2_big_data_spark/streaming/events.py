@@ -22,6 +22,30 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from tugas_2_big_data_spark.sources.catalog import TABLES
 
 
+def _committed_batch_ids(checkpoint_dir: str) -> set[int]:
+    """Batch ids this checkpoint has COMMITTED — one integer-named
+    file per committed micro-batch under ``{checkpoint}/commits/``.
+    The durable drains key their on-disk state by batch id, so this
+    set is the authoritative scope of "this logical stream": a final
+    read filtered to it cannot fold stale ``batch=N`` partitions left
+    in a reused state_dir by an earlier aborted run that drained MORE
+    batches (a foreign run's ids lie outside this checkpoint's commit
+    log). Local-fs listing, same deployment constraint as the
+    batch-keyed state writes themselves."""
+    import os as _os
+
+    path = checkpoint_dir
+    for prefix in ("file://", "file:"):
+        if path.startswith(prefix):
+            path = path[len(prefix):]
+            break
+    try:
+        names = _os.listdir(_os.path.join(path, "commits"))
+    except OSError:
+        return set()
+    return {int(n) for n in names if n.isdigit()}
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
@@ -541,7 +565,15 @@ def run_evolving_near_dup(
     finally:
         q.stop()
     if state_dir is not None:
-        dirs = sorted(_glob.glob(f"{state_dir}/accepted/b*"))
+        # scope the final fold to this checkpoint's committed batch
+        # ids — a reused state_dir holding b-dirs from a foreign run
+        # that drained MORE batches must not leak them into the result
+        committed = _committed_batch_ids(checkpoint_dir)
+        dirs = sorted(
+            d
+            for d in _glob.glob(f"{state_dir}/accepted/b*")
+            if int(_os.path.basename(d)[1:]) in committed
+        )
         if not dirs:
             return spark.createDataFrame([], f"batch long, {id_col} long")
         return spark.read.parquet(*dirs)
@@ -841,9 +873,22 @@ def run_streaming_er(
     finally:
         q.stop()
     if state_dir is not None:
-        # partition discovery folds every batch= dir written by this
-        # run AND any prior (killed) run resuming from the checkpoint
-        return spark.read.parquet(state_dir).drop("batch")
+        import glob as _glob
+        import os as _os
+
+        # fold only the batch= partitions this checkpoint committed —
+        # a killed run resuming here IS committed; stale partitions
+        # from a foreign aborted run (more batches, different
+        # checkpoint) are outside the commit log and excluded
+        committed = _committed_batch_ids(checkpoint_dir)
+        dirs = sorted(
+            d
+            for d in _glob.glob(f"{state_dir}/batch=*")
+            if int(_os.path.basename(d).split("=", 1)[1]) in committed
+        )
+        if not dirs:
+            raise RuntimeError("streaming ER drained zero batches")
+        return spark.read.parquet(*dirs)
     if state["m"] is None:
         raise RuntimeError("streaming ER drained zero batches")
     return state["m"]
@@ -973,7 +1018,27 @@ def run_streaming_dq(
     finally:
         q.stop()
     if state_dir is not None:
-        counters = spark.read.parquet(f"{state_dir}/counters")
+        import glob as _glob
+        import os as _os
+
+        committed = _committed_batch_ids(checkpoint_dir)
+
+        def _batch_dirs(kind: str) -> list[str]:
+            # only this checkpoint's committed batches — stale
+            # partitions from a foreign run in a reused state_dir are
+            # outside the commit log and must not fold into the report
+            return sorted(
+                d
+                for d in _glob.glob(f"{state_dir}/{kind}/batch=*")
+                if int(_os.path.basename(d).split("=", 1)[1]) in committed
+            )
+
+        counter_dirs = _batch_dirs("counters")
+        if not counter_dirs:
+            # same explicit error the in-memory path raises, instead
+            # of a raw PATH_NOT_FOUND/schema-inference failure
+            raise RuntimeError("streaming DQ drained zero batches")
+        counters = spark.read.parquet(*counter_dirs)
         sums = counters.agg(
             *[
                 F.sum(n).cast("long").alias(n)
@@ -983,7 +1048,7 @@ def run_streaming_dq(
             F.sum("_fk_orphans").cast("long").alias("_fk_orphans"),
         ).collect()[0]
         n_distinct = (
-            spark.read.parquet(f"{state_dir}/keys")
+            spark.read.parquet(*_batch_dirs("keys"))
             .select("k")
             .distinct()
             .count()
