@@ -150,6 +150,41 @@ HEADLINE = [
 # 25 entries ≈ 700 bytes keeps the line inside the tail window.
 SLOWEST_N = 25
 
+# The slowest-25 membership is nearly static round over round, so the
+# driver-archived BENCH_r{N}.json lines never showcase the other ~190
+# benched queries (they ARE all timed and regression-gated via
+# BENCH_FULL.json — this is about per-round artifact visibility,
+# VERDICT r9 #7). Each round the stdout line therefore also carries a
+# ROTATE_N-query window that walks the sorted registry, advanced by
+# the round number, so successive BENCH_r artifacts cycle through the
+# whole benched set.
+ROTATE_N = 5
+
+
+def _current_round() -> int:
+    """Round number = newest driver CORRECTNESS artifact + 1 (same
+    convention as tools/freeze_baseline.current_round)."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO_DIR, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def rotation_window(names: list[str], exclude: set[str], rnd: int) -> list[str]:
+    """Deterministic per-round pick of ROTATE_N benched queries not in
+    `exclude` (the slowest-N set): a window into the sorted name list
+    starting at an offset that advances ROTATE_N per round."""
+    pool = [n for n in sorted(names) if n not in exclude]
+    if not pool:
+        return []
+    offset = (rnd * ROTATE_N) % len(pool)
+    return (pool[offset:] + pool[:offset])[:ROTATE_N]
+
 
 def _materialize(df) -> int:
     """Force FULL computation of every output column without collecting
@@ -406,12 +441,16 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:SLOWEST_N]
     )
+    rnd = _current_round()
+    for name in rotation_window(list(timings), set(slowest), rnd):
+        slowest[name] = timings[name]
     summary = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": slowest,
         "queries_total_count": len(timings),
+        "rotation_round": rnd,
         "queries_file": "BENCH_FULL.json",
         "regressions_vs_baseline": regressions,
         "calibration_s": cal_now,

@@ -170,6 +170,25 @@ def test_current_round_tracks_correctness_artifacts(tmp_path):
     assert fb.current_round(str(tmp_path)) == 12
 
 
+def test_rotation_window_cycles_and_avoids_slowest_set():
+    """VERDICT r9 #7: successive rounds' stdout lines must carry
+    different extra queries (so BENCH_r artifacts cycle through the
+    whole benched set) and never duplicate the slowest-N entries."""
+    names = [f"q{i:03d}" for i in range(219)]
+    exclude = set(names[:25])
+    windows = [bench.rotation_window(names, exclude, r) for r in (9, 10, 11)]
+    for w in windows:
+        assert len(w) == bench.ROTATE_N
+        assert not (set(w) & exclude)
+    assert len({frozenset(w) for w in windows}) == 3
+    # a full cycle visits every non-excluded name
+    seen = set()
+    pool_size = len(names) - len(exclude)
+    for r in range(pool_size // bench.ROTATE_N + 2):
+        seen.update(bench.rotation_window(names, exclude, r))
+    assert seen == set(names) - exclude
+
+
 def test_refreeze_never_overwrites_a_diff_artifact(tmp_path):
     """ADVICE r9: two freezes in the same round must each keep their
     own old->new diff — the second gets a sequence suffix instead of

@@ -188,13 +188,26 @@ TPCH_COPY_AS_IS = ["region", "nation", "documents", "embeddings"]
 TPCH_PROBE = [
     "er_match_pairs",               # blocked fuzzy match, never all-pairs
     "er_survivorship",              # one union + one cluster-key agg
+    "er_salted_candidates",         # skew-salted blocking, r9 addition
     "dq_expectations_orders",       # one-pass gate + FK anti-join
     "dq_benford_totalprice",        # map-only digit projection
     "layout_zorder_vs_linear",      # map-only morton + bounded buckets
     "sketch_join_size_estimate",    # per-key aggs + constant sketch work
     "rec_negative_samples",         # per-user draws + one anti-join
+    # streaming drains run through CUSTOM thunks (below): the ingest
+    # batch files are PRE-STAGED outside the timed region — the
+    # registered queries' per-batch coalesce(1) single-file writes are
+    # arrival simulation, and at the 100x tier they dominated the row
+    # (r9's 16.7x measured the harness, not the gate plan — VERDICT
+    # r9 #4). What stays timed is the drain itself: per-batch fold
+    # plans, state writes (durable twins), and the final assembly.
     "stream_dq_gate",               # streaming fold of the DQ gate
+    "stream_dq_gate_durable",       # + batch-keyed persisted counters
+    "stream_er_match_durable",      # crash-safe ER drain, r9 addition
 ]
+# documents-corpus streaming probe (r9 addition): the evolving
+# near-dup drain's durable twin — staged like the TPCH drains
+DOCS_STREAM_PROBE = ["stream_incremental_two_batches_durable"]
 ZIPF_VOCAB = 50_000
 ZIPF_WORDS = 120
 ZIPF_SMALL_DOCS = 500   # ≈ the sf0.1 documents row count
@@ -382,6 +395,137 @@ def build(spark) -> None:
         )
 
 
+# ---------------------------------------------------------------------------
+# Streaming-drain probes (VERDICT r9 #4/#8): the registered streaming
+# queries write their own ingest batch files with per-batch coalesce(1)
+# — harness arrival simulation that dominated stream_dq_gate's r9 row
+# at the 100x tier. These thunks PRE-STAGE the batch files once per
+# corpus (untimed) and give every timed invocation a FRESH checkpoint/
+# state dir, so the measurement is the drain: per-batch fold plans,
+# batch-keyed state writes (durable twins), final assembly.
+# ---------------------------------------------------------------------------
+
+_STAGED: dict[tuple[str, str], str] = {}
+
+
+def _stage(kind: str, sf_dir: str, spark) -> str:
+    key = (kind, sf_dir)
+    if key in _STAGED:
+        return _STAGED[key]
+    import tempfile
+
+    from tugas_2_big_data_spark import queries_streaming as qs
+    from tugas_2_big_data_spark.streaming import events as se
+    from tugas_2_big_data_spark.sources.catalog import load_table
+
+    work = tempfile.mkdtemp(prefix=f"probe100_{kind}_")
+    if kind == "dq":
+        orders = load_table(spark, "orders", sf_dir)
+        se.write_ingest_batches(
+            [
+                orders.filter(F.col("o_orderkey") % 2 == 0),
+                orders.filter(F.col("o_orderkey") % 2 == 1),
+            ],
+            f"{work}/batches",
+        )
+    elif kind == "er":
+        dirty = qs._er_stream_dirty(spark, sf_dir)
+        se.write_ingest_batches(
+            [
+                dirty.filter(F.col("d_id") % 2 == 0),
+                dirty.filter(F.col("d_id") % 2 == 1),
+            ],
+            f"{work}/batches",
+        )
+    elif kind == "incr":
+        b1, b2, _, _ = qs._evolving_two_batch_fixture(spark, sf_dir)
+        se.write_ingest_batches([b1, b2], f"{work}/batches")
+    else:
+        raise ValueError(kind)
+    print(f"  staged {kind} batches for {sf_dir}", file=sys.stderr)
+    _STAGED[key] = work
+    return work
+
+
+def _probe_stream_dq(durable: bool):
+    def fn(spark, sf_dir):
+        import tempfile
+
+        from tugas_2_big_data_spark.queries_analytics import (
+            _orders_dq_checks,
+        )
+        from tugas_2_big_data_spark.streaming import events as se
+        from tugas_2_big_data_spark.sources.catalog import load_table
+
+        work = _stage("dq", sf_dir, spark)
+        run = tempfile.mkdtemp(prefix="probe100_dq_run_")
+        kw = {"state_dir": f"{run}/state"} if durable else {}
+        return se.run_streaming_dq(
+            spark,
+            f"{work}/batches",
+            f"{run}/ckpt",
+            load_table(spark, "customer", sf_dir),
+            _orders_dq_checks(),
+            **kw,
+        )
+
+    return fn
+
+
+def _probe_stream_er_durable(spark, sf_dir):
+    import tempfile
+
+    from tugas_2_big_data_spark import queries_streaming as qs
+    from tugas_2_big_data_spark.streaming import events as se
+
+    work = _stage("er", sf_dir, spark)
+    run = tempfile.mkdtemp(prefix="probe100_er_run_")
+    return se.run_streaming_er(
+        spark,
+        f"{work}/batches",
+        f"{run}/ckpt",
+        qs._er_stream_base(spark, sf_dir),
+        state_dir=f"{run}/state",
+    )
+
+
+def _probe_incr_durable(spark, sf_dir):
+    import tempfile
+
+    from tugas_2_big_data_spark import queries_streaming as qs
+    from tugas_2_big_data_spark.streaming import events as se
+
+    work = _stage("incr", sf_dir, spark)
+    # the corpus-state bootstrap (shingle sets + band keys of the full
+    # corpus) STAYS inside the timed region — it is distributed Spark
+    # work a production loop performs to open its state, unlike the
+    # single-file arrival simulation
+    _, _, seen_bands, seen_sets = qs._evolving_two_batch_fixture(
+        spark, sf_dir
+    )
+    run = tempfile.mkdtemp(prefix="probe100_incr_run_")
+    return se.run_evolving_near_dup(
+        spark,
+        f"{work}/batches",
+        seen_bands,
+        seen_sets,
+        checkpoint_dir=f"{run}/ckpt",
+        state_dir=f"{run}/state",
+    )
+
+
+# name -> (stage kinds to pre-stage untimed, probe callable)
+CUSTOM_PROBES = {
+    "stream_dq_gate": (("dq",), _probe_stream_dq(durable=False)),
+    "stream_dq_gate_durable": (("dq",), _probe_stream_dq(durable=True)),
+    "stream_er_match_durable": (("er",), _probe_stream_er_durable),
+    "stream_incremental_two_batches_durable": (
+        ("incr",),
+        _probe_incr_durable,
+    ),
+}
+
+
 def _materialize(mk) -> tuple[int, float]:
     # count + full-column hash in ONE aggregate: the row count rides the
     # timed job instead of a third full recomputation of the plan.
@@ -526,7 +670,13 @@ def main() -> None:
             print("building tpch100 corpus ...", file=sys.stderr)
             build_tpch100(spark)
         for name in [n for n in TPCH_PROBE if _want(n)]:
-            fn = reg[name]
+            if name in CUSTOM_PROBES:
+                kinds, fn = CUSTOM_PROBES[name]
+                for kind in kinds:  # stage OUTSIDE the timed region
+                    _stage(kind, SRC, spark)
+                    _stage(kind, TPCH_BIG, spark)
+            else:
+                fn = reg[name]
             try:
                 n_small, t_small = _materialize(lambda: fn(spark, SRC))
                 n_big, t_big = _materialize(lambda: fn(spark, TPCH_BIG))
@@ -549,6 +699,33 @@ def main() -> None:
                 file=sys.stderr,
             )
             gc.collect()
+    for name in [n for n in DOCS_STREAM_PROBE if _want(n)]:
+        kinds, fn = CUSTOM_PROBES[name]
+        for kind in kinds:  # stage OUTSIDE the timed region
+            _stage(kind, SRC, spark)
+            _stage(kind, DST, spark)
+        try:
+            n_small, t_small = _materialize(lambda: fn(spark, SRC))
+            n_big, t_big = _materialize(lambda: fn(spark, DST))
+        except Exception as exc:  # noqa: BLE001
+            msg = str(exc).split("\n")[0][:200]
+            results[name] = {"error": msg}
+            print(f"{name}: ERROR {msg}", file=sys.stderr)
+            continue
+        ratio = round(t_big / t_small, 2) if t_small > 0 else None
+        results[name] = {
+            "t_base": round(t_small, 3),
+            "t_100x": round(t_big, 3),
+            "ratio": ratio,
+            "rows_base": n_small,
+            "rows_100x": n_big,
+        }
+        print(
+            f"{name}: {t_small:.2f}s -> {t_big:.2f}s (x{ratio}) "
+            f"rows {n_small} -> {n_big}",
+            file=sys.stderr,
+        )
+        gc.collect()
     out = os.path.join(REPO, "SCALEPROBE100.json")
     if only is not None and os.path.exists(out):
         with open(out) as f:

@@ -9,12 +9,15 @@ is a typed struct so filters prune on metadata WITHOUT touching bytes —
 parquet. Decode/resize/frame-sample run as Arrow-batched mapInPandas so
 the heavy libs initialize once per executor.
 
-The actual codec step is STUBBED: image/audio libraries are not in this
-container. `decode_media_batch(deterministic_fake=True)` produces
-seeded fake features (shape-correct, test-stable); with
-deterministic_fake=False it raises NotImplementedError where Pillow/
-torchaudio would be called. The Spark-side plumbing — schemas, batch
-iteration, partitioning — is real and tested.
+The codec step is an import-gated dependency seam (same design as
+text/summarize.bart_backend): `decode_media_batch(deterministic_fake=
+True)` produces seeded fake features (shape-correct, test-stable) with
+no external deps; deterministic_fake=False runs the REAL Pillow decode/
+resize when PIL is importable and raises NotImplementedError otherwise
+(this build container ships no codecs — tests/test_real_deps.py is the
+opt-in smoke lane that exercises the real path where Pillow exists).
+The Spark-side plumbing — schemas, batch iteration, partitioning — is
+identical on both paths and tested hermetically.
 """
 
 from __future__ import annotations
@@ -88,6 +91,38 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     return [b / 256.0 for b in digest[:dim]]
 
 
+def _require_pillow(what: str):
+    """Import gate for the real codec path — the same seam shape as
+    bart_backend: a clear NotImplementedError when the dependency is
+    absent, the real library when it is importable."""
+    try:
+        from PIL import Image  # type: ignore
+    except ImportError as e:
+        raise NotImplementedError(
+            f"{what} requires Pillow, which is not installed in this "
+            "environment; use deterministic_fake=True or install PIL "
+            "(opt-in smoke lane: tests/test_real_deps.py)"
+        ) from e
+    return Image
+
+
+def _real_image_feature(Image, raw: bytes, dim: int) -> list[float]:
+    """Pillow-backed decode feature: [width, height, n_bands,
+    band means over a 16x16 thumbnail scaled to [0,1)] padded to
+    ``dim`` — cheap, deterministic, and proves a real decode ran."""
+    import io
+
+    with Image.open(io.BytesIO(raw)) as img:
+        rgb = img.convert("RGB")
+        w, h = img.size
+        pixels = list(rgb.resize((16, 16)).getdata())
+    means = [
+        sum(p[c] for p in pixels) / (len(pixels) * 255.0) for c in range(3)
+    ]
+    feat = [float(w), float(h), 3.0] + means
+    return (feat + [0.0] * dim)[:dim]
+
+
 def decode_media_batch(
     df: DataFrame,
     deterministic_fake: bool = True,
@@ -95,25 +130,38 @@ def decode_media_batch(
 ) -> DataFrame:
     """mapInPandas decode/feature-extract over (doc_id, payload, meta).
 
-    Real codecs are unavailable here — the decode seam raises
-    NotImplementedError unless deterministic_fake=True. Batch shape,
-    schema contract, and per-executor iteration are the real article.
+    deterministic_fake=False runs the REAL Pillow decode for image/*
+    rows (import-gated — NotImplementedError when PIL is absent; audio
+    rows raise too, torchaudio being a further seam). Batch shape,
+    schema contract, and per-executor lazy init are identical on both
+    paths.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = None
+        if not deterministic_fake:
+            # once per executor python worker, like the BART factory
+            Image = _require_pillow("decode_media_batch")
+
+        def feature(mime: str, raw: bytes) -> list[float]:
+            if deterministic_fake:
+                return _fake_feature(raw, feature_dim)
+            if mime.startswith("image/"):
+                return _real_image_feature(Image, raw, feature_dim)
+            raise NotImplementedError(
+                f"real decode for {mime} needs torchaudio/ffmpeg — "
+                "not installed; only image/* decodes via Pillow"
+            )
+
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "media codecs (Pillow/torchaudio/ffmpeg) not available "
-                    "in this container; stubbed decode seam"
-                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "mime": [m["mime"] for m in pdf["meta"]],
                     "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
                     "feature": [
-                        _fake_feature(bytes(p), feature_dim) for p in pdf["payload"]
+                        feature(m["mime"], bytes(p))
+                        for m, p in zip(pdf["meta"], pdf["payload"])
                     ],
                 }
             )
@@ -140,21 +188,34 @@ def resize_images(
 ) -> DataFrame:
     """mapInPandas image resize over (doc_id, payload, meta).
 
-    With real codecs this is Pillow `Image.open(bytes).resize((w, h))`
-    per element inside the Arrow batch; here the codec seam is stubbed
-    (deterministic fake: payload md5-digest bytes tiled to w·h — size-
-    correct, content-stable). Non-image rows pass through untouched
-    with NULL dims, so the operator composes with mixed-modality
+    deterministic_fake=False runs the REAL Pillow
+    `Image.open(bytes).resize((w, h))` per element inside the Arrow
+    batch (import-gated; resized payload re-encoded as PNG); the fake
+    tiles payload md5-digest bytes to w·h — size-correct,
+    content-stable. Non-image rows pass through untouched with NULL
+    dims on both paths, so the operator composes with mixed-modality
     tables without a pre-filter.
     """
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = None
+        if not deterministic_fake:
+            Image = _require_pillow("resize_images")
+
+        def resized_payload(raw: bytes) -> bytes:
+            if deterministic_fake:
+                digest = hashlib.md5(raw).digest()
+                n = width * height
+                return (digest * (n // len(digest) + 1))[:n]
+            import io
+
+            with Image.open(io.BytesIO(raw)) as img:
+                small = img.convert("RGB").resize((width, height))
+            buf = io.BytesIO()
+            small.save(buf, format="PNG")
+            return buf.getvalue()
+
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "image codecs (Pillow) not available in this "
-                    "container; stubbed resize seam"
-                )
             out = {
                 "doc_id": [],
                 "mime": [],
@@ -169,12 +230,9 @@ def resize_images(
                 out["doc_id"].append(doc_id)
                 out["mime"].append(mime)
                 if mime.startswith("image/"):
-                    digest = hashlib.md5(bytes(payload)).digest()
-                    n = width * height
-                    fake = (digest * (n // len(digest) + 1))[:n]
                     out["width"].append(width)
                     out["height"].append(height)
-                    out["payload"].append(fake)
+                    out["payload"].append(resized_payload(bytes(payload)))
                 else:
                     out["width"].append(None)
                     out["height"].append(None)

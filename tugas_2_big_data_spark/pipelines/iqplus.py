@@ -30,20 +30,32 @@ def summarize_news(
     max_length: int = 250,
     min_length: int = 50,
     chunk_tokens: int = 1024,
+    index_partition_by: Sequence[str] | None = None,
 ) -> DataFrame:
     """Add `rangkuman` (summary) and a gapless 1..N `index` column.
 
-    The global row_number mirrors the reference's driver counter
-    (iqplus_market_transform.py:95,131). A global window is a
-    single-partition sort — acceptable because the expensive stage (the
-    model UDF) is fully parallel BEFORE the window; at larger scale,
-    partition the index by a date column instead.
+    The default global row_number mirrors the reference's driver
+    counter (iqplus_market_transform.py:95,131) — a single-partition
+    sort, acceptable at reference scale because the expensive stage
+    (the model UDF) is fully parallel BEFORE the window.
+
+    ``index_partition_by`` is the scale path: the counter restarts at
+    1 within each named group (e.g. the source collection or a date
+    column), so the window shuffles on the group key and sorts each
+    group independently — no ``Exchange SinglePartition`` anywhere in
+    the plan, and the index stays a deterministic gapless sequence
+    per group. This is the variant to use on a real cluster; the
+    global default exists only for reference parity (SURVEY.md §2.7
+    W2).
     """
     kwargs = {} if backend_factory is None else {"backend_factory": backend_factory}
     udf = summarize_udf(
         max_length=max_length, min_length=min_length, chunk_tokens=chunk_tokens, **kwargs
     )
-    w = Window.orderBy(*order_by)
+    if index_partition_by:
+        w = Window.partitionBy(*index_partition_by).orderBy(*order_by)
+    else:
+        w = Window.orderBy(*order_by)
     summarized = df.withColumn("rangkuman", udf(F.col(text_col)))
     out_cols = [c for c in df.columns if c != "rangkuman"]
     return (

@@ -53,20 +53,15 @@ def register(name: str, oracle: str | None):
 # driver row can fall more than ~(registry/cap) rounds behind without
 # hand-maintenance of this list.
 _SWEEP_CHANGED: tuple[str, ...] = (
-    # new in round 9: the skew-salted candidate generator and the
-    # crash-safe streaming drains (value-equal twins of the r8 paths)
-    "er_salted_candidates",
+    # new in round 10: the scale-path partitioned summarization index
+    # (VERDICT r9 #3)
+    "iqplus_summarize_partitioned",
+    # materially changed in round 10 (ADVICE r9 fixes): the durable
+    # drains' final fold is now scoped to the batch ids the checkpoint
+    # committed — values identical by design, but the read path is new
+    # and deserves a fresh driver row
     "stream_er_match_durable", "stream_dq_gate_durable",
     "stream_incremental_two_batches_durable",
-    # materially changed in round 9 (ADVICE r8 fixes — values moved):
-    # negative draws remapped into the 1-based partkey space; z-order
-    # epoch moved below min(orderdate); ER rec-id encoding switched
-    # to custkey*10+variant (affects the ER family and its streaming
-    # twin)
-    "rec_negative_samples",
-    "layout_zorder_vs_linear",
-    "er_blocked_candidates", "er_match_pairs", "er_survivorship",
-    "stream_er_match",
 )
 
 

@@ -383,28 +383,11 @@ from tugas_2_big_data_spark.queries_training import (  # noqa: E402
 )
 
 
-@register(
-    "stream_incremental_two_batches",
-    # the batch two-batch oracle: the streaming drain with per-batch
-    # state merges must equal the batch check→merge→check composition
-    # value-for-value — batch/stream parity for the EVOLVING loop
-    _incr2_near_dup_sql(),
-)
-def stream_incremental_two_batches(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """The CLOSED ingest loop as a STREAM: two ingest deltas arrive as
-    consecutive micro-batches (one file each, streamed with
-    maxFilesPerTrigger=1); each is near-dup-gated against the CURRENT
-    state and its accepted docs are merged back (foreachBatch +
-    dedup.merge_near_dup_state) before the next micro-batch — so the
-    batch-2 plants (near-dups of batch-1 accepted docs) are caught,
-    which the static-state `stream_incremental_near_dup` gate cannot
-    do. Same batch constructions and SAME ORACLE as
-    `dedup_incremental_near_dup_two_batches`: the streaming loop is
-    value-equal to the batch composition."""
-    import tempfile
-
+def _evolving_two_batch_fixture(spark: SparkSession, sf_dir: str):
+    """(b1, b2, seen_bands, seen_sets) for the evolving near-dup loop —
+    the SAME constructions as the batch query
+    `dedup_incremental_near_dup_two_batches`, shared by both streaming
+    twins (in-memory and durable) and the 100x scale probe."""
     from tugas_2_big_data_spark.operators import dedup
     from tugas_2_big_data_spark.sources.catalog import load_table
 
@@ -437,6 +420,34 @@ def stream_incremental_two_batches(
     seen_sets = dedup.shingle_sets(docs).localCheckpoint()
     seen_bands = dedup.lsh_band_keys(
         dedup.minhash_signatures_from_sets(seen_sets), 8, 4
+    )
+    return b1, b2, seen_bands, seen_sets
+
+
+@register(
+    "stream_incremental_two_batches",
+    # the batch two-batch oracle: the streaming drain with per-batch
+    # state merges must equal the batch check→merge→check composition
+    # value-for-value — batch/stream parity for the EVOLVING loop
+    _incr2_near_dup_sql(),
+)
+def stream_incremental_two_batches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CLOSED ingest loop as a STREAM: two ingest deltas arrive as
+    consecutive micro-batches (one file each, streamed with
+    maxFilesPerTrigger=1); each is near-dup-gated against the CURRENT
+    state and its accepted docs are merged back (foreachBatch +
+    dedup.merge_near_dup_state) before the next micro-batch — so the
+    batch-2 plants (near-dups of batch-1 accepted docs) are caught,
+    which the static-state `stream_incremental_near_dup` gate cannot
+    do. Same batch constructions and SAME ORACLE as
+    `dedup_incremental_near_dup_two_batches`: the streaming loop is
+    value-equal to the batch composition."""
+    import tempfile
+
+    b1, b2, seen_bands, seen_sets = _evolving_two_batch_fixture(
+        spark, sf_dir
     )
     work = tempfile.mkdtemp(prefix="tugas2_stream_ingest_")
     se.write_ingest_batches([b1, b2], f"{work}/batches")
@@ -465,38 +476,8 @@ def stream_incremental_two_batches_durable(
     test_streaming.py. Shares the batch two-batch oracle verbatim."""
     import tempfile
 
-    from tugas_2_big_data_spark.operators import dedup
-    from tugas_2_big_data_spark.sources.catalog import load_table
-
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    b1 = (
-        docs.filter(F.col("doc_id") % 10 == 0)
-        .select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
-        )
-        .unionByName(
-            docs.filter(F.col("doc_id") % 13 == 0).select(
-                (F.col("doc_id") + 200000).alias("doc_id"),
-                _rev_text_col().alias("text"),
-            )
-        )
-    )
-    b2 = (
-        docs.filter(F.col("doc_id") % 13 == 0)
-        .select(
-            (F.col("doc_id") + 300000).alias("doc_id"),
-            F.concat(_rev_text_col(), F.lit(" zzz qqq")).alias("text"),
-        )
-        .unionByName(
-            docs.filter(F.col("doc_id") % 7 == 0).select(
-                (F.col("doc_id") + 400000).alias("doc_id"), "text"
-            )
-        )
-    )
-    seen_sets = dedup.shingle_sets(docs).localCheckpoint()
-    seen_bands = dedup.lsh_band_keys(
-        dedup.minhash_signatures_from_sets(seen_sets), 8, 4
+    b1, b2, seen_bands, seen_sets = _evolving_two_batch_fixture(
+        spark, sf_dir
     )
     work = tempfile.mkdtemp(prefix="tugas2_stream_ingest_dur_")
     se.write_ingest_batches([b1, b2], f"{work}/batches")

@@ -3799,6 +3799,41 @@ def iqplus_summarize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("index", "doc_id", "konten", "rangkuman")
 
 
+_SUMMARIZE_PART_SQL = """
+SELECT
+  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+       AS BIGINT) AS index,
+  doc_id,
+  source,
+  text AS konten,
+  CASE WHEN length(trim(text)) = 0 THEN ''
+       ELSE array_to_string(
+         list_slice(string_split_regex(trim(text), '\\s+'), 1, 50), ' ')
+  END AS rangkuman
+FROM documents
+"""
+
+
+@register("iqplus_summarize_partitioned", _SUMMARIZE_PART_SQL)
+def iqplus_summarize_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH variant of the summarization index (VERDICT r9
+    #3): the gapless 1..N counter restarts per source collection, so
+    the row_number window shuffles on `source` instead of funneling
+    the corpus through one partition. Same summarize pipeline, same
+    output contract plus the group column; the plan contains no
+    Exchange SinglePartition (pinned in tests/test_plans.py)."""
+    from tugas_2_big_data_spark.pipelines import iqplus
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "source", F.col("text").alias("konten"))
+    )
+    out = iqplus.summarize_news(
+        docs, order_by=["doc_id"], index_partition_by=["source"]
+    )
+    return out.select("index", "doc_id", "source", "konten", "rangkuman")
+
+
 # Value oracle for the split-merge path. The greedy chunk packing is
 # loop-carried in general, but the FIRST chunk is a pure prefix-sum
 # condition (tokens accumulate with no reset until the first overflow),
