@@ -15,7 +15,9 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
-SF_DIR = "/root/testdata/sf0.01"
+# the external driver compares at sf0.01; override to certify the same
+# oracles at another tier (e.g. sf0.1 — 10x the driver's data)
+SF_DIR = os.environ.get("SPARK_GRAFT_DRIVE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def norm(v):
