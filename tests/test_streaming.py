@@ -913,3 +913,19 @@ def test_streaming_dq_durable_ignores_foreign_stale_partitions(spark, tmp_path):
     assert all(r.observed == 0 and r.passed for r in report.values()), {
         k: v.observed for k, v in report.items()
     }
+
+
+def test_committed_batch_ids_handles_uri_prefixes(tmp_path):
+    """The commit-log reader must resolve file:-prefixed checkpoint
+    paths (Spark accepts URIs and plain paths interchangeably) and
+    ignore non-integer entries like Hadoop .crc sidecars."""
+    commits = tmp_path / "ckpt" / "commits"
+    commits.mkdir(parents=True)
+    (commits / "0").write_text("v1")
+    (commits / "3").write_text("v1")
+    (commits / ".3.crc").write_text("")
+    base = str(tmp_path / "ckpt")
+    assert se._committed_batch_ids(base) == {0, 3}
+    assert se._committed_batch_ids("file:" + base) == {0, 3}
+    assert se._committed_batch_ids("file://" + base) == {0, 3}
+    assert se._committed_batch_ids(str(tmp_path / "missing")) == set()
