@@ -310,17 +310,19 @@ def test_unigram_vocab_broadcast(dfs):
 
 
 def test_dedup_verify_joins_never_broadcast_sets(dfs):
-    """The dedup verify joins carry SHUFFLE_HASH hints: the shingle-set
-    relations' array payload defeats AQE's size estimate, and at the
-    100x probe tier an AQE broadcast of the 600k-row array relation
-    died building driver-side. The plan must show ShuffledHashJoin for
-    the verify lookups and no broadcast of a set relation."""
+    """The dedup verify joins carry MERGE hints: the shingle-set
+    relations' array payload defeats AQE's size estimate (a broadcast
+    of the 600k-row array relation died driver-side at the 100x probe
+    tier), and the SHUFFLE_HASH pin that replaced it walled at the
+    1000x tier — a hash join's BUILD side cannot spill
+    (SCALEPROBE1000). The plan must show SortMergeJoin for the verify
+    lookups and no broadcast of a set relation."""
     for name in ("dedup_containment_prefix", "dedup_ngram_jaccard_prefix"):
         plan = pi.explain_formatted(dfs[name])
-        # BOTH verify sides must hold the hint: a single ShuffledHashJoin
+        # BOTH verify sides must hold the hint: a single SortMergeJoin
         # would keep this green while the other side regressed to the
         # AQE broadcast the hint exists to prevent
-        assert plan.count("ShuffledHashJoin") >= 2, name
+        assert plan.count("SortMergeJoin") >= 2, name
         # broadcasting EXPLODED scalar shingle keys is fine (that join
         # carries no array); what must never broadcast is a relation
         # holding a shingle-SET array column (sh_a/sh_b/shingles)
@@ -335,9 +337,10 @@ def test_dedup_verify_joins_never_broadcast_sets(dfs):
 def test_repeated_spans_bucketed_never_all_pairs(dfs, spark):
     """Span dedup must stay bucketed: gram-hash/gram-text equi-joins
     only (no cartesian/BNL anywhere), and the token-array verify
-    rejoin pins SHUFFLE_HASH — an array-payload relation AQE must not
-    broadcast (the measured 100x-probe OOM mode). The SHUFFLE_HASH pin
-    inspects a materialize=False construction: the registered form
+    rejoin pins MERGE — an array-payload relation AQE must not
+    broadcast (the measured 100x-probe OOM mode) and a hash build
+    cannot spill (the measured 1000x wall). The pin inspects a
+    materialize=False construction: the registered form
     localCheckpoints ctext EAGERLY, which executes (and hides from
     explain) everything upstream of the verify stage — same
     eager-invisibility note as the prebuilt-IVF plan test."""
@@ -351,7 +354,7 @@ def test_repeated_spans_bucketed_never_all_pairs(dfs, spark):
     )
     plan = pi.explain_formatted(lazy)
     assert not pi.uses_cartesian_or_bnl(lazy)
-    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" in plan
 
 
 def test_repeated_spans_hot_split_has_broadcast_legs(dfs):
@@ -391,7 +394,12 @@ def test_embedding_state_join_never_broadcasts_vectors(dfs):
     """The incremental embedding gate's bucket join pins SHUFFLE_HASH
     on the STATE side: the state carries the full seen vectors (array
     payload — the measured AQE broadcast hazard), and it is the
-    corpus-sized relation, the one side that must never broadcast."""
+    corpus-sized relation, the one side that must never broadcast.
+    Vector rows are sub-KB fixed-width, unlike the shingle-set
+    relations whose unspillable hash build walled at the 1000x tier
+    and moved to MERGE — here the hash build stays bounded and the
+    measured merge variant cost ~60% more at 100x (sorting the state
+    forfeits bucketed co-location)."""
     for name in ("ann_incremental_near_dup", "ann_incremental_two_batches"):
         plan = pi.explain_formatted(dfs[name])
         assert "ShuffledHashJoin" in plan, name

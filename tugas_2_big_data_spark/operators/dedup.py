@@ -521,7 +521,11 @@ def jaccard_pairs_prefix(
         # GROWS with the corpus (2.7M rows / ~45 MB at the 100x probe
         # tier, billions at 100 TB), and the static planner's broadcast
         # pick both dies under driver memory pressure locally and is
-        # the wrong plan at scale
+        # the wrong plan at scale. Unlike the ARRAY-payload set joins
+        # (merge-hinted — their hash build walled at the 1000x tier),
+        # freq rows are two scalars, so the hash build stays bounded
+        # for decades of growth provided shuffle partitions are sized
+        # with the corpus; revisit if vocab per partition nears memory
         ex.join(freq.hint("shuffle_hash"), "shingle")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= _prefix_pos_bound(F.col("sz"), threshold))
@@ -563,18 +567,23 @@ def jaccard_verify_sets(
     the join (the inverted-index formulation is quadratic in shingle
     frequency). Output schema matches ``jaccard_pairs``.
 
-    The set-relation sides carry a SHUFFLE_HASH hint: their per-row
-    array payload makes AQE's size estimate unreliable, and at the
-    100× probe tier AQE picked a driver-side BROADCAST of the 600k-row
-    array relation and died building it — at corpus scale that side
-    could never be broadcast anyway, so the hint pins the plan to the
-    partition-local hash join the operator is designed around.
+    The set-relation sides carry a MERGE hint — both alternatives are
+    measured failure modes: their per-row array payload makes AQE's
+    size estimate unreliable, and at the 100× probe tier AQE picked a
+    driver-side BROADCAST of the 600k-row array relation and died
+    building it; the SHUFFLE_HASH pin that replaced it then died at the
+    1000× tier (6M docs), because a shuffled hash join's BUILD side
+    cannot spill ("Can't acquire ... to build hash relation",
+    SCALEPROBE1000). Sort-merge is the one strategy that is both
+    shuffle-local (never broadcasts the arrays) and spill-safe at any
+    size — and it measured FASTER than the hash build at the 100× tier
+    (12.1 s vs 35.0 s) and equal-or-better at sf0.1.
     """
     a = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        candidates.join(a.hint("shuffle_hash"), "id_a")
-        .join(b.hint("shuffle_hash"), "id_b")
+        candidates.join(a.hint("merge"), "id_a")
+        .join(b.hint("merge"), "id_b")
         .withColumn(
             "n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
         )
@@ -699,7 +708,11 @@ def containment_pairs_prefix(
         # GROWS with the corpus (2.7M rows / ~45 MB at the 100x probe
         # tier, billions at 100 TB), and the static planner's broadcast
         # pick both dies under driver memory pressure locally and is
-        # the wrong plan at scale
+        # the wrong plan at scale. Unlike the ARRAY-payload set joins
+        # (merge-hinted — their hash build walled at the 1000x tier),
+        # freq rows are two scalars, so the hash build stays bounded
+        # for decades of growth provided shuffle partitions are sized
+        # with the corpus; revisit if vocab per partition nears memory
         ex.join(freq.hint("shuffle_hash"), "shingle")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= _prefix_pos_bound(F.col("sz"), threshold))
@@ -734,13 +747,14 @@ def containment_verify_sets(
     the set relation bring both shingle sets onto the candidate row;
     containment = |A∩B| / |A| via per-row ``array_intersect`` — cost
     independent of shingle document frequency (same verify shape as
-    ``jaccard_verify_sets``, including the SHUFFLE_HASH hint pinning
-    the array-payload sides out of driver-side broadcast)."""
+    ``jaccard_verify_sets``, including the MERGE hint keeping the
+    array-payload sides out of AQE broadcast while staying spill-safe
+    at the 1000x tier where a hash build walls)."""
     a = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        candidates.join(a.hint("shuffle_hash"), "id_a")
-        .join(b.hint("shuffle_hash"), "id_b")
+        candidates.join(a.hint("merge"), "id_a")
+        .join(b.hint("merge"), "id_b")
         .withColumn(
             "n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
         )
@@ -994,8 +1008,9 @@ def repeated_spans(
        actual gram TEXT by slicing the token array, and only gram
        texts in ≥2 distinct docs survive — the string payload is
        touched for surviving candidates only. The token-array rejoin
-       carries an array payload, so it pins SHUFFLE_HASH (the AQE
-       broadcast-mis-estimate hazard measured at the 100× probe tier).
+       carries an array payload, so it pins MERGE (AQE broadcast of the
+       arrays died at the 100× tier; a hash build cannot spill and
+       walled at the 1000× tier — sort-merge is safe on both counts).
     4. Islands: per-doc gaps-and-islands window merge of overlapping
        k-gram positions into maximal spans — state is one cumulative
        max per doc partition.
@@ -1064,7 +1079,7 @@ def repeated_spans(
     cand = hot_split_semi_join(grams, hot, "_gh", "_n", hot_grams).select(
         id_col, "pos"
     )
-    ctext = cand.join(toks.hint("shuffle_hash"), id_col).select(
+    ctext = cand.join(toks.hint("merge"), id_col).select(
         F.col(id_col),
         F.col("pos"),
         F.concat_ws(" ", F.slice("_w", F.col("pos"), k)).alias("_gt"),
@@ -1228,10 +1243,11 @@ def incremental_near_dup(
        convenience when omitted.
     2. Candidates: the batch's band keys equi-join the seen band state
        — the bucket join touches only buckets the batch hashes into.
-    3. Verify: exact Jaccard via two set lookups
-       (SHUFFLE_HASH-hinted — array payloads must never ride an AQE
-       broadcast), semi-joined down to candidate rows first, so only
-       candidate seen-docs' sets are ever materialized.
+    3. Verify: exact Jaccard via two set lookups (MERGE-hinted —
+       array payloads must never ride an AQE broadcast, and a hash
+       build cannot spill at corpus scale), semi-joined down to
+       candidate rows first, so only candidate seen-docs' sets are
+       ever materialized.
 
     Batch-vs-batch duplicates are deliberately out of scope here (run
     `lsh_candidate_pairs` + verify within the batch for that; the
@@ -1270,8 +1286,8 @@ def incremental_near_dup(
         F.col(id_col).alias("seen_id"), F.col("shingles").alias("sh_b")
     )
     return (
-        cand.join(a.hint("shuffle_hash"), "new_id")
-        .join(b.hint("shuffle_hash"), "seen_id")
+        cand.join(a.hint("merge"), "new_id")
+        .join(b.hint("merge"), "seen_id")
         .withColumn(
             "n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
         )
@@ -1387,14 +1403,14 @@ def benchmark_span_overlap(
 
     gb_hashes = gb.select("_gh").distinct()
     cand = gd.join(_bc(gb_hashes), "_gh", "left_semi").select(id_col, "pos")
-    ctext = cand.join(toks_d.hint("shuffle_hash"), id_col).select(
+    ctext = cand.join(toks_d.hint("merge"), id_col).select(
         F.col(id_col),
         F.col("pos"),
         F.concat_ws(" ", F.slice("_w", F.col("pos"), k)).alias("_gt"),
     )
     bench_cand = gb.join(gd.select("_gh").distinct(), "_gh", "left_semi")
     btext = (
-        bench_cand.join(toks_b.hint("shuffle_hash"), id_col)
+        bench_cand.join(toks_b.hint("merge"), id_col)
         .select(
             F.concat_ws(" ", F.slice("_w", F.col("pos"), k)).alias("_gt")
         )

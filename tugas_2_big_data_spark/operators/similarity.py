@@ -981,8 +981,14 @@ def ivfpq_rerank_topk_from_index(
 
     Output (query_id, nbr_id, cosine, rk) — the same contract as
     `ivf_topk`, so downstream consumers can swap scorers freely. The
-    vector rejoin pins SHUFFLE_HASH (array payload must never ride a
-    broadcast); the query batch broadcasts onto its candidates."""
+    vector rejoin pins SHUFFLE_HASH (the array payload must never
+    ride a broadcast). Vector rows are sub-KB fixed-width — an order
+    of magnitude lighter than the shingle-set relations whose hash
+    build walled at the 1000x tier and moved to MERGE — so the hash
+    build stays bounded for another decade provided shuffle partitions
+    are sized with the corpus (measured: the merge variant cost ~40%
+    more at the 100x tier with no safety gain at reachable sizes);
+    the query batch broadcasts onto its candidates."""
     from pyspark.sql import Window
 
     cand = ivfpq_topk_from_index(
@@ -2022,9 +2028,14 @@ def incremental_embedding_near_dup(
     carries the full seen VECTORS (an array payload), and the repo's
     measured AQE hazard (a size-misestimated array relation riding a
     broadcast) applies exactly here — the state is the corpus-sized
-    side, the one relation that must never broadcast. With the state
-    stored bucketed by `bucket`, the pinned shuffle join co-locates:
-    only the batch shuffles (see tools/probe_incremental_state.py).
+    side, the one relation that must never broadcast. SHUFFLE_HASH
+    (not MERGE, the pin the shingle-set verify joins moved to after
+    their 1000x hash-build wall): vector rows are sub-KB fixed-width,
+    so the build stays bounded for another decade with corpus-sized
+    shuffle partitions, and the measured merge variant cost ~60% more
+    at the 100x tier (24.4x -> 39.0x on ann_incremental_two_batches)
+    because sorting the state forfeits the bucketed co-location that
+    lets only the batch shuffle (tools/probe_incremental_state.py).
     """
     planes = hyperplanes(n_planes, dim, seed)
     b = (
