@@ -55,6 +55,9 @@ PROBE = [
     "txt_token_stats",         # regex-count projection
     "txt_quality_gate",        # composite gate, zero exchanges
     "ann_pq_topk",             # PQ encode + ADC serve at 2M vectors
+    "dedup_simhash",           # 16-bit contrib agg + bucket pairs
+    "dedup_incremental_near_dup",       # batch bands vs seen state
+    "dedup_repeated_spans_keep_first",  # span family, merge rejoin
 ]
 
 
