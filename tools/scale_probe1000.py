@@ -58,7 +58,15 @@ PROBE = [
     "dedup_simhash",           # 16-bit contrib agg + bucket pairs
     "dedup_incremental_near_dup",       # batch bands vs seen state
     "dedup_repeated_spans_keep_first",  # span family, merge rejoin
+    # artifact-SERVING paths: run min-of-2 even at the 1000x tier —
+    # the first invocation builds + persists the index (train +
+    # assignment pass + parquet write), the second serves from it, so
+    # the min is the steady-state serving number a deployment cares
+    # about (same policy as scale_probe100)
+    "ann_ivf_topk_prebuilt",
+    "ann_ivfpq_topk_prebuilt",
 ]
+MIN_OF_2_AT_1000X = {"ann_ivf_topk_prebuilt", "ann_ivfpq_topk_prebuilt"}
 
 
 def build(spark) -> None:
@@ -152,7 +160,10 @@ def main() -> None:
         fn = reg[name]
         try:
             n_100, t_100 = _materialize(lambda: fn(spark, BASE))
-            n_1000, t_1000 = _materialize(lambda: fn(spark, DST), runs=1)
+            n_1000, t_1000 = _materialize(
+                lambda: fn(spark, DST),
+                runs=2 if name in MIN_OF_2_AT_1000X else 1,
+            )
         except Exception as exc:  # noqa: BLE001
             msg = str(exc).split("\n")[0][:200]
             results[name] = {"error": msg}
