@@ -442,13 +442,19 @@ def main() -> None:
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:SLOWEST_N]
     )
     rnd = _current_round()
-    for name in rotation_window(list(timings), set(slowest), rnd):
-        slowest[name] = timings[name]
+    # rotation picks ride a SEPARATE key: folding them into 'queries'
+    # (documented as the slowest-N set) would let a fast rotated query
+    # read as a slowest-N member
+    rotation = {
+        name: timings[name]
+        for name in rotation_window(list(timings), set(slowest), rnd)
+    }
     summary = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": slowest,
+        "rotation_queries": rotation,
         "queries_total_count": len(timings),
         "rotation_round": rnd,
         "queries_file": "BENCH_FULL.json",

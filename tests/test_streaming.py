@@ -929,3 +929,133 @@ def test_committed_batch_ids_handles_uri_prefixes(tmp_path):
     assert se._committed_batch_ids("file:" + base) == {0, 3}
     assert se._committed_batch_ids("file://" + base) == {0, 3}
     assert se._committed_batch_ids(str(tmp_path / "missing")) == set()
+
+
+def test_committed_batch_ids_rejects_non_file_scheme(tmp_path):
+    """ADVICE r10: with a non-local checkpoint URI the local-fs commit
+    listing cannot see the commit log; the old silent set() turned
+    that mis-deployment into an empty final result. It must raise."""
+    with pytest.raises(NotImplementedError, match="hdfs"):
+        se._committed_batch_ids("hdfs://nn:8020/ckpt")
+    with pytest.raises(NotImplementedError, match="s3a"):
+        se._committed_batch_ids("s3a://bucket/ckpt")
+    # the legitimate empty scope is still the empty set, not an error
+    assert se._committed_batch_ids(str(tmp_path / "nope")) == set()
+
+
+def test_streaming_er_durable_empty_batch_claims_same_id_footprint(
+    spark, tmp_path
+):
+    """ADVICE r10: an EMPTY micro-batch is still committed, so its id
+    enters the final fold's scope — a same-id batch= dir left by a
+    foreign run in a reused state_dir must be overwritten (claimed),
+    not folded into the result through the early return."""
+    from tugas_2_big_data_spark import queries as q  # noqa: F401
+    from tugas_2_big_data_spark import queries_analytics as qa
+    from tugas_2_big_data_spark.operators import entity_resolution as er
+
+    dirty = qa._er_dirty(spark, SF_UNIT)
+    base = qa._er_base(spark, SF_UNIT)
+    batches = str(tmp_path / "batches")
+    state = str(tmp_path / "state")
+
+    # foreign aborted run left rows at batch=1 — the id our EMPTY
+    # second file will be committed under
+    spark.createDataFrame(
+        [(999999, 999999, 0)], "d_id long, matched_key long, dist long"
+    ).write.parquet(f"{state}/batch=1")
+
+    _add_batch_file(dirty, batches, 1)          # -> batch id 0
+    _add_batch_file(dirty.limit(0), batches, 2)  # -> batch id 1, EMPTY
+    out = se.run_streaming_er(
+        spark, batches, str(tmp_path / "ckpt"), base, state_dir=state
+    )
+    want = er.best_match(
+        er.blocked_candidates(dirty, base), max_dist=3
+    ).select(
+        F.col("d_id").cast("long").alias("d_id"),
+        F.col("c_custkey").cast("long").alias("matched_key"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert (999999, 999999, 0) not in got
+    assert got == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_dq_durable_empty_batch_claims_same_id_footprint(
+    spark, tmp_path
+):
+    from tugas_2_big_data_spark import queries as q  # noqa: F401
+    from tugas_2_big_data_spark.queries_analytics import _orders_dq_checks
+
+    rows = [
+        (1, 10, "O", 100.0, "1995-06-01", "2-HIGH"),
+        (2, 10, "O", 100.0, "1995-06-01", "2-HIGH"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    parent = spark.createDataFrame([(10,)], ["c_custkey"])
+    batches = str(tmp_path / "b")
+    state = str(tmp_path / "state")
+
+    checks = _orders_dq_checks()
+    agg_names = [n for n, _ in checks if n != "pk_unique"]
+    # foreign run's batch=1: huge counters + a colliding key — exactly
+    # the id our empty second file is committed under
+    spark.createDataFrame(
+        [tuple([50] * len(agg_names) + [50, 50])],
+        ", ".join(f"{n} long" for n in agg_names)
+        + ", _nonnull_keys long, _fk_orphans long",
+    ).write.parquet(f"{state}/counters/batch=1")
+    spark.createDataFrame([(1,)], "k long").write.parquet(
+        f"{state}/keys/batch=1"
+    )
+
+    _add_batch_file(df, batches, 1)          # -> batch id 0
+    _add_batch_file(df.limit(0), batches, 2)  # -> batch id 1, EMPTY
+    report = {
+        r.check_name: r
+        for r in se.run_streaming_dq(
+            spark, batches, str(tmp_path / "ckpt"), parent, checks,
+            state_dir=state,
+        ).collect()
+    }
+    assert all(r.observed == 0 and r.passed for r in report.values()), {
+        k: v.observed for k, v in report.items()
+    }
+
+
+def test_evolving_near_dup_durable_empty_batch_claims_same_id_footprint(
+    spark, tmp_path
+):
+    from tugas_2_big_data_spark.operators import dedup
+
+    docs = load_table(spark, "documents", SF_UNIT).select("doc_id", "text")
+    rev = F.expr("concat_ws(' ', reverse(split(text, ' ')))")
+    b1 = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), rev.alias("text")
+    )
+    seen_sets = dedup.shingle_sets(docs).localCheckpoint()
+    seen_bands = dedup.lsh_band_keys(
+        dedup.minhash_signatures_from_sets(seen_sets), 8, 4
+    )
+    batches = str(tmp_path / "batches")
+    state = str(tmp_path / "state")
+
+    # foreign accepted rows under the id our empty file commits as
+    spark.createDataFrame(
+        [(2, 999999)], "batch long, doc_id long"
+    ).write.parquet(f"{state}/accepted/b000001")
+
+    _add_batch_file(b1, batches, 1)          # -> batch id 0
+    _add_batch_file(b1.limit(0), batches, 2)  # -> batch id 1, EMPTY
+    out = se.run_evolving_near_dup(
+        spark, batches, seen_bands, seen_sets,
+        checkpoint_dir=str(tmp_path / "ckpt"), state_dir=state,
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert (2, 999999) not in got
+    assert got and all(b == 1 for b, _ in got)

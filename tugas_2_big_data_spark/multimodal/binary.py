@@ -228,12 +228,22 @@ def resize_images(
             ):
                 mime = meta["mime"]
                 out["doc_id"].append(doc_id)
-                out["mime"].append(mime)
                 if mime.startswith("image/"):
+                    # the real path re-encodes as PNG, so the emitted
+                    # mime must say so — downstream mime dispatch (e.g.
+                    # decode_media_batch's startswith gate) reads the
+                    # row's mime as describing the row's payload. The
+                    # fake path keeps the source mime: its payload is
+                    # a digest tile in no container format, and the
+                    # registered oracle pins the pass-through mime.
+                    out["mime"].append(
+                        mime if deterministic_fake else "image/png"
+                    )
                     out["width"].append(width)
                     out["height"].append(height)
                     out["payload"].append(resized_payload(bytes(payload)))
                 else:
+                    out["mime"].append(mime)
                     out["width"].append(None)
                     out["height"].append(None)
                     out["payload"].append(bytes(payload))

@@ -31,18 +31,37 @@ def _committed_batch_ids(checkpoint_dir: str) -> set[int]:
     in a reused state_dir by an earlier aborted run that drained MORE
     batches (a foreign run's ids lie outside this checkpoint's commit
     log). Local-fs listing, same deployment constraint as the
-    batch-keyed state writes themselves."""
+    batch-keyed state writes themselves — and that constraint is
+    enforced LOUDLY: a non-file checkpoint scheme raises
+    NotImplementedError and an unreadable local path re-raises, so a
+    mis-deployment surfaces as an error instead of an empty commit
+    scope silently producing an empty (or zero-batch) result. Only a
+    genuinely MISSING commits dir maps to the empty set — that is the
+    legitimate "this checkpoint committed nothing yet" state."""
     import os as _os
+    import re as _re
 
     path = checkpoint_dir
+    scheme = _re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", path)
+    if scheme is not None and scheme.group(1) != "file":
+        raise NotImplementedError(
+            "durable-state drains scope their final fold by listing "
+            f"{{checkpoint}}/commits on the LOCAL filesystem; "
+            f"checkpoint scheme {scheme.group(1)!r} is not supported "
+            "— use a file:// checkpoint or key state by a table "
+            "format's transaction log instead"
+        )
     for prefix in ("file://", "file:"):
         if path.startswith(prefix):
             path = path[len(prefix):]
             break
-    try:
-        names = _os.listdir(_os.path.join(path, "commits"))
-    except OSError:
+    commits = _os.path.join(path, "commits")
+    if not _os.path.isdir(commits):
         return set()
+    # any OSError from an EXISTING-but-unreadable dir propagates: a
+    # silent set() here would turn a permissions/IO fault into an
+    # empty final result (data loss masquerading as success)
+    names = _os.listdir(commits)
     return {int(n) for n in names if n.isdigit()}
 
 
@@ -480,6 +499,33 @@ def run_evolving_near_dup(
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            if state_dir is not None:
+                # an empty batch is still COMMITTED, so its id enters
+                # the final fold's scope — claim the on-disk footprint
+                # with empty overwrites or a same-id b-dir left by a
+                # foreign run in a reused state_dir would fold its
+                # rows into this run's result
+                b0 = batch_df.select(id_col, "text").limit(0)
+                s0 = dedup.shingle_sets(b0, id_col=id_col)
+                bd0 = dedup.lsh_band_keys(
+                    dedup.minhash_signatures_from_sets(s0, k, id_col),
+                    k,
+                    bands,
+                    id_col,
+                )
+                tag = f"b{batch_id:06d}"
+                s0.write.mode("overwrite").parquet(
+                    f"{state_dir}/accepted_sets/{tag}"
+                )
+                bd0.write.mode("overwrite").parquet(
+                    f"{state_dir}/accepted_bands/{tag}"
+                )
+                b0.select(
+                    F.lit(batch_id + 1).cast("long").alias("batch"),
+                    id_col,
+                ).write.mode("overwrite").parquet(
+                    f"{state_dir}/accepted/{tag}"
+                )
             return
         b = batch_df.select(id_col, "text").localCheckpoint()
         b_sets = dedup.shingle_sets(b, id_col=id_col).localCheckpoint()
@@ -848,6 +894,15 @@ def run_streaming_er(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            if state_dir is not None:
+                # an empty batch is still committed: claim its batch=
+                # partition so a same-id dir from a foreign run in a
+                # reused state_dir can't fold into the final result
+                batch_df.sparkSession.createDataFrame(
+                    [], "d_id long, matched_key long, dist long"
+                ).write.mode("overwrite").parquet(
+                    f"{state_dir}/batch={batch_id}"
+                )
             return
         cand = er.blocked_candidates(batch_df, base)
         m = er.best_match(cand, max_dist=max_dist).select(
@@ -953,8 +1008,13 @@ def run_streaming_dq(
     state = {"seen": None}
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        if batch_df.isEmpty() and state_dir is None:
             return
+        # durable mode deliberately falls through on an empty batch:
+        # the agg on zero rows yields the all-zero counters row and an
+        # empty key set, which overwrite (claim) this committed batch
+        # id's partitions — a same-id dir left by a foreign run in a
+        # reused state_dir would otherwise survive into the report
         b = batch_df.localCheckpoint()
         if state_dir is not None:
             orphans = b.join(
@@ -963,7 +1023,12 @@ def run_streaming_dq(
                 how="left_anti",
             ).agg(F.count(F.lit(1)).cast("long").alias("_fk_orphans"))
             counters = b.agg(
-                *[c.cast("long").alias(n) for n, c in agg_checks],
+                # coalesce: F.sum on a zero-row batch is NULL; the
+                # claimed footprint of an empty batch must be all-zero
+                *[
+                    F.coalesce(c.cast("long"), F.lit(0)).alias(n)
+                    for n, c in agg_checks
+                ],
                 F.count(key_col).cast("long").alias("_nonnull_keys"),
             ).crossJoin(orphans)
             counters.coalesce(1).write.mode("overwrite").parquet(
