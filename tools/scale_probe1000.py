@@ -14,10 +14,14 @@ Verdict line per row: ratio vs the 100× tier ≈ data growth (≤~10) =
 linear; ≫10 = super-linear, the plan would not survive the next
 decade. Families probed are the per-document production paths (exact/
 fingerprint dedup, minhash signatures, banded LSH pairs, token stats,
-the composite quality gate, PQ ANN serve). Index-BUILD-fused and
-output-quadratic-by-construction families keep their 100× coverage —
-their scaling mechanism doesn't change at another decade, only the
-constant.
+the composite quality gate, PQ ANN serve) plus — round 11 — the
+remaining heavy families: graph (pagerank, component reps), the
+embedding eigen pass, skew-salted ER blocking (over a 1000× customer
+registry), and the durable evolving-dedup stream drain (batch files
+pre-staged untimed, same policy as scale_probe100). Index-BUILD-fused
+and output-quadratic-by-construction families keep their 100×
+coverage — their scaling mechanism doesn't change at another decade,
+only the constant.
 
 Usage: python tools/scale_probe1000.py [--rebuild] [--only a,b]
 (writes SCALEPROBE1000.json; stdout carries JVM noise, keep it off the
@@ -65,8 +69,52 @@ PROBE = [
     # about (same policy as scale_probe100)
     "ann_ivf_topk_prebuilt",
     "ann_ivfpq_topk_prebuilt",
+    # round-11 widening (VERDICT r10 #3): the remaining heavy families
+    "graph_pagerank",                    # 5 fixed iters over LSH edges
+    "graph_component_representatives",   # pointer-jumping CC + window
+    "emb_top_eigen",                     # corpus pass + power iters
+    "er_salted_candidates",              # skew-salted blocking (1000x
+    #                                      customer registry, see below)
+    "stream_incremental_two_batches_durable",  # durable evolving drain
 ]
 MIN_OF_2_AT_1000X = {"ann_ivf_topk_prebuilt", "ann_ivfpq_topk_prebuilt"}
+
+# er_salted_candidates runs over the RELATIONAL corpus: its 100x tier
+# is the tpch100 build (scale_probe100), and the 1000x tier replicates
+# ONLY the customer registry 10x (15M customers) — the other five
+# tables would cost ~600M lineitems for no probed query. Key shifts
+# follow the tpch100 discipline: shift by max(c_custkey) per copy so
+# the key space stays dense, and c_name is rewritten from the shifted
+# key so the registry keeps one name per entity (identical names would
+# make every block quadratic — a corpus artifact, not an operator
+# property).
+TPCH_BASE = os.path.join(REPO, ".scratch", "tpch100")
+RELATIONAL_BASE_BY_QUERY = {"er_salted_candidates": TPCH_BASE}
+
+
+def build_customer_1000x(spark) -> None:
+    cust = spark.read.parquet(f"{TPCH_BASE}/customer.parquet")
+    off = int(cust.agg(F.max("c_custkey")).collect()[0][0])
+    parts = []
+    for c in range(COPIES):
+        parts.append(
+            cust.withColumn(
+                "c_custkey", F.col("c_custkey") + F.lit(c * off)
+            ).withColumn(
+                "c_name",
+                F.concat(
+                    F.lit("Customer#"),
+                    F.lpad(F.col("c_custkey").cast("string"), 9, "0"),
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(64).write.mode("overwrite").parquet(
+        f"{DST}/customer.parquet"
+    )
+    print("  sf1000x customer written", file=sys.stderr)
 
 
 def build(spark) -> None:
@@ -112,6 +160,57 @@ def build(spark) -> None:
         print(f"  sf1000x {name} written", file=sys.stderr)
 
 
+# Streaming-drain probe (same policy as scale_probe100): the ingest
+# batch files are PRE-STAGED outside the timed region — the registered
+# query's per-batch coalesce(1) single-file writes are arrival
+# simulation, not drain work. The corpus-state bootstrap (shingle sets
+# + band keys of the full seen corpus) STAYS timed: it is distributed
+# Spark work a production loop performs to open its state.
+_STAGED: dict[str, str] = {}
+
+
+def _stage_incr(spark, sf_dir: str) -> str:
+    if sf_dir in _STAGED:
+        return _STAGED[sf_dir]
+    import tempfile
+
+    from tugas_2_big_data_spark import queries_streaming as qs
+    from tugas_2_big_data_spark.streaming import events as se
+
+    work = tempfile.mkdtemp(prefix="probe1000_incr_")
+    b1, b2, _, _ = qs._evolving_two_batch_fixture(spark, sf_dir)
+    se.write_ingest_batches([b1, b2], f"{work}/batches")
+    print(f"  staged incr batches for {sf_dir}", file=sys.stderr)
+    _STAGED[sf_dir] = work
+    return work
+
+
+def _probe_incr_durable(spark, sf_dir):
+    import tempfile
+
+    from tugas_2_big_data_spark import queries_streaming as qs
+    from tugas_2_big_data_spark.streaming import events as se
+
+    work = _stage_incr(spark, sf_dir)
+    _, _, seen_bands, seen_sets = qs._evolving_two_batch_fixture(
+        spark, sf_dir
+    )
+    run = tempfile.mkdtemp(prefix="probe1000_incr_run_")
+    return se.run_evolving_near_dup(
+        spark,
+        f"{work}/batches",
+        seen_bands,
+        seen_sets,
+        checkpoint_dir=f"{run}/ckpt",
+        state_dir=f"{run}/state",
+    )
+
+
+CUSTOM_PROBES = {
+    "stream_incremental_two_batches_durable": _probe_incr_durable,
+}
+
+
 def _materialize(mk, runs: int = 2):
     """count + full-column hash in one aggregate; min-of-`runs` (the
     1000× tier uses runs=1 — the JVM and codegen are warm from the
@@ -154,12 +253,25 @@ def main() -> None:
     if not os.path.exists(f"{DST}/documents.parquet") or "--rebuild" in sys.argv:
         print("building 1000x corpus ...", file=sys.stderr)
         build(spark)
+    wanted = [n for n in PROBE if _want(n)]
+    if any(n in RELATIONAL_BASE_BY_QUERY for n in wanted):
+        if not os.path.exists(f"{TPCH_BASE}/customer.parquet"):
+            raise SystemExit(
+                "tpch100 corpus missing — run tools/scale_probe100.py first"
+            )
+        if (
+            not os.path.exists(f"{DST}/customer.parquet")
+            or "--rebuild" in sys.argv
+        ):
+            print("building 1000x customer registry ...", file=sys.stderr)
+            build_customer_1000x(spark)
     reg = q.queries()
     results = {}
-    for name in [n for n in PROBE if _want(n)]:
-        fn = reg[name]
+    for name in wanted:
+        fn = CUSTOM_PROBES.get(name, reg.get(name))
+        base_dir = RELATIONAL_BASE_BY_QUERY.get(name, BASE)
         try:
-            n_100, t_100 = _materialize(lambda: fn(spark, BASE))
+            n_100, t_100 = _materialize(lambda: fn(spark, base_dir))
             n_1000, t_1000 = _materialize(
                 lambda: fn(spark, DST),
                 runs=2 if name in MIN_OF_2_AT_1000X else 1,

@@ -1005,12 +1005,22 @@ def repeated_spans(
        never drop a true repeat (same text ⇒ same hash), so step 3
        makes the result EXACT, not probabilistic.
     3. Verify: candidates (semi-join on gram-hash) re-derive their
-       actual gram TEXT by slicing the token array, and only gram
-       texts in ≥2 distinct docs survive — the string payload is
-       touched for surviving candidates only. The token-array rejoin
-       carries an array payload, so it pins MERGE (AQE broadcast of the
-       arrays died at the 100× tier; a hash build cannot spill and
-       walled at the 1000× tier — sort-merge is safe on both counts).
+       gram by slicing the token array and fingerprint it with the
+       INDEPENDENT portable 60-bit md5 hash (`hashing.hash60`) — the
+       verify relation carries 8-byte longs, not k-token strings (the
+       string formulation's verify shuffle + localCheckpoint was the
+       single-box heap ceiling of the 1000× probe: 96 GB driver heap,
+       SCALE.md). A false span now needs the same pair of DISTINCT
+       grams to collide under BOTH xxhash64 AND md5-60 — independent
+       hash families, ≈2^-124 per gram pair, ≲1e-20 expected false
+       spans even at 100 TB gram counts — and the DuckDB oracle
+       applies the IDENTICAL md5-60 fingerprint in its verify
+       grouping, so outputs stay bit-identical by construction (any
+       collision is reproduced, not diverged from). The token-array
+       rejoin carries an array payload, so it pins MERGE (AQE
+       broadcast of the arrays died at the 100× tier; a hash build
+       cannot spill and walled at the 1000× tier — sort-merge is safe
+       on both counts).
     4. Islands: per-doc gaps-and-islands window merge of overlapping
        k-gram positions into maximal spans — state is one cumulative
        max per doc partition.
@@ -1037,9 +1047,10 @@ def repeated_spans(
     partition the duplicated-key set, so the union of the two legs'
     memberships is exactly the unsplit membership); 0 disables.
 
-    The DuckDB oracle groups directly on gram text (no hash stage),
-    proving the hash prune is a pure optimization with identical
-    output.
+    The DuckDB oracle has no xxhash64 stage — the PRUNE is proven
+    invisible (a pure optimization) — and groups its verify on the
+    same md5-60 fingerprint this plan uses, so the gram-identity
+    representation is identical on both sides.
 
     ``materialize`` (default) localCheckpoints the two reused
     relations — the token arrays (consumed by the gram leg AND the
@@ -1082,12 +1093,15 @@ def repeated_spans(
     ctext = cand.join(toks.hint("merge"), id_col).select(
         F.col(id_col),
         F.col("pos"),
-        F.concat_ws(" ", F.slice("_w", F.col("pos"), k)).alias("_gt"),
+        hashing.hash60(
+            F.concat_ws(" ", F.slice("_w", F.col("pos"), k))
+        ).alias("_gt"),
     )
     if materialize:
         # consumed three ways (the verify groupBy + both split-join
         # legs); without this the candidate-join lineage re-executes
-        # for the broadcast leg
+        # for the broadcast leg. 8-byte fingerprints, not gram strings
+        # — this block store was the 1000×-probe heap ceiling
         ctext = ctext.localCheckpoint()
     vg = (
         ctext.groupBy("_gt")
@@ -1352,12 +1366,15 @@ def benchmark_span_overlap(
 
     The bipartite form of `repeated_spans`, same bucketed shape: both
     sides k-gram-hash map-only (xxhash64 prune — never reaches the
-    output; the gram-TEXT verify restores exactness), candidates =
-    doc grams semi-joined against the DISTINCT benchmark hash set
-    (benchmark side is typically tiny — broadcastable), survivors
-    re-derive text on both sides and verify by exact gram-text match,
-    then the per-doc island merge. Benchmark positions are never
-    emitted — only the training corpus is being cleaned.
+    output), candidates = doc grams semi-joined against the DISTINCT
+    benchmark hash set (benchmark side is typically tiny —
+    broadcastable), survivors re-derive their gram on both sides and
+    verify by matching the INDEPENDENT portable md5-60 fingerprint
+    (`hashing.hash60` — 8-byte longs through the verify join instead
+    of k-token strings; see `repeated_spans` step 3 for the joint-
+    collision bound and the oracle's identical fingerprint), then the
+    per-doc island merge. Benchmark positions are never emitted —
+    only the training corpus is being cleaned.
 
     ``materialize`` (default) localCheckpoints every reused relation:
     both token-array sides (each feeds its gram leg AND its text
@@ -1406,13 +1423,17 @@ def benchmark_span_overlap(
     ctext = cand.join(toks_d.hint("merge"), id_col).select(
         F.col(id_col),
         F.col("pos"),
-        F.concat_ws(" ", F.slice("_w", F.col("pos"), k)).alias("_gt"),
+        hashing.hash60(
+            F.concat_ws(" ", F.slice("_w", F.col("pos"), k))
+        ).alias("_gt"),
     )
     bench_cand = gb.join(gd.select("_gh").distinct(), "_gh", "left_semi")
     btext = (
         bench_cand.join(toks_b.hint("merge"), id_col)
         .select(
-            F.concat_ws(" ", F.slice("_w", F.col("pos"), k)).alias("_gt")
+            hashing.hash60(
+                F.concat_ws(" ", F.slice("_w", F.col("pos"), k))
+            ).alias("_gt")
         )
         .distinct()
     )

@@ -53,13 +53,17 @@ def register(name: str, oracle: str | None):
 # driver row can fall more than ~(registry/cap) rounds behind without
 # hand-maintenance of this list.
 _SWEEP_CHANGED: tuple[str, ...] = (
-    # new in round 10: the scale-path partitioned summarization index
-    # (VERDICT r9 #3)
-    "iqplus_summarize_partitioned",
-    # materially changed in round 10 (ADVICE r9 fixes): the durable
-    # drains' final fold is now scoped to the batch ids the checkpoint
-    # committed — values identical by design, but the read path is new
-    # and deserves a fresh driver row
+    # materially changed in round 11: the span family's verify stage
+    # now carries the 60-bit md5 gram fingerprint instead of gram
+    # strings (both Spark plan AND oracle changed in lockstep —
+    # values identical by construction, but both representations are
+    # new and deserve a fresh driver row)
+    "dedup_repeated_spans", "dedup_repeated_spans_keep_first",
+    "dedup_repeated_spans_excise", "decontaminate_spans",
+    "decontaminate_excise", "pipeline_span_clean",
+    # materially changed in round 11 (ADVICE r10): the durable drains
+    # now claim their on-disk footprint on EMPTY committed batches —
+    # values identical on non-pathological streams, new write path
     "stream_er_match_durable", "stream_dq_gate_durable",
     "stream_incremental_two_batches_durable",
 )

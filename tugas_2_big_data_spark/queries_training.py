@@ -575,14 +575,18 @@ _SPAN_K = 8
 
 
 def _spans_ctes(keep: str = "none", src: str | None = None) -> str:
-    """Oracle CTE chain for the span-dedup family: groups directly on
-    gram TEXT (no hash stage), proving the Spark path's xxhash64 prune
-    is a pure optimization — identical output, not a probabilistic
-    approximation. keep="first" exempts each duplicated gram's
-    occurrence in its lowest-id doc (dedup.repeated_spans keep
-    policy); `src` is the (doc_id, text) source relation (defaults to
-    the dup-injected corpus) so pipelines can run the chain over an
-    upstream stage."""
+    """Oracle CTE chain for the span-dedup family. Gram identity is
+    the first 15 hex chars of md5(gram text) — the same 60-bit
+    fingerprint the Spark verify stage groups on (hashing.hash60:
+    equality of the 60-bit int ⟺ equality of this hex prefix), so any
+    fingerprint collision is REPRODUCED on both sides and parity is
+    exact by construction. The oracle still has NO xxhash64 stage:
+    the Spark plan's prune hash is proven invisible (a pure
+    optimization), while the verify representation is shared.
+    keep="first" exempts each duplicated gram's occurrence in its
+    lowest-id doc (dedup.repeated_spans keep policy); `src` is the
+    (doc_id, text) source relation (defaults to the dup-injected
+    corpus) so pipelines can run the chain over an upstream stage."""
     src = CORPUS_SQL if src is None else src
     if keep == "none":
         sdup = "SELECT doc_id, pos FROM sgrams WHERE gt IN (SELECT gt FROM shot)"
@@ -600,7 +604,8 @@ stoks AS (
 ),
 sgrams AS (
   SELECT doc_id, i AS pos,
-    array_to_string(list_slice(w, i, i + {_SPAN_K - 1}), ' ') AS gt
+    substr(md5(array_to_string(list_slice(w, i, i + {_SPAN_K - 1}), ' ')),
+           1, 15) AS gt
   FROM stoks, UNNEST(generate_series(1, len(w) - {_SPAN_K - 1})) AS u(i)
   WHERE len(w) >= {_SPAN_K}
 ),
@@ -645,7 +650,7 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, span_start, span_len) removal list. Doc-level dedup
     (exact/minhash/containment) misses exactly this — two distinct
     documents sharing one boilerplate paragraph. Bucketed end-to-end:
-    k-gram xxhash prune → hot-hash groupBy → gram-text verify →
+    k-gram xxhash prune → hot-hash groupBy → md5-60 fingerprint verify →
     per-doc island merge (dedup.repeated_spans)."""
     return dedup.repeated_spans(corpus(spark, sf_dir), k=_SPAN_K)
 
@@ -741,13 +746,15 @@ btoks AS (
 ),
 dgrams AS (
   SELECT doc_id, i AS pos,
-    array_to_string(list_slice(w, i, i + {_SPAN_K - 1}), ' ') AS gt
+    substr(md5(array_to_string(list_slice(w, i, i + {_SPAN_K - 1}), ' ')),
+           1, 15) AS gt
   FROM dtoks, UNNEST(generate_series(1, len(w) - {_SPAN_K - 1})) AS u(i)
   WHERE len(w) >= {_SPAN_K}
 ),
 bgrams AS (
   SELECT DISTINCT
-    array_to_string(list_slice(w, i, i + {_SPAN_K - 1}), ' ') AS gt
+    substr(md5(array_to_string(list_slice(w, i, i + {_SPAN_K - 1}), ' ')),
+           1, 15) AS gt
   FROM btoks, UNNEST(generate_series(1, len(w) - {_SPAN_K - 1})) AS u(i)
   WHERE len(w) >= {_SPAN_K}
 ),
@@ -788,8 +795,9 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted as a removal list — the GPT-3/Lee-et-al. decontamination
     pass at span granularity, complementing `txt_contamination`'s
     per-doc overlap RATE with the overlapping text's exact location
-    (keep the doc, excise the leak). Oracle has no hash stage: the
-    xxhash prune is verified to be invisible, as in the span-dedup
+    (keep the doc, excise the leak). Oracle has no xxhash stage (the
+    prune is verified to be invisible) and matches on the same md5-60
+    gram fingerprint as the Spark verify, as in the span-dedup
     family."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     training = docs.filter(F.col("doc_id") % 13 != 0)
