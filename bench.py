@@ -177,13 +177,20 @@ def _current_round() -> int:
 
 def rotation_window(names: list[str], exclude: set[str], rnd: int) -> list[str]:
     """Deterministic per-round pick of ROTATE_N benched queries not in
-    `exclude` (the slowest-N set): a window into the sorted name list
-    starting at an offset that advances ROTATE_N per round."""
-    pool = [n for n in sorted(names) if n not in exclude]
-    if not pool:
+    `exclude` (the slowest-N set): a window into the FULL sorted name
+    list starting at an offset that advances ROTATE_N per round, with
+    excluded names skipped FORWARD rather than compacted out. The
+    offset must anchor to the full registry order — stable across
+    runs — because the exclude set is the run-dependent slowest-N: the
+    compacted-pool form shifted the window with every exclude-set
+    change, and round 11 re-picked 4 of round 10's names instead of
+    rotating on."""
+    ordered = sorted(names)
+    if not ordered:
         return []
-    offset = (rnd * ROTATE_N) % len(pool)
-    return (pool[offset:] + pool[:offset])[:ROTATE_N]
+    offset = (rnd * ROTATE_N) % len(ordered)
+    rotated = ordered[offset:] + ordered[:offset]
+    return [n for n in rotated if n not in exclude][:ROTATE_N]
 
 
 def _materialize(df) -> int:

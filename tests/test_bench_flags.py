@@ -181,12 +181,28 @@ def test_rotation_window_cycles_and_avoids_slowest_set():
         assert len(w) == bench.ROTATE_N
         assert not (set(w) & exclude)
     assert len({frozenset(w) for w in windows}) == 3
-    # a full cycle visits every non-excluded name
+    # a full cycle visits every non-excluded name (offsets step the
+    # FULL list now, so a cycle is len(names)/ROTATE_N rounds)
     seen = set()
-    pool_size = len(names) - len(exclude)
-    for r in range(pool_size // bench.ROTATE_N + 2):
+    for r in range(len(names) // bench.ROTATE_N + 2):
         seen.update(bench.rotation_window(names, exclude, r))
     assert seen == set(names) - exclude
+
+
+def test_rotation_window_stable_under_exclude_churn():
+    """ADVICE/VERDICT r10 #7 follow-up: the slowest-N exclude set is
+    run-dependent, so the window offset must anchor to the full
+    registry order — otherwise consecutive rounds re-pick the same
+    names whenever the pool shifts under the window (round 11's run
+    re-picked 4 of round 10's 5)."""
+    names = [f"q{i:03d}" for i in range(219)]
+    ex10 = set(names[:25])
+    ex11 = set(names[:20]) | {names[30], names[60], names[80]}
+    w10 = bench.rotation_window(names, ex10, 10)
+    w11 = bench.rotation_window(names, ex11, 11)
+    assert w10 == names[50:55]
+    assert w11 == names[55:60]
+    assert not (set(w10) & set(w11))
 
 
 def test_refreeze_never_overwrites_a_diff_artifact(tmp_path):

@@ -208,7 +208,14 @@ def dedup_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_incremental_batch`: a re-crawl with fresh boilerplate is
     invisible to the fingerprint anti-join but caught here. All
     per-batch work is batch-sized; the seen corpus is represented only
-    by its band-key and shingle-set state relations."""
+    by its band-key and shingle-set state relations — and the band
+    state is MATERIALIZED before the gate, as a persisted-state
+    production loop would hold it (round 11: the stage-attribution
+    probe, INCR_NEARDUP_STAGES.json, measured the fused
+    derive-bands-inside-the-gate plan at 272.6 s / 13.5× per decade at
+    the 1000× tier vs 183.7 s / every stage ≈ linear when the band
+    relation is checkpointed first — the super-linear share was the
+    composed plan, not any stage's work)."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     batch = (
         docs.filter(F.col("doc_id") % 7 == 0)
@@ -221,8 +228,13 @@ def dedup_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     seen_sets = dedup.shingle_sets(docs).localCheckpoint()
+    seen_bands = dedup.lsh_band_keys(
+        dedup.minhash_signatures_from_sets(seen_sets)
+    ).localCheckpoint()
     batch_sets = dedup.shingle_sets(batch).localCheckpoint()
-    return dedup.incremental_near_dup(batch_sets, seen_sets, threshold=0.5)
+    return dedup.incremental_near_dup(
+        batch_sets, seen_sets, threshold=0.5, seen_bands=seen_bands
+    )
 
 
 def _lsh_bipartite_parts(
