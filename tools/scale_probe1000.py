@@ -72,10 +72,13 @@ PROBE = [
     # round-11 widening (VERDICT r10 #3): the remaining heavy families
     "graph_pagerank",                    # 5 fixed iters over LSH edges
     "graph_component_representatives",   # pointer-jumping CC + window
+    "graph_component_density",           # pair-component join + aggs
     "emb_top_eigen",                     # corpus pass + power iters
     "er_salted_candidates",              # skew-salted blocking (1000x
     #                                      customer registry, see below)
     "stream_incremental_two_batches_durable",  # durable evolving drain
+    "stream_er_match_durable",           # crash-safe ER drain (customer
+    #                                      registry only — stageable)
 ]
 MIN_OF_2_AT_1000X = {"ann_ivf_topk_prebuilt", "ann_ivfpq_topk_prebuilt"}
 
@@ -89,7 +92,10 @@ MIN_OF_2_AT_1000X = {"ann_ivf_topk_prebuilt", "ann_ivfpq_topk_prebuilt"}
 # make every block quadratic — a corpus artifact, not an operator
 # property).
 TPCH_BASE = os.path.join(REPO, ".scratch", "tpch100")
-RELATIONAL_BASE_BY_QUERY = {"er_salted_candidates": TPCH_BASE}
+RELATIONAL_BASE_BY_QUERY = {
+    "er_salted_candidates": TPCH_BASE,
+    "stream_er_match_durable": TPCH_BASE,
+}
 
 
 def build_customer_1000x(spark) -> None:
@@ -206,8 +212,49 @@ def _probe_incr_durable(spark, sf_dir):
     )
 
 
+def _stage_er(spark, sf_dir: str) -> str:
+    key = f"er:{sf_dir}"
+    if key in _STAGED:
+        return _STAGED[key]
+    import tempfile
+
+    from tugas_2_big_data_spark import queries_streaming as qs
+    from tugas_2_big_data_spark.streaming import events as se
+
+    work = tempfile.mkdtemp(prefix="probe1000_er_")
+    dirty = qs._er_stream_dirty(spark, sf_dir)
+    se.write_ingest_batches(
+        [
+            dirty.filter(F.col("d_id") % 2 == 0),
+            dirty.filter(F.col("d_id") % 2 == 1),
+        ],
+        f"{work}/batches",
+    )
+    print(f"  staged er batches for {sf_dir}", file=sys.stderr)
+    _STAGED[key] = work
+    return work
+
+
+def _probe_stream_er_durable(spark, sf_dir):
+    import tempfile
+
+    from tugas_2_big_data_spark import queries_streaming as qs
+    from tugas_2_big_data_spark.streaming import events as se
+
+    work = _stage_er(spark, sf_dir)
+    run = tempfile.mkdtemp(prefix="probe1000_er_run_")
+    return se.run_streaming_er(
+        spark,
+        f"{work}/batches",
+        f"{run}/ckpt",
+        qs._er_stream_base(spark, sf_dir),
+        state_dir=f"{run}/state",
+    )
+
+
 CUSTOM_PROBES = {
     "stream_incremental_two_batches_durable": _probe_incr_durable,
+    "stream_er_match_durable": _probe_stream_er_durable,
 }
 
 
