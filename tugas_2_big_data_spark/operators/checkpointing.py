@@ -20,11 +20,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+def materialize(
+    df: DataFrame,
+    checkpoint_dir: str | None = None,
+    eager: bool = True,
+) -> DataFrame:
     """Cut lineage: reliable checkpoint into `checkpoint_dir` when
-    given, else localCheckpoint. Both are eager."""
+    given, else localCheckpoint.
+
+    ``eager=False`` defers the materializing job to the caller's next
+    action over the returned frame (the lineage cut is unchanged —
+    the checkpoint populates when first computed). Fixpoint loops that
+    follow each round's checkpoint with a control-flow action (the
+    convergence count) use this to pay ONE job per round instead of
+    two: the count materializes the checkpoint as a side effect."""
     if checkpoint_dir is None:
-        return df.localCheckpoint()
+        return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
     sc.setCheckpointDir(checkpoint_dir)
-    return df.checkpoint()
+    return df.checkpoint(eager=eager)

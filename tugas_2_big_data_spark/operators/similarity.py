@@ -35,6 +35,25 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / F.nullif(na * nb, F.lit(0.0))
 
 
+def cosine_sql(a: str, b: str) -> str:
+    """SQL-string form of `cosine` — identical analyzed expression,
+    one JVM parse instead of ~15 py4j round-trips (see the
+    `_kmeans_state` docstring for why construction cost matters)."""
+    dot = (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    na = (
+        f"sqrt(aggregate({a}, cast(0.0 as double), "
+        "(acc, x) -> acc + x * x))"
+    )
+    nb = (
+        f"sqrt(aggregate({b}, cast(0.0 as double), "
+        "(acc, x) -> acc + x * x))"
+    )
+    return f"({dot} / nullif({na} * {nb}, cast(0.0 as double)))"
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -75,18 +94,37 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     return [[float(x) for x in rng.standard_normal(dim)] for _ in range(n_planes)]
 
 
-def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket key: one char per hyperplane ('1' if v·p > 0)."""
-    bits = []
+def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket key: one char per hyperplane ('1' if v·p > 0).
+
+    Built as ONE SQL-string parse: the Column-tree form paid
+    n_planes·dim py4j literal round-trips (~0.6 s of driver time per
+    use at 8×64; see the _kmeans_state docstring). Plane constants ride
+    as cast('<repr>' as double) literals — exact IEEE round-trip,
+    constant-folded at analysis, so the analyzed expression (and every
+    output bit) is unchanged."""
+    name = vec_col if isinstance(vec_col, str) else None
+    if name is None:
+        # Column input (tests / composed exprs): keep the tree form
+        bits = []
+        for p in planes:
+            plane = F.array(*[F.lit(x) for x in p])
+            dot = F.aggregate(
+                F.zip_with(vec_col, plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+    parts = []
     for p in planes:
-        plane = F.array(*[F.lit(x) for x in p])
-        dot = F.aggregate(
-            F.zip_with(vec_col, plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        arr = ", ".join(f"cast('{x!r}' as double)" for x in p)
+        dot = (
+            f"aggregate(zip_with(`{name}`, array({arr}), (x, y) -> x * y), "
+            "cast(0.0 as double), (acc, x) -> acc + x)"
         )
-        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+        parts.append(f"case when {dot} > 0 then '1' else '0' end")
+    return F.expr("concat(" + ", ".join(parts) + ")")
 
 
 def ivf_ncentroids(corpus_rows: int) -> int:
@@ -144,16 +182,14 @@ def _cell_assigner(centroids: DataFrame):
         # any further columns of df (invfile metadata attributes) ride
         # along untouched
         others = [c for c in df.columns if c not in (idname, vecname)]
-        # negated similarity so ascending struct sort = csim desc
-        scored = F.transform(
-            F.col("_cv"),
-            lambda c, i: F.struct(
-                -F.coalesce(
-                    cosine(F.col(vecname), c), F.lit(float("-inf"))
-                ),
-                i.cast("int"),
-            ),
-        ).cast("array<struct<ncs:double,idx:int>>")
+        # negated similarity so ascending struct sort = csim desc;
+        # SQL-string construction (one parse) — see _kmeans_state
+        scored = F.expr(
+            "cast(transform(_cv, (c, i) -> struct(-coalesce("
+            + cosine_sql(f"`{vecname}`", "c")
+            + ", cast('-Infinity' as double)), cast(i as int))) "
+            "as array<struct<ncs:double,idx:int>>)"
+        )
         return (
             df.crossJoin(F.broadcast(cstate))
             .select(
@@ -1103,6 +1139,31 @@ def ivf_topk(
     return _ivf_rank(q, c, k)
 
 
+def _sq_l2_sql(a: str, b: str) -> str:
+    """SQL-string form of `_sq_l2` (left-to-right DOUBLE fold) — same
+    analyzed expression, parsed JVM-side in one call instead of ~10
+    py4j round-trips per use (see the `_kmeans_state` docstring)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def _argmin_code_sql(vec: str, codebook: str) -> str:
+    """SQL-string form of `_argmin_code`: index of the nearest codeword,
+    ties on index ascending via (d2, cid) struct comparison."""
+    return (
+        f"array_min(cast(transform({codebook}, (c, i) -> "
+        f"struct({_sq_l2_sql(vec, 'c')}, cast(i as bigint))) "
+        "as array<struct<d2:double,cid:bigint>>)).cid"
+    )
+
+
+# argmin cell id of a point column `_v` against the one-row broadcast
+# centroid state `_cs` — the Lloyd assignment expression
+_ASSIGN_CID_SQL = _argmin_code_sql("_v", "_cs")
+
+
 def _kmeans_state(
     vecs: DataFrame,
     k: int,
@@ -1139,6 +1200,15 @@ def _kmeans_state(
     Empty clusters keep their previous centroid via a map lookup +
     coalesce against the prior state. Lineage nests across rounds —
     bounded here (iters is small); checkpoint per round on a cluster.
+
+    Expressions are built as SQL strings parsed JVM-side (`F.expr`),
+    not as Python Column trees: constructing the per-dim aggregate
+    list through py4j costs ~0.75 s PER ROUND at dim=64 (one driver
+    round-trip per F.avg/F.get/alias call) while one expr-string parse
+    is ~2 ms — measured 2.85 s → 1.6 s per trained quantizer at
+    sf0.1, bit-identical centroids (same analyzed aggregates; only the
+    construction path changes). Driver-side work, so the win holds at
+    every data scale (guide §5: the driver should do almost no work).
     """
     pts = fan_out(vecs).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
@@ -1151,51 +1221,37 @@ def _kmeans_state(
         .limit(k)
         .groupBy()
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(id_col, "_v"))),
-                lambda s: s["_v"],
+            F.expr(
+                f"transform(array_sort(collect_list(struct(`{id_col}`, _v))),"
+                " s -> s._v)"
             ).alias("_cs")
         )
     )
 
-    # argmin_cid of squared L2, ties on cid ascending — struct
-    # comparison (d2 first, cid second) encodes both
-    _d2 = lambda v, c: F.aggregate(  # noqa: E731
-        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    assign_col = F.array_min(
-        F.transform(
-            F.col("_cs"),
-            lambda c, i: F.struct(_d2(F.col("_v"), c), i.cast("long")),
-        ).cast("array<struct<d2:double,cid:bigint>>")
-    )["cid"]
+    # argmin_cid of squared L2 (left-to-right DOUBLE fold), ties on cid
+    # ascending — struct comparison (d2 first, cid second) encodes both
+    assign_col = F.expr(_ASSIGN_CID_SQL)
 
+    avg_arr = (
+        "array(" + ", ".join(f"avg(get(_v, {i}))" for i in range(dim)) + ")"
+    )
     for _ in range(iters):
         means_map = (
             pts.crossJoin(F.broadcast(state))
             .groupBy(assign_col.alias("cid"))
-            .agg(*[F.avg(F.get("_v", i)).alias(f"_m{i}") for i in range(dim)])
+            .agg(F.expr(avg_arr).alias("_mv"))
             .groupBy()
             .agg(
-                F.map_from_entries(
-                    F.collect_list(
-                        F.struct(
-                            F.col("cid"),
-                            F.array(*[F.col(f"_m{i}") for i in range(dim)]),
-                        )
-                    )
+                F.expr(
+                    "map_from_entries(collect_list(struct(cid, _mv)))"
                 ).alias("_m")
             )
         )
         state = state.crossJoin(F.broadcast(means_map)).select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(k - 1)),
-                lambda i: F.coalesce(
-                    F.element_at(F.col("_m"), i.cast("long")),
-                    F.get(F.col("_cs"), i),
-                ),
+            F.expr(
+                f"transform(sequence(0, {k - 1}), "
+                "i -> coalesce(element_at(_m, cast(i as bigint)), "
+                "get(_cs, i)))"
             ).alias("_cs")
         )
 
@@ -1288,64 +1344,54 @@ def pq_codebooks(
         )
     )
 
-    def _slicer(s: int):
-        return lambda v: F.slice(v, s * sub + 1, sub)
-
-    state = seeds.select(
-        *[F.transform("_seed", _slicer(s)).alias(f"_cs{s}") for s in range(m)]
+    # expression construction via SQL strings (one JVM parse each)
+    # instead of per-element py4j Column trees — see the
+    # `_kmeans_state` docstring for the measured driver-side cost
+    state = seeds.selectExpr(
+        *[
+            f"transform(_seed, v -> slice(v, {s * sub + 1}, {sub}))"
+            f" AS _cs{s}"
+            for s in range(m)
+        ]
     )
 
     for _ in range(iters):
-        entries = F.array(
-            *[
-                F.struct(
-                    (
-                        F.lit(s * ks)
-                        + _argmin_code(
-                            F.slice(F.col("_v"), s * sub + 1, sub),
-                            F.col(f"_cs{s}"),
-                        )
-                    ).alias("k"),
-                    F.slice(F.col("_v"), s * sub + 1, sub).alias("sv"),
-                )
-                for s in range(m)
-            ]
+        entries = ", ".join(
+            f"struct({s * ks} + "
+            + _argmin_code_sql(f"slice(_v, {s * sub + 1}, {sub})", f"_cs{s}")
+            + f" AS k, slice(_v, {s * sub + 1}, {sub}) AS sv)"
+            for s in range(m)
         )
         ex = (
             pts.crossJoin(F.broadcast(state))
-            .select(F.explode(entries).alias("e"))
-            .select(
-                F.col("e.k").alias("_k"),
-                *[F.get("e.sv", i).alias(f"_x{i}") for i in range(sub)],
+            .select(F.expr(f"explode(array({entries}))").alias("e"))
+            .selectExpr(
+                "e.k AS _k",
+                *[f"get(e.sv, {i}) AS _x{i}" for i in range(sub)],
             )
         )
         means_map = (
             ex.groupBy("_k")
-            .agg(*[F.avg(f"_x{i}").alias(f"_m{i}") for i in range(sub)])
+            .agg(
+                F.expr(
+                    "array("
+                    + ", ".join(f"avg(_x{i})" for i in range(sub))
+                    + ")"
+                ).alias("_mv")
+            )
             .groupBy()
             .agg(
-                F.map_from_entries(
-                    F.collect_list(
-                        F.struct(
-                            F.col("_k"),
-                            F.array(*[F.col(f"_m{i}") for i in range(sub)]),
-                        )
-                    )
+                F.expr(
+                    "map_from_entries(collect_list(struct(_k, _mv)))"
                 ).alias("_m")
             )
         )
 
-        def _updater(s: int):
-            return lambda i: F.coalesce(
-                F.element_at(F.col("_m"), (i + F.lit(s * ks)).cast("long")),
-                F.get(F.col(f"_cs{s}"), i),
-            )
-
-        state = state.crossJoin(F.broadcast(means_map)).select(
+        state = state.crossJoin(F.broadcast(means_map)).selectExpr(
             *[
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(ks - 1)), _updater(s)
-                ).alias(f"_cs{s}")
+                f"transform(sequence(0, {ks - 1}), "
+                f"i -> coalesce(element_at(_m, cast(i + {s * ks} as "
+                f"bigint)), get(_cs{s}, i))) AS _cs{s}"
                 for s in range(m)
             ]
         )
@@ -1357,8 +1403,8 @@ def _pq_code_cols(m: int, sub: int) -> list[Column]:
     `_cs{s}`) over the corpus vector column `_v` — the ONE copy of the
     encode expression shared by `pq_topk` and `ivfpq_topk`."""
     return [
-        _argmin_code(
-            F.slice(F.col("_v"), s * sub + 1, sub), F.col(f"_cs{s}")
+        F.expr(
+            _argmin_code_sql(f"slice(_v, {s * sub + 1}, {sub})", f"_cs{s}")
         ).alias(f"code{s}")
         for s in range(m)
     ]
@@ -1367,23 +1413,21 @@ def _pq_code_cols(m: int, sub: int) -> list[Column]:
 def _pq_lut_cols(m: int, sub: int) -> list[Column]:
     """Per-subspace lookup tables over the query vector column `_qv`:
     the ks squared-L2s from the query slice to every codeword."""
-
-    def _lut(s: int) -> Column:
-        qslice = F.slice(F.col("_qv"), s * sub + 1, sub)
-        return F.transform(F.col(f"_cs{s}"), lambda c: _sq_l2(qslice, c))
-
-    return [_lut(s).alias(f"_lut{s}") for s in range(m)]
+    return [
+        F.expr(
+            f"transform(_cs{s}, c -> "
+            + _sq_l2_sql(f"slice(_qv, {s * sub + 1}, {sub})", "c")
+            + ")"
+        ).alias(f"_lut{s}")
+        for s in range(m)
+    ]
 
 
 def _pq_adc_dist(m: int) -> Column:
     """ADC distance: Σ_s lut_s[code_s], summed left-to-right (s
     ascending) to match the oracle's term order exactly."""
-    return sum(
-        (
-            F.get(F.col(f"_lut{s}"), F.col(f"code{s}").cast("int"))
-            for s in range(1, m)
-        ),
-        start=F.get(F.col("_lut0"), F.col("code0").cast("int")),
+    return F.expr(
+        " + ".join(f"get(_lut{s}, cast(code{s} as int))" for s in range(m))
     )
 
 
@@ -1685,7 +1729,11 @@ def connected_components(
                 (best < F.col("label")).alias("_changed"),
             )
         )
-        new_labels = materialize(new_labels, checkpoint_dir)
+        # lazy checkpoint + count = ONE job per round (the count
+        # materializes the cut), not an eager-checkpoint job followed
+        # by a count job — half the per-round scheduler barriers of a
+        # loop whose state relation is tiny compared to the overhead
+        new_labels = materialize(new_labels, checkpoint_dir, eager=False)
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
@@ -1719,7 +1767,7 @@ def lsh_near_dup_pairs(
     v = fan_out(corpus).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("bucket", lsh_bucket(F.col("vec"), planes))
+    ).withColumn("bucket", lsh_bucket("vec", planes))
     a = v.alias("a")
     b = v.alias("b")
     return (
@@ -1912,7 +1960,7 @@ def lsh_bucket_state(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("vec"),
         )
-        .withColumn("bucket", lsh_bucket(F.col("vec"), planes))
+        .withColumn("bucket", lsh_bucket("vec", planes))
     )
 
 
@@ -1942,7 +1990,7 @@ def lsh_bucket_recall(
     b = batch.select(
         F.col(id_col).alias("new_id"),
         F.col(vec_col).cast("array<double>").alias("new_vec"),
-    ).withColumn("new_bucket", lsh_bucket(F.col("new_vec"), planes))
+    ).withColumn("new_bucket", lsh_bucket("new_vec", planes))
     s = seen_state.select(
         F.col(id_col).alias("seen_id"),
         F.col("vec").alias("seen_vec"),
@@ -2043,7 +2091,7 @@ def incremental_embedding_near_dup(
             F.col(id_col).alias("new_id"),
             F.col(vec_col).cast("array<double>").alias("new_vec"),
         )
-        .withColumn("bucket", lsh_bucket(F.col("new_vec"), planes))
+        .withColumn("bucket", lsh_bucket("new_vec", planes))
     )
     s = seen_state.select(
         F.col(id_col).alias("seen_id"),
@@ -2071,9 +2119,19 @@ def sq_bounds(
     quantizer. One map-side-combining aggregate, broadcastable
     everywhere (2·dim doubles ≈ 1 KB)."""
     v = corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    # SQL-string construction (2 parses, not 2·dim py4j agg builds) —
+    # see the _kmeans_state docstring
     return v.agg(
-        F.array(*[F.min(F.get("_v", i)) for i in range(dim)]).alias("mins"),
-        F.array(*[F.max(F.get("_v", i)) for i in range(dim)]).alias("maxs"),
+        F.expr(
+            "array("
+            + ", ".join(f"min(get(_v, {i}))" for i in range(dim))
+            + ")"
+        ).alias("mins"),
+        F.expr(
+            "array("
+            + ", ".join(f"max(get(_v, {i}))" for i in range(dim))
+            + ")"
+        ).alias("maxs"),
     )
 
 

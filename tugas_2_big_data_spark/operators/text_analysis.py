@@ -419,11 +419,15 @@ def repetition_exprs(words_col: F.Column) -> dict[str, F.Column]:
     duplicate-word fraction and the most-frequent word's share.
 
     In-row only (transform/filter/aggregate HOFs) — map-only at any
-    scale, like the other quality expressions. top_word_frac counts
-    occurrences of each DISTINCT word with an O(distinct·n) per-row
-    scan: fine at document word counts, and it keeps the whole signal
-    out of the shuffle path (the explode+groupBy formulation shuffles a
-    words× amplified relation to compute a per-row statistic).
+    scale, like the other quality expressions. top_word_frac is the
+    longest RUN in the sorted words array — an O(n log n) run-length
+    fold replacing the original O(distinct·n) distinct×filter-count
+    scan (same rewrite as ngram_char_fracs; the max occurrence count
+    of any distinct word equals the longest run of equal words after
+    sorting, so the value is identical by construction). It keeps the
+    whole signal out of the shuffle path (the explode+groupBy
+    formulation shuffles a words× amplified relation to compute a
+    per-row statistic).
 
     Pass a materialized array column, not an inline split() (pitfall 1
     in SCALE.md: HOF lambdas re-evaluate inline outer expressions per
@@ -431,11 +435,28 @@ def repetition_exprs(words_col: F.Column) -> dict[str, F.Column]:
     """
     n = F.size(words_col)
     n_distinct = F.size(F.array_distinct(words_col))
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(words_col),
-            lambda w: F.size(F.filter(words_col, lambda x: x == w)),
-        )
+    top_count = F.aggregate(
+        F.array_sort(words_col),
+        F.struct(
+            F.lit(None).cast("string").alias("p"),
+            F.lit(0).alias("r"),
+            F.lit(0).alias("best"),
+        ),
+        lambda a, x: F.when(
+            x.eqNullSafe(a["p"]),
+            F.struct(
+                a["p"].alias("p"),
+                (a["r"] + 1).alias("r"),
+                a["best"].alias("best"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("p"),
+                F.lit(1).alias("r"),
+                F.greatest(a["best"], a["r"]).alias("best"),
+            )
+        ),
+        lambda a: F.greatest(a["best"], a["r"]),
     )
     return {
         "dup_word_frac": F.when(
@@ -700,7 +721,12 @@ def bpe_merges(
             F.trim(F.regexp_replace("word", "(.)", r"$1 ")).alias("sym"),
         )
     )
-    vocab = materialize(vocab, checkpoint_dir)
+    # LAZY lineage cut: each round's best-pair job (the eager
+    # materialize below) computes the previous round's vocab and
+    # populates its checkpoint as a side effect — one scheduler
+    # barrier per round instead of two; the final round's unconsumed
+    # vocab never materializes at all
+    vocab = materialize(vocab, checkpoint_dir, eager=False)
     merge_frames = []
     for rnd in range(1, n_merges + 1):
         syms = vocab.select(
@@ -751,7 +777,7 @@ def bpe_merges(
                 ).alias("sym"),
             )
         )
-        vocab = materialize(vocab, checkpoint_dir)
+        vocab = materialize(vocab, checkpoint_dir, eager=False)
     if not merge_frames:
         return df.sparkSession.createDataFrame(
             [],
@@ -1267,17 +1293,50 @@ def ngram_char_fracs(
     free columns already computed mid-pipeline, so a composite gate
     (txt_quality_gate) stays a single map-only pass instead of
     joining a second derivation of the same corpus.
-    """
 
-    def _gram_pairs(grams: F.Column) -> F.Column:
-        # per distinct gram: (occurrences, non-space chars)
-        return F.transform(
-            F.array_distinct(grams),
-            lambda g: F.struct(
-                F.size(F.filter(grams, lambda x: x == g)).alias("c"),
-                F.length(F.regexp_replace(g, r"\s", "")).alias("l"),
-            ),
-        )
+    Per-gram occurrence counts come from a RUN-LENGTH fold over the
+    SORTED gram array — O(n log n) per row — replacing the original
+    distinct×filter-count formulation whose per-row cost was
+    O(distinct_grams × grams): every distinct gram re-scanned the
+    whole gram array (measured ~2× on the gate/gopher queries at
+    sf0.1; the gap widens quadratically with document length, which
+    is exactly what a long-doc 100 TB corpus feeds it). Counts per
+    distinct gram are identical by construction — equal grams are
+    adjacent after the sort and each run's (count × non-space chars)
+    term enters the same max/sum — so emitted values are bit-equal
+    and the DuckDB oracle is untouched.
+    """
+    # max over distinct grams of count·chars (the heaviest n-gram's
+    # character mass) — boundary term fires when the run ends; the
+    # finish lambda closes the last run. INT arithmetic, like the
+    # original transform (c·l products), cast to double by the caller.
+    _chars = "length(regexp_replace(a.p, '\\\\s', ''))"
+    _best_fold = (
+        "aggregate(array_sort({g}), "
+        "named_struct('p', cast(null as string), 'r', 0, 'best', 0), "
+        "(a, x) -> if(x <=> a.p, "
+        "named_struct('p', a.p, 'r', a.r + 1, 'best', a.best), "
+        "named_struct('p', x, 'r', 1, 'best', "
+        f"greatest(a.best, if(a.p is null, 0, a.r * {_chars})))), "
+        f"a -> greatest(a.best, if(a.p is null, 0, a.r * {_chars})))"
+    )
+    # double-accumulated sum of count·chars over grams occurring >1
+    # time — the same acc + cast(c·l as double) fold as the original,
+    # in first-occurrence order of the sorted array (int products are
+    # exact in double, so term order cannot change the sum)
+    _dup_term = (
+        f"if(a.p is not null and a.r > 1, "
+        f"cast(a.r * {_chars} as double), cast(0.0 as double))"
+    )
+    _dup_fold = (
+        "aggregate(array_sort({g}), "
+        "named_struct('p', cast(null as string), 'r', 0, "
+        "'dup', cast(0.0 as double)), "
+        "(a, x) -> if(x <=> a.p, "
+        "named_struct('p', a.p, 'r', a.r + 1, 'dup', a.dup), "
+        f"named_struct('p', x, 'r', 1, 'dup', a.dup + {_dup_term})), "
+        f"a -> a.dup + {_dup_term})"
+    )
 
     toks = df.select(
         F.col(id_col),
@@ -1293,28 +1352,13 @@ def ngram_char_fracs(
         hashing.word_shingles(F.col("_w"), top_n).alias("_gt"),
         hashing.word_shingles(F.col("_w"), dup_n).alias("_gd"),
     )
-    pairs = grams.select(
-        F.col(id_col),
-        "_nc",
-        "_nw",
-        _gram_pairs(F.col("_gt")).alias("_pt"),
-        _gram_pairs(F.col("_gd")).alias("_pd"),
-    )
     top_frac = F.when(
-        (F.col("_nc") > 0) & (F.size("_pt") > 0),
-        F.array_max(
-            F.transform(F.col("_pt"), lambda p: p["c"] * p["l"])
-        ).cast("double")
-        / F.col("_nc"),
+        (F.col("_nc") > 0) & (F.size("_gt") > 0),
+        F.expr(_best_fold.format(g="_gt")).cast("double") / F.col("_nc"),
     ).otherwise(F.lit(0.0))
     dup_frac = F.when(
         F.col("_nc") > 0,
-        F.aggregate(
-            F.filter(F.col("_pd"), lambda p: p["c"] > 1),
-            F.lit(0.0),
-            lambda acc, p: acc + (p["c"] * p["l"]).cast("double"),
-        )
-        / F.col("_nc"),
+        F.expr(_dup_fold.format(g="_gd")) / F.col("_nc"),
     ).otherwise(F.lit(0.0))
     extra = (
         [
@@ -1324,7 +1368,7 @@ def ngram_char_fracs(
         if with_counts
         else []
     )
-    return pairs.select(
+    return grams.select(
         F.col(id_col),
         F.round(top_frac, round_to).alias("top_ngram_char_frac"),
         F.round(dup_frac, round_to).alias("dup_ngram_char_frac"),
