@@ -169,8 +169,12 @@ def k_hop_reach(edges: DataFrame, k: int = 3) -> DataFrame:
             .select("src", F.col("_nxt").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
         )
+        # lazy lineage cut (same policy as pagerank_fixed): the next
+        # hop's consumers — or the caller's final aggregate — run the
+        # materializing job; the checkpoint still bounds re-execution
+        # depth to one hop
         reach = (
-            reach.unionByName(expanded).distinct().localCheckpoint(eager=True)
+            reach.unionByName(expanded).distinct().localCheckpoint(eager=False)
         )
     return reach.groupBy(F.col("src").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("n_reachable")

@@ -1114,8 +1114,13 @@ def ivf_topk(
             # measured 2.4 s → 0.6 s per materialization at sf0.1. This
             # is the in-operator form of "persist the centroids as an
             # index artifact"; callers with a real artifact store use
-            # `ivf_build_index` + `centroids=` instead.
-            centroids = centroids.localCheckpoint()
+            # `ivf_build_index` + `centroids=` instead. LAZY: the plan
+            # cut is identical, but the k-row state materializes inside
+            # the query's own action instead of a separate blocking
+            # job; the Lloyd chain's shuffle stages are shared by RDD
+            # identity, so the two assignment branches still compute
+            # it once.
+            centroids = centroids.localCheckpoint(eager=False)
     assign = _cell_assigner(centroids)
 
     c = assign(
@@ -1488,7 +1493,7 @@ def pq_topk(
         state = pq_codebooks(
             corpus, m=m, ks=ks, iters=iters,
             id_col=id_col, vec_col=vec_col, dim=dim,
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # lazy: see ivf_topk note
 
     encoded = (
         fan_out(corpus)
@@ -1569,7 +1574,7 @@ def ivfpq_topk(
         state = pq_codebooks(
             corpus, m=m, ks=ks, iters=iters,
             id_col=id_col, vec_col=vec_col, dim=dim,
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # lazy: see ivf_topk note
     enc = (
         assign(
             fan_out(corpus).select(
@@ -2848,7 +2853,12 @@ def covariance_top_eigen(
                 F.col("i").alias("d"),
                 (F.col("y") / F.col("_nrm")).alias("x"),
             )
-            .localCheckpoint(eager=True)
+            # lazy lineage cut (pagerank_fixed policy): the plan is
+            # truncated identically to the eager form — the RDD just
+            # materializes inside the caller's single action instead
+            # of one blocking driver job per iteration (8 barriers on
+            # a 4096-row sketch relation)
+            .localCheckpoint(eager=False)
         )
     # NOT F.signum: signum(0.0) = 0.0 would zero EVERY loading in the
     # degenerate all-zero-covariance case, while the DuckDB oracle's

@@ -6294,6 +6294,39 @@ WHERE d.doc_id NOT IN (SELECT v FROM graph_nodes)
 """
 
 
+def _ranks_and_components(pairs: DataFrame):
+    """PageRank and the component closure over the SAME checkpointed
+    pair relation, run CONCURRENTLY (guide §2.6 — overlap independent
+    jobs): both are fixpoint loops of tiny per-round jobs whose wall
+    time is scheduler barriers, not compute, so the driver submits
+    pagerank's rounds from an InheritableThread while the main thread
+    drives the label-propagation rounds; the scheduler back-fills each
+    loop's idle cores with the other's tasks. Results are unchanged —
+    each loop is independently deterministic over the materialized
+    pairs. Returns (edges, ranks, verts, comps)."""
+    from pyspark import InheritableThread
+
+    from tugas_2_big_data_spark.operators import graph
+
+    edges = graph.symmetrize(pairs)
+    out: dict = {}
+
+    def _pr() -> None:
+        try:
+            out["ranks"] = graph.pagerank_fixed(edges, iters=5, damping=0.85)
+        except BaseException as ex:  # noqa: BLE001 — re-raised on join
+            out["err"] = ex
+
+    t = InheritableThread(target=_pr)
+    t.start()
+    verts = edges.select(F.col("src").alias("v")).distinct()
+    comps = similarity.connected_components(verts, pairs, id_col="v")
+    t.join()
+    if "err" in out:
+        raise out["err"]
+    return edges, out["ranks"], verts, comps
+
+
 @register("graph_component_representatives", _component_reps_sql(iters=5))
 def graph_component_representatives(
     spark: SparkSession, sf_dir: str
@@ -6322,10 +6355,7 @@ def graph_component_representatives(
         .select("id_a", "id_b")
         .localCheckpoint()
     )
-    edges = graph.symmetrize(pairs)
-    ranks = graph.pagerank_fixed(edges, iters=5, damping=0.85)
-    verts = edges.select(F.col("src").alias("v")).distinct()
-    comps = similarity.connected_components(verts, pairs, id_col="v")
+    _, ranks, _, comps = _ranks_and_components(pairs)
     return (
         graph.rank_within_components(ranks, comps, id_col="v")
         .filter(F.col("rank_in_component") == 1)
@@ -6421,10 +6451,7 @@ def curate_near_dup_keep_central(
         .select("id_a", "id_b")
         .localCheckpoint()
     )
-    edges = graph.symmetrize(pairs)
-    ranks = graph.pagerank_fixed(edges, iters=5, damping=0.85)
-    verts = edges.select(F.col("src").alias("v")).distinct()
-    comps = similarity.connected_components(verts, pairs, id_col="v")
+    _, ranks, verts, comps = _ranks_and_components(pairs)
     reps = (
         graph.rank_within_components(ranks, comps, id_col="v")
         .filter(F.col("rank_in_component") == 1)
