@@ -61,10 +61,14 @@ def pagerank_fixed(
     division, so FP results are unchanged). Per iteration that leaves
     one edges-to-ranks join (shuffle keyed src — AQE broadcasts the
     rank relation when small) + one (dst) hash aggregate. Iterates are
-    localCheckpointed LAZILY: lineage is still cut one iteration deep
-    (each checkpoint materializes and later iterations read it back),
-    but the materialization happens inside the caller's single action
-    instead of one eager driver-blocking job per iteration — measured
+    localCheckpointed LAZILY: with no intra-loop action Spark's
+    doCheckpoint only descends to the outermost marked RDD, so the
+    re-execution bound is CACHE-based (each iterate's persist blocks
+    are populated and read back; an executor loss recomputes the
+    nested chain — acceptable here, localCheckpoint already forfeits
+    the job on executor loss). Materialization happens inside the
+    caller's single action instead of one eager driver-blocking job
+    per iteration — measured
     4.2 s → ~2.5 s on the sf0.1 near-dup graph purely from removing
     the per-iteration job barriers; on a cluster the same change
     removes iters scheduler round-trips. Ranks are rounded only at
@@ -74,13 +78,16 @@ def pagerank_fixed(
     # aggregate + the contribution loop), and in this engine it is
     # typically the tail of an expensive pipeline (LSH verify) —
     # without the checkpoint every consumer would re-execute that
-    # whole lineage
-    edges = edges.localCheckpoint(eager=True)
+    # whole lineage. LAZY (round 12): the node count below is the
+    # loop's one unavoidable driver action; it materializes edges and
+    # nodes together, so the pre-loop now costs ONE driver job
+    # instead of three eager-checkpoint barriers plus the count
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -89,7 +96,10 @@ def pagerank_fixed(
     cedges = (
         edges.join(deg, "src")
         .select("src", "dst", "_d")
-        .localCheckpoint(eager=True)
+        # lazy: consumed `iters` times inside the caller's single
+        # action — first use populates the cut, later iterations read
+        # the cached blocks
+        .localCheckpoint(eager=False)
     )
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("v", F.lit(1.0 / n_nodes).alias("_pr"))
@@ -147,9 +157,11 @@ def k_hop_reach(edges: DataFrame, k: int = 3) -> DataFrame:
     as pagerank_fixed, with output bounded by sum of reach-set sizes
     (at 100 TB this is run on the near-dup graph, which is sparse by
     construction — LSH only emits verified pairs). Edges are
-    materialized once up front for the same reason as pagerank_fixed.
+    materialized once for the same reason as pagerank_fixed — lazily:
+    every consumer sits inside the caller's single action, so the
+    first hop populates the cut with no separate driver job.
     """
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=False)
     # self-loops are dropped from the BASE relation too, not just from
     # expansions — otherwise a self-loop edge makes a node count itself
     # in n_reachable, contradicting the "OTHER nodes" contract.
@@ -171,8 +183,9 @@ def k_hop_reach(edges: DataFrame, k: int = 3) -> DataFrame:
         )
         # lazy lineage cut (same policy as pagerank_fixed): the next
         # hop's consumers — or the caller's final aggregate — run the
-        # materializing job; the checkpoint still bounds re-execution
-        # depth to one hop
+        # materializing job; the re-execution bound is cache-based
+        # (persist blocks), not a hard checkpoint cut — see
+        # pagerank_fixed's docstring
         reach = (
             reach.unionByName(expanded).distinct().localCheckpoint(eager=False)
         )

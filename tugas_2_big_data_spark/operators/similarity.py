@@ -178,7 +178,13 @@ def _cell_assigner(centroids: DataFrame):
         F.transform(srt, lambda s: s["cvec"]).alias("_cv"),
     )
 
-    def assign(df: DataFrame, idname: str, vecname: str, probes: int) -> DataFrame:
+    def assign(
+        df: DataFrame,
+        idname: str,
+        vecname: str,
+        probes: int,
+        rank_col: str | None = None,
+    ) -> DataFrame:
         # any further columns of df (invfile metadata attributes) ride
         # along untouched
         others = [c for c in df.columns if c not in (idname, vecname)]
@@ -190,9 +196,9 @@ def _cell_assigner(centroids: DataFrame):
             + ", cast('-Infinity' as double)), cast(i as int))) "
             "as array<struct<ncs:double,idx:int>>)"
         )
-        return (
-            df.crossJoin(F.broadcast(cstate))
-            .select(
+        base = df.crossJoin(F.broadcast(cstate))
+        if rank_col is None:
+            return base.select(
                 idname,
                 vecname,
                 *others,
@@ -200,13 +206,30 @@ def _cell_assigner(centroids: DataFrame):
                 F.explode(F.slice(F.array_sort(scored), 1, probes)).alias(
                     "_t"
                 ),
-            )
-            .select(
+            ).select(
                 idname,
                 vecname,
                 *others,
                 F.get(F.col("_cc"), F.col("_t.idx")).alias("cid"),
             )
+        # rank_col exposes each probed cell's affinity rank (1-based):
+        # the slice prefix of length n is EXACTLY the nprobe=n
+        # assignment, so one max-probes pass serves a whole nprobe
+        # sweep (ann_ivf_nprobe_curve) instead of one branch per point
+        return base.select(
+            idname,
+            vecname,
+            *others,
+            "_cc",
+            F.posexplode(F.slice(F.array_sort(scored), 1, probes)).alias(
+                "_p", "_t"
+            ),
+        ).select(
+            idname,
+            vecname,
+            *others,
+            F.get(F.col("_cc"), F.col("_t.idx")).alias("cid"),
+            (F.col("_p") + F.lit(1)).cast("int").alias(rank_col),
         )
 
     return assign
@@ -1692,20 +1715,31 @@ def connected_components(
     equi-join + hash agg; lineage is truncated per round (see
     `checkpointing.materialize`: localCheckpoint by default, reliable
     checkpoint into `checkpoint_dir` on a cluster). Convergence is
-    detected with a count of changed labels (an action per round, as
-    any fixpoint loop).
+    detected with a count of changed labels — checked every SECOND
+    round (round 12, guide §5: the count is the only driver action in
+    the loop, and a propagation round applied at fixpoint is a no-op,
+    so checking after pairs of rounds halves the barrier count at the
+    cost of at most one idempotent extra round of tiny compute). The
+    symmetrized edge relation is checkpointed once — callers that
+    pass an unmaterialized `pairs` (an LSH-verify tail) would
+    otherwise re-derive it in every round of the loop.
     """
     from tugas_2_big_data_spark.operators.checkpointing import materialize
 
-    edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionAll(
-        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    edges = materialize(
+        pairs.selectExpr("id_a AS src", "id_b AS dst").unionAll(
+            pairs.selectExpr("id_b AS src", "id_a AS dst")
+        ),
+        checkpoint_dir,
+        eager=False,
     )
     labels = materialize(
         vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("label")),
         checkpoint_dir,
+        eager=False,
     )
-    converged = False
-    for _ in range(max_iter):
+
+    def _round(labels: DataFrame) -> DataFrame:
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["v"])
             .groupBy("src")
@@ -1725,20 +1759,31 @@ def connected_components(
             F.coalesce("nbr_label", "label"),
             F.coalesce("_jl", "label"),
         )
-        new_labels = (
+        # lazy checkpoint: truncates the plan (fresh exprIds for the
+        # next round's self-joins) with NO driver job — only the
+        # convergence count below is an action
+        return materialize(
             labels.join(nbr_min, labels["v"] == nbr_min["src"], "left")
             .join(jump, F.col("label") == jump["_jv"], "left")
             .select(
                 F.col("v"),
                 best.alias("label"),
                 (best < F.col("label")).alias("_changed"),
-            )
+            ),
+            checkpoint_dir,
+            eager=False,
         )
-        # lazy checkpoint + count = ONE job per round (the count
-        # materializes the cut), not an eager-checkpoint job followed
-        # by a count job — half the per-round scheduler barriers of a
-        # loop whose state relation is tiny compared to the overhead
-        new_labels = materialize(new_labels, checkpoint_dir, eager=False)
+
+    converged = False
+    done = 0
+    while done < max_iter:
+        new_labels = labels
+        for _ in range(min(2, max_iter - done)):
+            new_labels = _round(new_labels.drop("_changed"))
+            done += 1
+        # ONE job per check: the count materializes this pair of
+        # rounds' checkpoints (and, first time through, the edge and
+        # label-init checkpoints) as a side effect
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
@@ -2214,7 +2259,10 @@ def sq_topk(
     is small; see `ann_sq_recall` for the measured number."""
     from pyspark.sql import Window
 
-    bounds = sq_bounds(corpus, dim, vec_col)
+    # lazy checkpoint: the one-row bounds aggregate feeds the encode
+    # projection AND the reconstruction broadcast — one corpus pass,
+    # no blocking driver job
+    bounds = sq_bounds(corpus, dim, vec_col).localCheckpoint(eager=False)
     codes = sq_encode(corpus, bounds, id_col, vec_col)
     recon = (
         fan_out(codes)
@@ -2368,7 +2416,7 @@ def ivfsq_topk(
         id_col=id_col,
         vec_col=vec_col,
         dim=dim,
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # lazy: see ivf_topk note
     bounds = sq_bounds(corpus, dim, vec_col)
     assign = _cell_assigner(cents)
     cells = assign(
@@ -2831,7 +2879,11 @@ def covariance_top_eigen(
         tri.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "cov"
         )
-    ).localCheckpoint(eager=True)
+        # lazy (round 12): the d²-cell sketch is consumed by the v
+        # init and all `iters` matvecs, every one inside the caller's
+        # single action — the corpus-sized covariance pass runs once
+        # with no separate blocking driver job
+    ).localCheckpoint(eager=False)
     v = (
         full.select(F.col("i").alias("d"))
         .distinct()
@@ -2853,11 +2905,11 @@ def covariance_top_eigen(
                 F.col("i").alias("d"),
                 (F.col("y") / F.col("_nrm")).alias("x"),
             )
-            # lazy lineage cut (pagerank_fixed policy): the plan is
-            # truncated identically to the eager form — the RDD just
+            # lazy lineage cut (pagerank_fixed policy): the RDD
             # materializes inside the caller's single action instead
             # of one blocking driver job per iteration (8 barriers on
-            # a 4096-row sketch relation)
+            # a 4096-row sketch relation); re-execution bound is
+            # cache-based — see pagerank_fixed's docstring
             .localCheckpoint(eager=False)
         )
     # NOT F.signum: signum(0.0) = 0.0 would zero EVERY loading in the
@@ -2912,10 +2964,13 @@ def kmeans_health(
         vecs, k, iters, id_col, vec_col, dim
     )
     # the one-row state feeds TWO consumers (the centroid relation and
-    # the assignment broadcast); left lazy, each would re-run the whole
-    # Lloyd chain over the corpus — checkpoint the single row so the
-    # iterations execute once (measured ~2x on the health query)
-    state = state.localCheckpoint()
+    # the assignment broadcast); without a checkpoint each would re-run
+    # the whole Lloyd chain over the corpus — checkpoint the single row
+    # so the iterations execute once (measured ~2x on the health
+    # query). Lazy: the cut is identical, the training materializes
+    # inside the query's own action (broadcastTimeout raised in
+    # session config covers the broadcast-future path)
+    state = state.localCheckpoint(eager=False)
     cents = state.select(F.posexplode("_cs").alias("cid", "cvec")).select(
         F.col("cid").cast("long").alias("cluster"), "cvec"
     )

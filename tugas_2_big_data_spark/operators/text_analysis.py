@@ -432,6 +432,11 @@ def repetition_exprs(words_col: F.Column) -> dict[str, F.Column]:
     Pass a materialized array column, not an inline split() (pitfall 1
     in SCALE.md: HOF lambdas re-evaluate inline outer expressions per
     element).
+
+    Precondition: the array must not contain NULL elements (split()-
+    derived arrays never do). The run-length fold uses eqNullSafe, so
+    a NULL run would be counted as a word; the pre-rewrite
+    formulation counted nulls as 0.
     """
     n = F.size(words_col)
     n_distinct = F.size(F.array_distinct(words_col))
@@ -1323,7 +1328,9 @@ def ngram_char_fracs(
     # double-accumulated sum of count·chars over grams occurring >1
     # time — the same acc + cast(c·l as double) fold as the original,
     # in first-occurrence order of the sorted array (int products are
-    # exact in double, so term order cannot change the sum)
+    # exact in double and partial sums stay integer-representable —
+    # far below 2^53 at realistic document sizes — so reordering the
+    # additions cannot change the sum)
     _dup_term = (
         f"if(a.p is not null and a.r > 1, "
         f"cast(a.r * {_chars} as double), cast(0.0 as double))"

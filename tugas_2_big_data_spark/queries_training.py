@@ -182,7 +182,9 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist(DISK_ONLY) or a reliable checkpoint (localCheckpoint dies
     # with its executor). Only shuffles left: the LSH band self-join
     # and the two verify lookups.
-    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint()
+    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
     sig = dedup.minhash_signatures_from_sets(sets, k=8)
     cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
     return dedup.jaccard_verify_sets(sets, cand, threshold=0.5)
@@ -227,11 +229,15 @@ def dedup_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    seen_sets = dedup.shingle_sets(docs).localCheckpoint()
+    # LAZY checkpoints (round 12): same plan truncation — the gate
+    # still composes over LogicalRDD scans, keeping the super-linear
+    # fused plan away — but all three states materialize inside the
+    # query's single action instead of three blocking driver jobs
+    seen_sets = dedup.shingle_sets(docs).localCheckpoint(eager=False)
     seen_bands = dedup.lsh_band_keys(
         dedup.minhash_signatures_from_sets(seen_sets)
-    ).localCheckpoint()
-    batch_sets = dedup.shingle_sets(batch).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    batch_sets = dedup.shingle_sets(batch).localCheckpoint(eager=False)
     return dedup.incremental_near_dup(
         batch_sets, seen_sets, threshold=0.5, seen_bands=seen_bands
     )
@@ -384,7 +390,17 @@ def dedup_incremental_near_dup_two_batches(
     All per-batch work is batch-sized: the checks bucket-join the
     batch against the band state, and the merge is an append-only
     union (band keys re-derived map-only from the accepted docs'
-    shingle sets) — per-batch cost independent of state size."""
+    shingle sets) — per-batch cost independent of state size.
+
+    Job shape (guide §5, round 12): every state checkpoint is LAZY —
+    plan truncation is identical to the eager form, but the whole
+    two-batch loop now runs as ONE driver job (the final action
+    materializes gate₁, the accepted set, the merged state and gate₂
+    in dependency order) instead of five; and the seen band state is
+    checkpointed so its corpus-sized minhash derivation happens once,
+    shared by gate₁ and the merged state, instead of once per
+    consumer (the r11 single-batch fix, INCR_NEARDUP_STAGES.json,
+    applied to the loop form)."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     b1 = (
         docs.filter(F.col("doc_id") % 10 == 0)
@@ -411,11 +427,11 @@ def dedup_incremental_near_dup_two_batches(
             )
         )
     )
-    seen_sets = dedup.shingle_sets(docs).localCheckpoint()
+    seen_sets = dedup.shingle_sets(docs).localCheckpoint(eager=False)
     seen_bands = dedup.lsh_band_keys(
         dedup.minhash_signatures_from_sets(seen_sets), 8, 4
-    )
-    b1_sets = dedup.shingle_sets(b1).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    b1_sets = dedup.shingle_sets(b1).localCheckpoint(eager=False)
     m1 = dedup.incremental_near_dup(
         b1_sets, seen_sets, threshold=0.5, seen_bands=seen_bands
     )
@@ -423,12 +439,12 @@ def dedup_incremental_near_dup_two_batches(
         m1.select(F.col("new_id").alias("doc_id")).distinct(),
         "doc_id",
         "left_anti",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     acc1_sets = b1_sets.join(acc1.select("doc_id"), "doc_id", "left_semi")
     bands1, sets1 = dedup.merge_near_dup_state(
         seen_bands, seen_sets, acc1_sets
     )
-    b2_sets = dedup.shingle_sets(b2).localCheckpoint()
+    b2_sets = dedup.shingle_sets(b2).localCheckpoint(eager=False)
     m2 = dedup.incremental_near_dup(
         b2_sets, sets1, threshold=0.5, seen_bands=bands1
     )
@@ -510,7 +526,9 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula's asserted trade with a number measured on this corpus.
     `dedup_incremental_near_dup` and the LSH pair family inherit
     whatever this reports at their operating threshold (0.5)."""
-    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint()
+    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
     return dedup.lsh_candidate_recall(sets)
 
 # shingle relation under the 60-bit portable hash — the oracle twin of
@@ -867,7 +885,9 @@ def dedup_text_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachability. The one-hop `near_dup_canonical` inside
     pipeline_clean_corpus is the cheap approximation; this is the
     exact clustering."""
-    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint()
+    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
     sig = dedup.minhash_signatures_from_sets(sets, k=8)
     cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
     pairs = dedup.jaccard_verify_sets(sets, cand, threshold=0.5).select(
@@ -1692,13 +1712,13 @@ def ann_incremental_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    state0 = similarity.lsh_bucket_state(emb).localCheckpoint()
+    state0 = similarity.lsh_bucket_state(emb).localCheckpoint(eager=False)
     m1 = similarity.incremental_embedding_near_dup(b1, state0, threshold=0.999)
     acc1 = b1.join(
         m1.select(F.col("new_id").alias("vec_id")).distinct(),
         "vec_id",
         "left_anti",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     state1 = similarity.merge_bucket_state(state0, acc1)
     m2 = similarity.incremental_embedding_near_dup(b2, state1, threshold=0.999)
     acc2 = b2.join(
@@ -2317,7 +2337,13 @@ def ann_incremental_add_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     _, p12 = _ivf_incradd_artifacts(spark, sf_dir)
     q5 = emb.filter(F.col("vec_id") < 5)
-    ex = similarity.cosine_topk(emb, q5, k=5).select("query_id", "nbr_id")
+    ex = (
+        similarity.cosine_topk(emb, q5, k=5)
+        .select("query_id", "nbr_id")
+        # three consumers (n_exact + two variant tallies) — one corpus
+        # pass, no extra driver job (see _spark_recall_over)
+        .localCheckpoint(eager=False)
+    )
     froz = similarity.ivf_topk_from_index(
         spark, p12, q5, nprobe=2, k=5
     ).select("query_id", "nbr_id")
@@ -2513,7 +2539,13 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     means the quantizer no longer fits the corpus distribution."""
     emb = load_table(spark, "embeddings", sf_dir)
     q5 = emb.filter(F.col("vec_id") < 5)
-    exact = similarity.cosine_topk(emb, q5, k=5).select("query_id", "nbr_id")
+    exact = (
+        similarity.cosine_topk(emb, q5, k=5)
+        .select("query_id", "nbr_id")
+        # two consumers (count + hits semi-join) — one corpus pass,
+        # no extra driver job (see _spark_recall_over)
+        .localCheckpoint(eager=False)
+    )
     approx = similarity.ivf_topk(emb, q5, nprobe=2, k=5).select(
         "query_id", "nbr_id"
     )
@@ -2605,40 +2637,105 @@ def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered-search finding — recall 0.60 at nprobe=2 under a filter —
     is exactly a point this curve exposes before it ships). Serving
     reads the artifact only; cells_scanned comes from the same
-    broadcast-centroid assignment serving uses
-    (similarity.ivf_probed_cells)."""
+    broadcast-centroid assignment serving uses.
+
+    Plan shape (guide §2.4 — the old per-nprobe loop unioned 4
+    branches that each re-read the artifact, re-assigned the query
+    batch and re-scored its candidates, a 2,491-line plan): the cell
+    assignment at max(nprobe) EXPOSES each probed cell's affinity
+    rank, whose length-n prefix IS the nprobe=n assignment, so ONE
+    assignment + ONE invfile join + ONE scoring pass serve every
+    curve point; the sweep becomes an exploded nprobe dimension over
+    the shared candidate relation (rank within (nprobe, query),
+    identical cosine-desc/nbr-asc order). The exact top-k baseline is
+    computed once and checkpointed (25 rows) instead of re-deriving
+    per branch."""
+    import posixpath
+
+    from pyspark.sql import Window
+
     emb = load_table(spark, "embeddings", sf_dir)
     q5 = emb.filter(F.col("vec_id") < 5)
     path = _ann_artifact_dir(sf_dir, "ivf")
     _ensure_artifact(
         spark, path, "invfile", lambda p: similarity.ivf_build_index(emb, p)
     )
-    ex = similarity.cosine_topk(emb, q5, k=5).select("query_id", "nbr_id")
+    cents = spark.read.parquet(posixpath.join(path, "centroids"))
+    cells = spark.read.parquet(posixpath.join(path, "invfile")).select(
+        F.col("cid").cast("long"), "nbr_id", "nbr_vec"
+    )
+    # one assignment at max nprobe, affinity rank exposed; recomputing
+    # this per consumer is 5 rows × an nlist-wide in-row sort — cheaper
+    # than a checkpoint barrier, and parquet-backed stats keep the
+    # invfile join a broadcast of the query side
+    qa = similarity._cell_assigner(cents)(
+        q5.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("query_vec"),
+        ),
+        "query_id",
+        "query_vec",
+        max(_NPROBE_CURVE),
+        rank_col="crn",
+    )
+
+    def curve_dim():
+        return F.explode(
+            F.array(*[F.lit(int(n)).cast("long") for n in _NPROBE_CURVE])
+        ).alias("nprobe")
+
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("nbr_id")
+    )
+    sel = (
+        qa.join(cells, "cid")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", similarity.cosine(F.col("query_vec"), F.col("nbr_vec"))
+        )
+        .select("query_id", "nbr_id", "cosine", "crn", curve_dim())
+        .filter(F.col("crn") <= F.col("nprobe"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("nprobe", "query_id", "nbr_id")
+    )
+    ex = (
+        similarity.cosine_topk(emb, q5, k=5)
+        .select("query_id", "nbr_id")
+        .localCheckpoint(eager=False)
+    )
     n_ex = ex.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
-    out = None
-    for n in _NPROBE_CURVE:
-        approx = similarity.ivf_topk_from_index(
-            spark, path, q5, nprobe=n, k=5
-        ).select("query_id", "nbr_id")
-        hits = ex.join(approx, ["query_id", "nbr_id"], "left_semi").agg(
-            F.count(F.lit(1)).cast("long").alias("n_hits")
+    hits = (
+        sel.join(F.broadcast(ex), ["query_id", "nbr_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    scanned = (
+        qa.select("crn", curve_dim())
+        .filter(F.col("crn") <= F.col("nprobe"))
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("cells_scanned"))
+    )
+    return (
+        spark.range(1)
+        .select(curve_dim())
+        .join(scanned, "nprobe", "left")
+        .join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(n_ex))
+        .select(
+            "nprobe",
+            F.coalesce(F.col("cells_scanned"), F.lit(0))
+            .cast("long")
+            .alias("cells_scanned"),
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact")
+            ).alias("recall"),
         )
-        cells = similarity.ivf_probed_cells(spark, path, q5, nprobe=n).agg(
-            F.count(F.lit(1)).cast("long").alias("cells_scanned")
-        )
-        row = (
-            cells.crossJoin(n_ex)
-            .crossJoin(hits)
-            .select(
-                F.lit(n).cast("long").alias("nprobe"),
-                "cells_scanned",
-                "n_exact",
-                "n_hits",
-                (F.col("n_hits") / F.col("n_exact")).alias("recall"),
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
 
 
 def _pq_parts(
@@ -2903,6 +3000,11 @@ FROM n_ex n JOIN hits h ON h.query_id = n.query_id
 
 
 def _spark_recall_over(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    # the exact-truth relation (a full-corpus scoring pass, ≤ k rows
+    # per query) feeds both aggregates below — checkpoint it lazily so
+    # the corpus pass runs once inside the query's action instead of
+    # once per consumer branch
+    exact = exact.localCheckpoint(eager=False)
     n_ex = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
     hits = (
         exact.join(approx, ["query_id", "nbr_id"], "left_semi")
@@ -4497,7 +4599,9 @@ def dedup_incremental_two_batches(
         )
     )
     state0 = dedup.fingerprint_groups(docs).select("fp")
-    acc1 = dedup.incremental_new_docs(b1, state0).localCheckpoint()
+    acc1 = dedup.incremental_new_docs(b1, state0).localCheckpoint(
+        eager=False
+    )
     state1 = dedup.merge_fingerprint_state(state0, acc1)
     acc2 = dedup.incremental_new_docs(b2, state1)
     return acc1.select(
@@ -4691,7 +4795,7 @@ def dedup_incremental_bloom_two_batches(
     )
     r1 = dedup.route_batch_bloom(
         b1, bloom0, state0, n_blocks=_BLOOM_NB, g=_BLOOM_G
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     acc1_fps = (
         b1.join(r1.filter(F.col("route") != "dup").select("doc_id"), "doc_id")
         .select(F.md5(dedup.normalized("text")).alias("fp"))
@@ -4773,7 +4877,7 @@ def dedup_incremental_bloom_prebuilt(
     )
     r1 = dedup.route_batch_bloom(
         b1, bloom0, state0, n_blocks=_BLOOM_NB, g=_BLOOM_G
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     acc1_fps = (
         b1.join(r1.filter(F.col("route") != "dup").select("doc_id"), "doc_id")
         .select(F.md5(dedup.normalized("text")).alias("fp"))
@@ -5754,7 +5858,7 @@ def curate_near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_lsh_pairs), both edge directions, one domination
     anti-join."""
     c = corpus(spark, sf_dir)
-    sets = dedup.shingle_sets(c).localCheckpoint()
+    sets = dedup.shingle_sets(c).localCheckpoint(eager=False)
     sig = dedup.minhash_signatures_from_sets(sets, k=8)
     cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
     pairs = dedup.jaccard_verify_sets(sets, cand, threshold=0.5)
@@ -6263,7 +6367,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected_components)."""
     from tugas_2_big_data_spark.operators import graph
 
-    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint()
+    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
     sig = dedup.minhash_signatures_from_sets(sets, k=8)
     cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
     pairs = dedup.jaccard_verify_sets(sets, cand, threshold=0.5).select(
@@ -6319,9 +6425,14 @@ def _ranks_and_components(pairs: DataFrame):
 
     t = InheritableThread(target=_pr)
     t.start()
-    verts = edges.select(F.col("src").alias("v")).distinct()
-    comps = similarity.connected_components(verts, pairs, id_col="v")
-    t.join()
+    try:
+        verts = edges.select(F.col("src").alias("v")).distinct()
+        comps = similarity.connected_components(verts, pairs, id_col="v")
+    finally:
+        # join unconditionally: if the main-thread loop raises, a
+        # still-running pagerank thread would keep submitting jobs
+        # against the session after the caller has given up on it
+        t.join()
     if "err" in out:
         raise out["err"]
     return edges, out["ranks"], verts, comps
@@ -6347,7 +6458,9 @@ def graph_component_representatives(
     closure."""
     from tugas_2_big_data_spark.operators import graph
 
-    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint()
+    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
     sig = dedup.minhash_signatures_from_sets(sets, k=8)
     cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
     pairs = (
@@ -6410,13 +6523,18 @@ def graph_component_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     density pass is two component-keyed aggregates + a map-sized join."""
     from tugas_2_big_data_spark.operators import graph
 
-    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint()
+    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
     sig = dedup.minhash_signatures_from_sets(sets, k=8)
     cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
     pairs = (
         dedup.jaccard_verify_sets(sets, cand, threshold=0.5)
         .select("id_a", "id_b")
-        .localCheckpoint()
+        # lazy: the closure loop's first convergence count materializes
+        # it; single-threaded consumers only (the threaded queries keep
+        # their pairs checkpoint eager)
+        .localCheckpoint(eager=False)
     )
     verts = graph.symmetrize(pairs).select(F.col("src").alias("v")).distinct()
     comps = similarity.connected_components(verts, pairs, id_col="v")
@@ -6443,7 +6561,7 @@ def curate_near_dup_keep_central(
     from tugas_2_big_data_spark.operators import graph
 
     c = corpus(spark, sf_dir)
-    sets = dedup.shingle_sets(c).localCheckpoint()
+    sets = dedup.shingle_sets(c).localCheckpoint(eager=False)
     sig = dedup.minhash_signatures_from_sets(sets, k=8)
     cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
     pairs = (
@@ -6571,7 +6689,9 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth-bounded recursive CTE."""
     from tugas_2_big_data_spark.operators import graph
 
-    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint()
+    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
     sig = dedup.minhash_signatures_from_sets(sets, k=8)
     cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
     pairs = dedup.jaccard_verify_sets(sets, cand, threshold=0.5).select(
@@ -6710,7 +6830,9 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of doc_id. Reuses the verified LSH pair chain and the
     map-only split assignment — the pair relation is near-dup-sparse,
     so the two split joins are broadcast-sized at any corpus scale."""
-    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint()
+    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
     sig = dedup.minhash_signatures_from_sets(sets, k=8)
     cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
     pairs = dedup.jaccard_verify_sets(sets, cand, threshold=0.5).select(
@@ -6796,13 +6918,18 @@ def split_grouped_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson — never re-run LSH per consumer); the closure is iterative
     min-label propagation, the split assignment one component-map join
     + map-only bucketing."""
-    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint()
+    sets = dedup.shingle_sets(corpus(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
     sig = dedup.minhash_signatures_from_sets(sets, k=8)
     cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
     pairs = (
         dedup.jaccard_verify_sets(sets, cand, threshold=0.5)
         .select("id_a", "id_b")
-        .localCheckpoint()
+        # lazy: the closure loop's first convergence count materializes
+        # it; single-threaded consumers only (the threaded queries keep
+        # their pairs checkpoint eager)
+        .localCheckpoint(eager=False)
     )
     verts = corpus(spark, sf_dir).select("doc_id")
     comps = similarity.connected_components(verts, pairs, id_col="doc_id")

@@ -60,6 +60,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Trained ANN state (centroids/codebooks) is checkpointed lazily
+        # (eager=False saves one blocking driver job per query) and is
+        # consumed via crossJoin(broadcast(...)), so the whole multi-job
+        # training loop runs inside the broadcast-exchange future and
+        # counts against broadcastTimeout. The default 300 s would fail
+        # a >5 min train at the 100 TB design point; the state itself is
+        # k·dim doubles (KBs), so a long timeout is safe.
+        .config("spark.sql.broadcastTimeout", "36000")
         # The default JVM code cache (240 MB) overflows after a few dozen
         # wide whole-stage-codegen + higher-order-function queries; the
         # JIT then silently stops compiling and hot expression loops run
@@ -95,6 +103,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # lazy ANN training checkpoints materialize inside broadcast
+        # futures — see get_spark for the full rationale
+        "spark.sql.broadcastTimeout": "36000",
     }
     for k, v in conf.items():
         try:
