@@ -2672,30 +2672,32 @@ def embedding_covariance(
     tiles) to bound the per-row explosion; at d=64 the triangle is
     2080 cells."""
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    prods = df.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    emb,
-                    lambda xi, i: F.transform(
-                        # only dims j >= i: slice element m (0-based)
-                        # is dimension j = i + m
-                        F.slice(emb, i + 1, F.size(F.col(vec_col)) - i),
-                        lambda xj, m: F.struct(
-                            i.alias("i"),
-                            (i + m).alias("j"),
-                            (xi * xj).alias("p"),
-                            xi.alias("x"),
-                        ),
-                    ),
+    # TWO chained generators instead of one explode over a nested
+    # transform-of-transforms building d(d+1)/2 four-field structs
+    # in-row: the struct-array construction dominated the expression's
+    # codegen/JIT cost (first-run 7.7 s vs 2.5 s steady at sf0.1,
+    # EMB_COV_VARIANCE.json) and its transient allocation. Row counts,
+    # pair order (row-major: i ascending, then j), and the xi*xj
+    # double products are identical, so every downstream partial sum
+    # accumulates in the same order — bit-equal cells.
+    prods = (
+        df.select(F.posexplode(emb).alias("_i0", "x"), emb.alias("_e"))
+        .select(
+            F.col("_i0").alias("i"),
+            F.col("x"),
+            # only dims j >= i: slice element m (0-based) is j = i + m
+            F.posexplode(
+                F.slice(
+                    F.col("_e"), F.col("_i0") + 1, F.size("_e") - F.col("_i0")
                 )
-            )
-        ).alias("c")
-    ).select(
-        F.col("c.i").alias("i"),
-        F.col("c.j").alias("j"),
-        F.col("c.p").alias("p"),
-        F.col("c.x").alias("x"),
+            ).alias("_m", "_xj"),
+        )
+        .select(
+            "i",
+            (F.col("i") + F.col("_m")).alias("j"),
+            (F.col("x") * F.col("_xj")).alias("p"),
+            "x",
+        )
     )
     cells = prods.groupBy("i", "j").agg(
         F.sum("p").alias("_sp"),

@@ -53,19 +53,17 @@ def register(name: str, oracle: str | None):
 # driver row can fall more than ~(registry/cap) rounds behind without
 # hand-maintenance of this list.
 _SWEEP_CHANGED: tuple[str, ...] = (
-    # materially changed in round 11: the span family's verify stage
-    # now carries the 60-bit md5 gram fingerprint instead of gram
-    # strings (both Spark plan AND oracle changed in lockstep —
-    # values identical by construction, but both representations are
-    # new and deserve a fresh driver row)
-    "dedup_repeated_spans", "dedup_repeated_spans_keep_first",
-    "dedup_repeated_spans_excise", "decontaminate_spans",
-    "decontaminate_excise", "pipeline_span_clean",
-    # materially changed in round 11 (ADVICE r10): the durable drains
-    # now claim their on-disk footprint on EMPTY committed batches —
-    # values identical on non-pathological streams, new write path
-    "stream_er_match_durable", "stream_dq_gate_durable",
-    "stream_incremental_two_batches_durable",
+    # materially changed in round 12: the nprobe sweep was restructured
+    # from four unioned per-nprobe re-derivations into one shared
+    # assignment/scoring plan over an exploded nprobe dimension —
+    # oracle SQL unchanged, values bit-equal at sf0.001/sf0.01
+    # (tools/value_hashes.py), but the Spark plan is new and deserves
+    # a fresh driver row
+    "ann_ivf_nprobe_curve",
+    # round 12: connected-components loop now checks convergence every
+    # second round and checkpoints the edge relation — labels proven
+    # bit-equal, new loop structure; pin the two cheapest consumers
+    "dedup_text_components", "dedup_embedding_components",
 )
 
 
