@@ -257,6 +257,65 @@ def test_connected_components_refuses_unconverged_result(spark):
         similarity.connected_components(docs, pairs, max_iter=2)
 
 
+def test_positional_filter_keeps_tight_boundary_pair(spark):
+    """Round-12 positional filter (PPJoin) regression: a pair whose
+    first common token sits as LATE as possible in the canonical
+    order — every unshared token is globally rarer than the shared
+    ones, so the shared block sorts last and the positional upper
+    bound 1 + min(sz−pos) equals the TRUE overlap exactly — and whose
+    jaccard lands exactly on the threshold must survive the prune and
+    appear in the output. An off-by-one in the bound would drop it."""
+    shared = [f"s{i:03d}" for i in range(22)]  # 20 shared shingles
+    a_tail = [f"a{i:03d}" for i in range(10)]  # A-only, rare (df 1)
+    b_tail = [f"b{i:03d}" for i in range(10)]  # B-only, rare (df 1)
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(a_tail + shared)),
+            (2, " ".join(b_tail + shared)),
+        ],
+        ["doc_id", "text"],
+    )
+    # |A| = |B| = 30 shingles, c = 20 shared -> j = 20/40 = 0.5 exactly
+    got = dedup.jaccard_pairs_prefix(docs, threshold=0.5).collect()
+    assert [(r.id_a, r.id_b, r.n_common) for r in got] == [(1, 2, 20)]
+    # and it must still agree with the exhaustive formulation
+    exh = dedup.jaccard_pairs_from_sets(
+        dedup.shingle_sets(docs), threshold=0.5
+    ).collect()
+    assert [(r.id_a, r.id_b, r.n_common) for r in exh] == [(1, 2, 20)]
+
+
+def test_cell_assigner_rank_prefix_property(spark):
+    """Round-12 `rank_col` contract: the length-n prefix of the
+    max-probes ranked assignment IS the nprobe=n assignment — same
+    (id, cid) rows — for every n, because both use the same scored
+    in-row sort with the same tie-break."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = similarity.train_ivf_centroids(
+        emb, n_centroids=5, quantizer="seed", dim=8
+    )
+    assign = similarity._cell_assigner(cents)
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    ranked = assign(q, "query_id", "query_vec", 4, rank_col="crn")
+    for n in (1, 2, 4):
+        plain = {
+            (r.query_id, r.cid)
+            for r in assign(q, "query_id", "query_vec", n).collect()
+        }
+        prefix = {
+            (r.query_id, r.cid)
+            for r in ranked.filter(F.col("crn") <= n).collect()
+        }
+        assert prefix == plain, n
+
+
 def test_ivf_topk_structure(spark):
     import numpy as np
 
